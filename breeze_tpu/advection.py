@@ -1,0 +1,352 @@
+"""Flux-form advection schemes: Centered, UpwindBiased, WENO.
+
+TPU-native equivalent of the reference's Oceananigans advection substrate
+(``Centered``, ``UpwindBiased``, ``WENO(order=5)``; reference
+``src/Breeze.jl:209``, ``src/Advection.jl``).  Reconstruction is expressed
+as shifted-window arithmetic over halo-padded arrays; XLA fuses the entire
+flux-divergence computation into one loop.  Both upwind branches are computed
+and selected with ``jnp.where`` — on the VPU this is cheaper than divergent
+control flow, and the Pallas WENO kernel can specialize later.
+
+Interface/staggering conventions follow :mod:`breeze_tpu.ops`:
+
+- target ``"cf"``: reconstruct a center-located quantity at faces; face ``i``
+  separates cells ``i-1`` (left) and ``i`` (right).  Output has ``n+1``
+  entries along the flux axis (faces ``0..n``).
+- target ``"fc"``: reconstruct a face-located quantity at centers; center
+  ``i`` separates faces ``i`` (left) and ``i+1`` (right).  Output has
+  ``n+1`` entries (centers ``-1..n-1``).
+
+Either way the caller forms ``flux = massflux * reconstructed`` and takes
+``(flux[1:] - flux[:-1]) / spacing`` to land on the natural divergence
+location.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .grid import Grid
+from .ops import StencilOps
+
+
+@dataclasses.dataclass(frozen=True)
+class Centered:
+    order: int = 2
+
+    @property
+    def required_halo(self):
+        return self.order // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class UpwindBiased:
+    order: int = 3
+
+    @property
+    def required_halo(self):
+        return (self.order + 1) // 2
+
+
+@dataclasses.dataclass(frozen=True)
+class WENO:
+    order: int = 5
+    epsilon: float = 1e-6
+
+    @property
+    def required_halo(self):
+        return (self.order + 1) // 2
+
+
+# ---------------------------------------------------------------------------
+# Window helpers
+# ---------------------------------------------------------------------------
+
+def _interior_except(a: jax.Array, axis: int, h: int, shape) -> jax.Array:
+    """Restrict the two non-flux axes to the interior window."""
+    idx = []
+    for ax in range(3):
+        if ax == axis:
+            idx.append(slice(None))
+        else:
+            idx.append(slice(h, h + shape[ax]))
+    return a[tuple(idx)]
+
+
+def _slide(b: jax.Array, axis: int, h: int, n_out: int, off: int) -> jax.Array:
+    """Slice ``n_out`` entries along ``axis`` starting at padded index h+off."""
+    return jax.lax.slice_in_dim(b, h + off, h + off + n_out, axis=axis)
+
+
+class _Windows:
+    """Bind (array, axis, halo, n_out, base) so stencil formulas read naturally.
+
+    ``g(o)`` returns the window of the cell at relative offset ``o`` from the
+    *left/upwind* cell of each interface, for a given sweep direction.
+    """
+
+    def __init__(self, b, axis, h, n_out, left0):
+        self.b, self.axis, self.h, self.n_out, self.left0 = b, axis, h, n_out, left0
+
+    def pos(self, o):
+        """Cell at absolute offset left0 + o (positive-velocity orientation)."""
+        return _slide(self.b, self.axis, self.h, self.n_out, self.left0 + o)
+
+    def neg(self, o):
+        """Mirror image: offset o on the upwind side for negative velocity."""
+        return _slide(self.b, self.axis, self.h, self.n_out, self.left0 + 1 - o)
+
+
+# ---------------------------------------------------------------------------
+# Pointwise stencil formulas in terms of g(o); o=0 is the upwind cell,
+# o=1 the downwind cell, o=-1 further upwind, etc.
+# ---------------------------------------------------------------------------
+
+def _centered2(g):
+    return 0.5 * (g(0) + g(1))
+
+
+def _centered4(g):
+    return (7.0 * (g(0) + g(1)) - (g(-1) + g(2))) / 12.0
+
+
+def _upwind1(g):
+    return g(0)
+
+
+def _upwind3(g):
+    return (-g(-1) + 5.0 * g(0) + 2.0 * g(1)) / 6.0
+
+
+def _upwind5(g):
+    return (2.0 * g(-2) - 13.0 * g(-1) + 47.0 * g(0) + 27.0 * g(1) - 3.0 * g(2)) / 60.0
+
+
+def _weno5(g, eps):
+    """Classic WENO-JS fifth order (Jiang & Shu 1996)."""
+    qm2, qm1, q0, q1, q2 = g(-2), g(-1), g(0), g(1), g(2)
+
+    p0 = (2.0 * qm2 - 7.0 * qm1 + 11.0 * q0) / 6.0
+    p1 = (-qm1 + 5.0 * q0 + 2.0 * q1) / 6.0
+    p2 = (2.0 * q0 + 5.0 * q1 - q2) / 6.0
+
+    b0 = (13.0 / 12.0) * (qm2 - 2.0 * qm1 + q0) ** 2 + 0.25 * (qm2 - 4.0 * qm1 + 3.0 * q0) ** 2
+    b1 = (13.0 / 12.0) * (qm1 - 2.0 * q0 + q1) ** 2 + 0.25 * (qm1 - q1) ** 2
+    b2 = (13.0 / 12.0) * (q0 - 2.0 * q1 + q2) ** 2 + 0.25 * (3.0 * q0 - 4.0 * q1 + q2) ** 2
+
+    a0 = 0.1 / (b0 + eps) ** 2
+    a1 = 0.6 / (b1 + eps) ** 2
+    a2 = 0.3 / (b2 + eps) ** 2
+    s = a0 + a1 + a2
+    return (a0 * p0 + a1 * p1 + a2 * p2) / s
+
+
+_WENO9_D = (1.0 / 126.0, 10.0 / 63.0, 10.0 / 21.0, 20.0 / 63.0, 5.0 / 126.0)
+
+
+def _weno9_candidates(q):
+    """Candidate polynomials + smoothness indicators for WENO9 (Balsara & Shu 2000)."""
+    qm4, qm3, qm2, qm1, q0, q1, q2, q3, q4 = q
+    p0 = (12.0 * qm4 - 63.0 * qm3 + 137.0 * qm2 - 163.0 * qm1 + 137.0 * q0) / 60.0
+    p1 = (-3.0 * qm3 + 17.0 * qm2 - 43.0 * qm1 + 77.0 * q0 + 12.0 * q1) / 60.0
+    p2 = (2.0 * qm2 - 13.0 * qm1 + 47.0 * q0 + 27.0 * q1 - 3.0 * q2) / 60.0
+    p3 = (-3.0 * qm1 + 27.0 * q0 + 47.0 * q1 - 13.0 * q2 + 2.0 * q3) / 60.0
+    p4 = (12.0 * q0 + 77.0 * q1 - 43.0 * q2 + 17.0 * q3 - 3.0 * q4) / 60.0
+
+    def beta(a, b, c, d, e):
+        # Smoothness indicator of the 5-point sub-stencil (Balsara & Shu 2000, eq. 2.17)
+        return (a * (22658.0 * a - 208501.0 * b + 364863.0 * c - 288007.0 * d + 86329.0 * e)
+                + b * (482963.0 * b - 1704396.0 * c + 1358458.0 * d - 411487.0 * e)
+                + c * (1521393.0 * c - 2462076.0 * d + 758823.0 * e)
+                + d * (1020563.0 * d - 649501.0 * e)
+                + e * (107918.0 * e)) / 10080.0
+
+    b0 = beta(qm4, qm3, qm2, qm1, q0)
+    b1 = beta(qm3, qm2, qm1, q0, q1)
+    b2 = beta(qm2, qm1, q0, q1, q2)
+    b3 = beta(qm1, q0, q1, q2, q3)
+    b4 = beta(q0, q1, q2, q3, q4)
+    return (p0, p1, p2, p3, p4), (b0, b1, b2, b3, b4)
+
+
+def _weno9(g, eps):
+    q = tuple(g(o) for o in range(-4, 5))
+    ps, bs = _weno9_candidates(q)
+    alphas = [d / (b + eps) ** 2 for d, b in zip(_WENO9_D, bs)]
+    s = sum(alphas)
+    return sum(a * p for a, p in zip(alphas, ps)) / s
+
+
+def _biased_formula(scheme):
+    if isinstance(scheme, Centered):
+        return {2: _centered2, 4: _centered4}[scheme.order], True
+    if isinstance(scheme, UpwindBiased):
+        return {1: _upwind1, 3: _upwind3, 5: _upwind5}[scheme.order], False
+    if isinstance(scheme, WENO):
+        if scheme.order == 5:
+            return (lambda g: _weno5(g, scheme.epsilon)), False
+        if scheme.order == 9:
+            return (lambda g: _weno9(g, scheme.epsilon)), False
+        raise ValueError(f"WENO order {scheme.order} not supported")
+    raise TypeError(f"unknown advection scheme {scheme!r}")
+
+
+def reconstruct(scheme, q_pad: jax.Array, upwind_sign: jax.Array | None,
+                axis: int, h: int, shape, target: str) -> jax.Array:
+    """Reconstruct interface values of ``q`` along ``axis``.
+
+    ``upwind_sign`` is an array at the interface locations (same shape as the
+    output) whose sign selects the upwind branch; pass ``None`` for purely
+    centered schemes.  See module docstring for the output layout.
+    """
+    n = shape[axis]
+    n_out = n + 1
+    # Output index m is the interface between window entries m-1 (left) and m
+    # (right) for BOTH targets: for "cf" that's face m between cells m-1, m;
+    # for "fc" it's center m-1 between faces m-1, m.  The distinction lives in
+    # the caller's interpretation and divergence spacing, not the indexing.
+    left0 = -1
+    del target
+    b = _interior_except(q_pad, axis, h, shape)
+    w = _Windows(b, axis, h, n_out, left0)
+
+    formula, symmetric = _biased_formula(scheme)
+    q_plus = formula(w.pos)
+    if symmetric:
+        return q_plus
+    q_minus = formula(w.neg)
+    assert upwind_sign is not None, "upwind schemes need an advecting velocity"
+    return jnp.where(upwind_sign >= 0, q_plus, q_minus)
+
+
+# ---------------------------------------------------------------------------
+# Interface mass fluxes & flux divergences
+# ---------------------------------------------------------------------------
+
+def _iface_interp_cf(a_pad, axis, h, shape):
+    """Center→face interpolation output at faces 0..n along ``axis``."""
+    b = _interior_except(a_pad, axis, h, shape)
+    n_out = shape[axis] + 1
+    return 0.5 * (_slide(b, axis, h, n_out, -1) + _slide(b, axis, h, n_out, 0))
+
+
+def _iface_interp_fc(a_pad, axis, h, shape):
+    """Face→center interpolation output at centers -1..n-1 along ``axis``."""
+    b = _interior_except(a_pad, axis, h, shape)
+    n_out = shape[axis] + 1
+    return 0.5 * (_slide(b, axis, h, n_out, -1) + _slide(b, axis, h, n_out, 0))
+
+
+def _iface_window(a_pad, axis, h, shape, base):
+    """Raw windows of a field at interface positions base..base+n."""
+    b = _interior_except(a_pad, axis, h, shape)
+    return _slide(b, axis, h, shape[axis] + 1, base)
+
+
+def _ddiv(flux: jax.Array, axis: int, spacing) -> jax.Array:
+    """(flux[1:] - flux[:-1]) / spacing along ``axis``."""
+    n = flux.shape[axis] - 1
+    hi = jax.lax.slice_in_dim(flux, 1, n + 1, axis=axis)
+    lo = jax.lax.slice_in_dim(flux, 0, n, axis=axis)
+    return (hi - lo) / spacing
+
+
+def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad):
+    """∇·(ρ u c) at cell centers — the density-weighted tracer flux divergence.
+
+    TPU analogue of reference ``div_ρUc`` (``src/Advection.jl:30-37``):
+    ``ℑ(ρ)`` at the face times the advective tracer flux, differenced.
+    ``c`` is the *specific* (per-mass) quantity.
+    """
+    g, h, shape = so.grid, so.h, so.shape
+
+    # x faces 0..nx
+    mfx = _iface_interp_cf(rho_pad, 2, h, shape) * _iface_window(u_pad, 2, h, shape, 0)
+    cx = reconstruct(scheme, c_pad, mfx, 2, h, shape, "cf")
+    out = _ddiv(mfx * cx, 2, g.dx)
+
+    # y faces 0..ny
+    mfy = _iface_interp_cf(rho_pad, 1, h, shape) * _iface_window(v_pad, 1, h, shape, 0)
+    cy = reconstruct(scheme, c_pad, mfy, 1, h, shape, "cf")
+    out = out + _ddiv(mfy * cy, 1, g.dy)
+
+    # z faces 0..nz (wall faces carry zero mass flux via the odd halo rule)
+    mfz = _iface_interp_cf(rho_pad, 0, h, shape) * _iface_window(w_pad, 0, h, shape, 0)
+    cz = reconstruct(scheme, c_pad, mfz, 0, h, shape, "cf")
+    out = out + _ddiv(mfz * cz, 0, g.dz_c_col)
+    return out
+
+
+def momentum_flux_divergence(so: StencilOps, scheme,
+                             rho_u_pad, rho_v_pad, rho_w_pad,
+                             u_pad, v_pad, w_pad):
+    """Flux-form ∇·(ρU ⊗ u) for all three momentum components.
+
+    TPU analogue of reference ``div_𝐯u/v/w`` usage in
+    ``dynamics_kernel_functions.jl:54-62``: the advecting flux is the
+    *momentum* (ρu, ρv, ρw); the advected quantity is the *velocity*.
+    Advecting fluxes are interpolated to the advected component's interface
+    locations with second-order averages; the advected velocity is
+    reconstructed with ``scheme``.
+
+    Returns ``(div_u, div_v, div_w)`` at the (x-face, y-face, z-face)
+    momentum locations respectively.
+    """
+    g, h, shape = so.grid, so.h, so.shape
+    dzc, dzf = g.dz_c_col, g.dz_f_col
+
+    # ---- x momentum: u at (zc, yc, xf) ------------------------------
+    #   x-flux at centers:  ℑx_fc(ρu) · û_x        → δx at x-faces
+    mf = _iface_interp_fc(rho_u_pad, 2, h, shape)
+    q = reconstruct(scheme, u_pad, mf, 2, h, shape, "fc")
+    du = _ddiv(mf * q, 2, g.dx)
+    #   y-flux at (yf, xf) corners: ℑx_cf(ρv) · û_y → δy at faces
+    mf = _iface_window(_pad_interp_cf_x(rho_v_pad), 1, h, shape, 0)
+    q = reconstruct(scheme, u_pad, mf, 1, h, shape, "cf")
+    du = du + _ddiv(mf * q, 1, g.dy)
+    #   z-flux at (zf, xf): ℑx_cf(ρw) · û_z         → δz at faces
+    mf = _iface_window(_pad_interp_cf_x(rho_w_pad), 0, h, shape, 0)
+    q = reconstruct(scheme, u_pad, mf, 0, h, shape, "cf")
+    du = du + _ddiv(mf * q, 0, dzc)
+
+    # ---- y momentum: v at (zc, yf, xc) ------------------------------
+    mf = _iface_window(_pad_interp_cf_y(rho_u_pad), 2, h, shape, 0)
+    q = reconstruct(scheme, v_pad, mf, 2, h, shape, "cf")
+    dv = _ddiv(mf * q, 2, g.dx)
+    mf = _iface_interp_fc(rho_v_pad, 1, h, shape)
+    q = reconstruct(scheme, v_pad, mf, 1, h, shape, "fc")
+    dv = dv + _ddiv(mf * q, 1, g.dy)
+    mf = _iface_window(_pad_interp_cf_y(rho_w_pad), 0, h, shape, 0)
+    q = reconstruct(scheme, v_pad, mf, 0, h, shape, "cf")
+    dv = dv + _ddiv(mf * q, 0, dzc)
+
+    # ---- z momentum: w at (zf, yc, xc) ------------------------------
+    mf = _iface_window(_pad_interp_cf_z(rho_u_pad), 2, h, shape, 0)
+    q = reconstruct(scheme, w_pad, mf, 2, h, shape, "cf")
+    dw = _ddiv(mf * q, 2, g.dx)
+    mf = _iface_window(_pad_interp_cf_z(rho_v_pad), 1, h, shape, 0)
+    q = reconstruct(scheme, w_pad, mf, 1, h, shape, "cf")
+    dw = dw + _ddiv(mf * q, 1, g.dy)
+    mf = _iface_interp_fc(rho_w_pad, 0, h, shape)
+    q = reconstruct(scheme, w_pad, mf, 0, h, shape, "fc")
+    dw = dw + _ddiv(mf * q, 0, dzf)
+
+    return du, dv, dw
+
+
+# Padded-in/padded-out 1-shift interpolations used to move an advecting flux
+# onto a corner location while *keeping the other axes padded* (the subsequent
+# interface window consumes the padding along the flux axis).
+def _pad_interp_cf_x(a_pad):
+    return 0.5 * (a_pad + jnp.roll(a_pad, 1, axis=2))
+
+
+def _pad_interp_cf_y(a_pad):
+    return 0.5 * (a_pad + jnp.roll(a_pad, 1, axis=1))
+
+
+def _pad_interp_cf_z(a_pad):
+    return 0.5 * (a_pad + jnp.roll(a_pad, 1, axis=0))

@@ -1,0 +1,161 @@
+"""Fourier-tridiagonal Poisson solver for the anelastic pressure projection.
+
+TPU-native equivalent of the reference's ``FourierTridiagonalPoissonSolver``
+with ρᵣ-weighted diagonals (``src/AnelasticEquations/anelastic_pressure_solver.jl:5-78``).
+Solves, for each horizontal Fourier mode with eigenvalue λ = λx + λy ≥ 0,
+
+    ρ̄ᶠ[k+1] (φ[k+1] − φ[k]) / Δzᶠ[k+1]
+  − ρ̄ᶠ[k]   (φ[k]   − φ[k−1]) / Δzᶠ[k]
+  − ρᶜ[k] Δzᶜ[k] λ φ[k]  =  Δzᶜ[k] δ̂[k] / Δt
+
+with homogeneous Neumann ends (wall couplings dropped), where
+δ = ∇·(ρu~) is the predictor mass-flux divergence.
+
+TPU design: x and y are the FFT axes (lanes/sublanes); z is the tridiagonal
+axis.  The Thomas forward-elimination factors depend only on (ρᵣ, grid, λ)
+— all time-independent — so they are precomputed once in float64 on the host
+and the per-step solve is a single complex forward/backward ``lax.scan``
+over z, vectorized across every mode on the VPU.  The singular (0,0) mode
+(Neumann nullspace) is pinned by replacing its top-level row with φ = 0.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import Grid, Topology
+
+
+def _periodic_eigenvalues(n: int, delta: float, rfft: bool) -> np.ndarray:
+    """λ[m] = (2 sin(π m / n) / Δ)² — eigenvalues of −∂² (2nd-order, periodic)."""
+    m = np.arange(n // 2 + 1 if rfft else n)
+    return (2.0 * np.sin(np.pi * m / n) / delta) ** 2
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lower", "c_prime", "inv_den", "zero_mode_mask", "dz_c"],
+    meta_fields=["nz", "ny", "nxr"],
+)
+@dataclasses.dataclass(frozen=True)
+class AnelasticPoissonSolver:
+    nz: int
+    ny: int
+    nxr: int
+    lower: jax.Array          # (nz, ny, nxr) sub-diagonal coupling ρ̄ᶠ[k]/Δzᶠ[k]
+    c_prime: jax.Array        # (nz, ny, nxr) Thomas upper factors
+    inv_den: jax.Array        # (nz, ny, nxr) Thomas pivot reciprocals
+    zero_mode_mask: jax.Array  # (ny, nxr) bool
+    dz_c: jax.Array            # (nz,) cell heights (volume weighting of rows)
+
+    def solve(self, divergence: jax.Array, dt) -> jax.Array:
+        """Solve for φ given δ = ∇·(ρu~); returns the kinematic pressure φ.
+
+        ``divergence`` is the cell-centered predictor mass-flux divergence
+        (interior shape); ``dt`` the projection time step.
+        """
+        nz = self.nz
+        rhs = divergence * self.dz_c[:, None, None]
+        rhs_hat = jnp.fft.rfft2(rhs, axes=(1, 2)) / dt
+        # Pin the singular (0,0) mode: its top-row equation is replaced by
+        # phi = 0 (compatibility makes the dropped equation redundant).
+        rhs_hat = rhs_hat.at[nz - 1].set(
+            jnp.where(self.zero_mode_mask, 0.0, rhs_hat[nz - 1]))
+
+        # Thomas forward sweep: d[k] = (rhs[k] - lower[k] d[k-1]) * inv_den[k]
+        def fwd(d_prev, inputs):
+            rhs_k, lower_k, inv_den_k = inputs
+            d_k = (rhs_k - lower_k * d_prev) * inv_den_k
+            return d_k, d_k
+
+        d0 = jnp.zeros(rhs_hat.shape[1:], rhs_hat.dtype)
+        _, d = jax.lax.scan(fwd, d0, (rhs_hat, self.lower, self.inv_den))
+
+        # Backward substitution: x[k] = d[k] - c'[k] x[k+1]
+        def bwd(x_next, inputs):
+            d_k, c_k = inputs
+            x_k = d_k - c_k * x_next
+            return x_k, x_k
+
+        x_top = d[nz - 1]
+        _, x_rev = jax.lax.scan(
+            bwd, x_top, (d[: nz - 1][::-1], self.c_prime[: nz - 1][::-1]))
+        x = jnp.concatenate([x_rev[::-1], x_top[None]], axis=0)
+
+        phi = jnp.fft.irfft2(x, s=divergence.shape[1:], axes=(1, 2))
+        return phi.astype(divergence.dtype)
+
+
+def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f) -> AnelasticPoissonSolver:
+    """Precompute Thomas factors for the ρᵣ-weighted Fourier-tridiagonal solve.
+
+    ``rho_c``: reference density at centers ``(nz,)``; ``rho_f``: at faces
+    ``(nz+1,)``.  Factorization runs in float64 on the host (survey precision
+    plan); the stored factors are cast to the solve dtype at use sites via
+    the complex rhs dtype promotion.
+    """
+    if grid.x_topology != Topology.PERIODIC or grid.y_topology != Topology.PERIODIC:
+        raise NotImplementedError(
+            "anelastic Poisson solver currently requires periodic x and y "
+            "(the reference's FFT path; DCT for bounded directions is a "
+            "planned extension)")
+
+    nz, ny, nx = grid.nz, grid.ny, grid.nx
+    nxr = nx // 2 + 1
+    lam_x = _periodic_eigenvalues(nx, grid.dx, rfft=True)      # (nxr,)
+    lam_y = _periodic_eigenvalues(ny, grid.dy, rfft=False)     # (ny,)
+    lam = lam_y[:, None] + lam_x[None, :]                       # (ny, nxr)
+
+    rho_c = np.asarray(rho_c, np.float64)
+    rho_f = np.asarray(rho_f, np.float64)
+    dz_c = np.asarray(grid.dz_c, np.float64)
+    dz_f = np.asarray(grid.dz_f, np.float64)
+
+    # couplings: a[k] = rho_f[k]/dz_f[k] couples (k-1, k); a[0] and a[nz]
+    # are wall couplings, dropped by the Neumann condition.
+    a = rho_f / dz_f                                            # (nz+1,)
+    lower = np.zeros((nz, ny, nxr))
+    upper = np.zeros((nz, ny, nxr))
+    diag = np.zeros((nz, ny, nxr))
+    for k in range(nz):
+        lo = a[k] if k > 0 else 0.0
+        up = a[k + 1] if k < nz - 1 else 0.0
+        lower[k] = lo
+        upper[k] = up
+        diag[k] = -(lo + up) - rho_c[k] * dz_c[k] * lam[None, :, :]
+
+    # Pin the singular (0,0) mode at the top level: row -> phi = 0.
+    zero_mode = np.zeros((ny, nxr), bool)
+    zero_mode[0, 0] = True
+    diag[nz - 1][zero_mode] = 1.0
+    lower[nz - 1][zero_mode] = 0.0
+    upper[nz - 2][zero_mode] = 0.0  # decouple: row nz-2 keeps its equation
+    # NOTE upper[nz-2] zeroing changes the system for the (0,0) mode: row nz-2
+    # then omits its coupling to phi[nz-1]; but since phi[nz-1] = 0 is pinned,
+    # the coupling term is identically zero anyway — the equations agree.
+
+    # Thomas factorization: c'[k] = upper[k] / (diag[k] - lower[k] c'[k-1])
+    c_prime = np.zeros_like(diag)
+    inv_den = np.zeros_like(diag)
+    den = diag[0]
+    inv_den[0] = 1.0 / den
+    c_prime[0] = upper[0] * inv_den[0]
+    for k in range(1, nz):
+        den = diag[k] - lower[k] * c_prime[k - 1]
+        inv_den[k] = 1.0 / den
+        c_prime[k] = upper[k] * inv_den[k]
+
+    dt = grid.dtype
+    return AnelasticPoissonSolver(
+        nz=nz, ny=ny, nxr=nxr,
+        lower=jnp.asarray(lower, dt),
+        c_prime=jnp.asarray(c_prime, dt),
+        inv_den=jnp.asarray(inv_den, dt),
+        zero_mode_mask=jnp.asarray(zero_mode),
+        dz_c=jnp.asarray(dz_c, dt),
+    )

@@ -1,0 +1,416 @@
+"""The AtmosphereModel hub: state, configuration, diagnostics, tendencies.
+
+TPU-native re-design of the reference's ``src/AtmosphereModels/`` layer
+(`AtmosphereModel` struct ``atmosphere_model.jl:37-313``, tendency kernels
+``dynamics_kernel_functions.jl``, state refresh
+``update_atmosphere_model_state.jl:41-68``).  The reference's
+multiple-dispatch lattice (dynamics × formulation × microphysics × closure)
+becomes typed configs selecting pure functions; mutable ``Field`` storage
+becomes an immutable ``State`` pytree; ``update_state!`` becomes
+:func:`diagnose`, a pure function recomputed (and fused by XLA) inside each
+RK stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import advection as adv
+from . import fields as fl
+from .dynamics.poisson import AnelasticPoissonSolver, build_anelastic_poisson_solver
+from .grid import Grid
+from .ops import StencilOps
+from .physics.coriolis import coriolis_terms
+from .physics.microphysics import SaturationAdjustment, saturation_adjust
+from .thermo.constants import MoistureMassFractions, ThermodynamicConstants
+from .thermo.reference import ReferenceState, make_reference_state
+from .thermo.states import temperature_from_theta_li, theta_li_from_temperature
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt", "tracers", "time"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class State:
+    """Prognostic state: momentum + thermodynamic density (+ moisture, tracers).
+
+    Mirrors the reference's prognostic set for anelastic dynamics
+    (``atmosphere_model.jl:379-386``): ρu, ρv, ρw on staggered faces, ρθ,
+    optionally ρqᵗ and user tracers.  ``time`` is a traced scalar.
+    """
+
+    rho_u: jax.Array
+    rho_v: jax.Array
+    rho_w: jax.Array
+    rho_theta: jax.Array
+    rho_qt: jax.Array | None
+    tracers: dict[str, jax.Array]
+    time: jax.Array
+
+    def replace(self, **kw) -> "State":
+        return dataclasses.replace(self, **kw)
+
+
+class Aux(NamedTuple):
+    """Diagnostics refreshed from the prognostic state every stage.
+
+    The reference stores these in mutable fields (velocities, temperature,
+    microphysical fractions — ``update_atmosphere_model_state.jl:256-292``);
+    here they are recomputed functionally and fused into consumers.
+    """
+
+    u: jax.Array
+    v: jax.Array
+    w: jax.Array
+    theta: jax.Array
+    qt: jax.Array | None
+    T: jax.Array
+    q: MoistureMassFractions
+    buoyancy_force: jax.Array  # at cell centers, −g ρ′
+
+
+# ---------------------------------------------------------------------------
+# Model configuration
+# ---------------------------------------------------------------------------
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["grid", "reference", "solver", "forcing_data"],
+    meta_fields=[
+        "constants", "momentum_advection", "scalar_advection",
+        "microphysics", "coriolis", "closure", "forcings",
+        "boundary_fluxes", "p_standard",
+    ],
+)
+@dataclasses.dataclass(frozen=True)
+class AtmosphereModel:
+    """Anelastic atmosphere model configuration.
+
+    TPU analogue of ``AtmosphereModel(grid; dynamics, advection,
+    microphysics, closure, ...)`` (reference ``atmosphere_model.jl:114-313``)
+    specialized to ``AnelasticDynamics`` + liquid-ice potential temperature
+    formulation (the reference's defaults).
+    """
+
+    grid: Grid
+    reference: ReferenceState
+    solver: AnelasticPoissonSolver
+    forcing_data: Any              # pytree consumed by `forcings` entries
+    constants: ThermodynamicConstants
+    momentum_advection: Any
+    scalar_advection: Any
+    microphysics: Any              # None | SaturationAdjustment
+    coriolis: Any                  # None | FPlane | ...
+    closure: Any                   # None | SmagorinskyLilly (physics.closures)
+    forcings: tuple                # tuple of callables (model, state, aux) -> G-increments
+    boundary_fluxes: Any           # None | physics.surface.BoundaryFluxes
+    p_standard: float
+
+    @property
+    def has_moisture(self) -> bool:
+        return self.microphysics is not None
+
+    def stencil_ops(self) -> StencilOps:
+        return StencilOps(self.grid)
+
+
+def make_model(
+    grid: Grid,
+    constants: ThermodynamicConstants | None = None,
+    reference: ReferenceState | None = None,
+    momentum_advection=None,
+    scalar_advection=None,
+    advection=None,
+    microphysics=None,
+    coriolis=None,
+    closure=None,
+    forcings=(),
+    forcing_data=None,
+    boundary_fluxes=None,
+    surface_pressure: float = 101325.0,
+    potential_temperature=288.0,
+    p_standard: float = 1.0e5,
+) -> AtmosphereModel:
+    """Model factory (host-side; allocates reference profiles + solver)."""
+    constants = constants or ThermodynamicConstants()
+    if reference is None:
+        reference = make_reference_state(
+            grid, constants,
+            surface_pressure=surface_pressure,
+            potential_temperature=potential_temperature)
+    if advection is not None:
+        momentum_advection = momentum_advection or advection
+        scalar_advection = scalar_advection or advection
+    momentum_advection = momentum_advection or adv.Centered(2)
+    scalar_advection = scalar_advection or momentum_advection
+
+    need = max(getattr(momentum_advection, "required_halo", 1),
+               getattr(scalar_advection, "required_halo", 1))
+    if grid.halo < need:
+        raise ValueError(
+            f"grid halo {grid.halo} too small for advection (needs {need}); "
+            f"build the grid with halo={need}")
+
+    solver = build_anelastic_poisson_solver(
+        grid, reference.rho_c, reference.rho_f)
+
+    return AtmosphereModel(
+        grid=grid, reference=reference, solver=solver,
+        forcing_data=forcing_data,
+        constants=constants,
+        momentum_advection=momentum_advection,
+        scalar_advection=scalar_advection,
+        microphysics=microphysics,
+        coriolis=coriolis,
+        closure=closure,
+        forcings=tuple(forcings),
+        boundary_fluxes=boundary_fluxes,
+        p_standard=p_standard,
+    )
+
+
+def initial_state(model: AtmosphereModel,
+                  u=None, v=None, w=None,
+                  theta=None, qt=None, tracers=None) -> State:
+    """Build a :class:`State` from specific fields (θ, qᵗ, velocities).
+
+    TPU analogue of ``set!(model; u, θ, qᵗ, ...)``
+    (``set_atmosphere_model.jl:198``): specific quantities are converted to
+    density-weighted prognostics against the reference density; unspecified
+    fields default to rest/reference values.
+    """
+    g = model.grid
+    dt = g.dtype
+    ref = model.reference
+    rho_c = ref.rho_col
+    rho_f = ref.rho_f_col
+
+    def _field(val, default, column_density):
+        if val is None:
+            arr = jnp.full(g.shape, default, dt) if jnp.ndim(default) == 0 else default
+        elif callable(val):
+            x, y, z = g.xyz_c()
+            arr = jnp.asarray(val(x, y, z), dt) * jnp.ones(g.shape, dt)
+        else:
+            arr = jnp.asarray(val, dt)
+        return arr * column_density
+
+    # Default θ: the reference profile value θᵣ(z) — for a constant-θ₀
+    # reference this is θ₀ everywhere (reference anelastic initialization,
+    # anelastic_time_stepping.jl:15-19).
+    if theta is None:
+        theta_arr = jnp.full(g.shape, ref.potential_temperature, dt)
+        rho_theta = theta_arr * rho_c
+    else:
+        rho_theta = _field(theta, 0.0, rho_c)
+
+    rho_qt = None
+    if model.has_moisture:
+        rho_qt = _field(qt, 0.0, rho_c) if qt is not None else jnp.zeros(g.shape, dt)
+
+    rho_u = _field(u, 0.0, rho_c)
+    rho_v = _field(v, 0.0, rho_c)
+    rho_w = _field(w, 0.0, rho_f)
+    rho_w = fl.enforce_impenetrability(rho_w, g)
+
+    return State(
+        rho_u=rho_u, rho_v=rho_v, rho_w=rho_w,
+        rho_theta=rho_theta, rho_qt=rho_qt,
+        tracers=dict(tracers or {}),
+        time=jnp.zeros((), dt),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Diagnostics (the functional update_state!)
+# ---------------------------------------------------------------------------
+
+def diagnose(model: AtmosphereModel, state: State) -> Aux:
+    """Recover velocities, temperature, and moisture partition from the state.
+
+    Mirrors ``compute_auxiliary_variables!``
+    (``update_atmosphere_model_state.jl:206-292``): u = ρu/ρᵣ (ρᵣ is a
+    z-profile, so face interpolation along x/y is the identity), θ = ρθ/ρᵣ,
+    saturation adjustment for T and the moisture partition, then the
+    perturbation-form buoyancy of ``anelastic_buoyancy.jl:36-72``.
+    """
+    ref = model.reference
+    c = model.constants
+    rho_c = ref.rho_col
+    rho_f = ref.rho_f_col
+    p_r = ref.p_col
+
+    u = state.rho_u / rho_c
+    v = state.rho_v / rho_c
+    w = state.rho_w / rho_f
+
+    theta = state.rho_theta / rho_c
+
+    if model.has_moisture:
+        qt = state.rho_qt / rho_c
+        if isinstance(model.microphysics, SaturationAdjustment):
+            T, q = saturation_adjust(theta, qt, p_r, c, model.microphysics,
+                                     model.p_standard)
+        else:
+            q = MoistureMassFractions.vapor_only(qt)
+            T = temperature_from_theta_li(theta, q, p_r, c, model.p_standard)
+    else:
+        qt = None
+        q = MoistureMassFractions(
+            jnp.zeros_like(theta), jnp.zeros_like(theta), jnp.zeros_like(theta))
+        T = temperature_from_theta_li(theta, q, p_r, c, model.p_standard)
+
+    # Perturbation-form moist buoyancy: −gρ′ = −g ρᵣ (RᵐᵣTᵣ/(RᵐT) − 1)
+    q_ref = ref.moisture_fractions_col()
+    Rm_ref = c.mixture_gas_constant(q_ref)
+    Rm = c.mixture_gas_constant(q)
+    g_accel = c.gravitational_acceleration
+    buoyancy_force = -g_accel * rho_c * (Rm_ref * ref.T_col / (Rm * T) - 1.0)
+
+    return Aux(u=u, v=v, w=w, theta=theta, qt=qt, T=T, q=q,
+               buoyancy_force=buoyancy_force)
+
+
+# ---------------------------------------------------------------------------
+# Tendencies
+# ---------------------------------------------------------------------------
+
+def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = None):
+    """Right-hand sides for every prognostic field.
+
+    Mirrors ``compute_tendencies!`` (``update_atmosphere_model_state.jl:
+    294-387``) + the kernel functions in ``dynamics_kernel_functions.jl``:
+    flux-form advection, Coriolis, closure stress divergence, buoyancy
+    (z-faces), scalar flux divergences, forcings, and surface-flux BC
+    contributions.  Anelastic: no PGF here — pressure enters via projection.
+    """
+    if aux is None:
+        aux = diagnose(model, state)
+    g = model.grid
+    so = model.stencil_ops()
+    ref = model.reference
+
+    rho_u_pad = fl.pad(state.rho_u, g, fl.CCF)
+    rho_v_pad = fl.pad(state.rho_v, g, fl.CFC)
+    rho_w_pad = fl.pad(state.rho_w, g, fl.FCC)
+    u_pad = fl.pad(aux.u, g, fl.CCF)
+    v_pad = fl.pad(aux.v, g, fl.CFC)
+    w_pad = fl.pad(aux.w, g, fl.FCC)
+
+    # Momentum advection: ∇·(ρU ⊗ u)
+    adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
+        so, model.momentum_advection,
+        rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad)
+
+    cor_x, cor_y, cor_z = coriolis_terms(
+        model.coriolis, so, rho_u_pad, rho_v_pad, rho_w_pad, g)
+
+    G_rho_u = -adv_u - cor_x
+    G_rho_v = -adv_v - cor_y
+    # Buoyancy interpolated center→z-face (buoyancy_forceᶜᶜᶠ,
+    # dynamics_kernel_functions.jl:42).
+    b_pad = fl.pad(aux.buoyancy_force, g, fl.CCC)
+    G_rho_w = -adv_w - cor_z + so.iz_cf(b_pad)
+
+    # Closure (SGS) stress divergence and diffusive scalar fluxes.
+    closure_fluxes = None
+    if model.closure is not None:
+        from .physics.closures import closure_tendencies
+        closure_fluxes = closure_tendencies(
+            model, so, aux, u_pad, v_pad, w_pad)
+        G_rho_u = G_rho_u + closure_fluxes.G_u
+        G_rho_v = G_rho_v + closure_fluxes.G_v
+        G_rho_w = G_rho_w + closure_fluxes.G_w
+
+    # Scalars: θ and qᵗ advected as specific quantities against ρᵣ
+    # (potential_temperature_tendency.jl:100-105; scalar_tendency
+    # dynamics_kernel_functions.jl:132-159).
+    rho_r_field = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
+    rho_r_pad = fl.pad(rho_r_field, g, fl.CCC)
+
+    theta_pad = fl.pad(aux.theta, g, fl.CCC)
+    G_rho_theta = -adv.div_rho_u_c(
+        so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, theta_pad)
+    if closure_fluxes is not None and closure_fluxes.G_theta is not None:
+        G_rho_theta = G_rho_theta + closure_fluxes.G_theta
+
+    G_rho_qt = None
+    if model.has_moisture:
+        qt_pad = fl.pad(aux.qt, g, fl.CCC)
+        G_rho_qt = -adv.div_rho_u_c(
+            so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, qt_pad)
+        if closure_fluxes is not None and closure_fluxes.G_qt is not None:
+            G_rho_qt = G_rho_qt + closure_fluxes.G_qt
+
+    G_tracers = {}
+    for name, rho_c_tr in state.tracers.items():
+        c_spec = rho_c_tr / ref.rho_col
+        c_pad = fl.pad(c_spec, g, fl.CCC)
+        G_tracers[name] = -adv.div_rho_u_c(
+            so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, c_pad)
+
+    G = State(
+        rho_u=G_rho_u, rho_v=G_rho_v, rho_w=G_rho_w,
+        rho_theta=G_rho_theta, rho_qt=G_rho_qt, tracers=G_tracers,
+        time=jnp.zeros_like(state.time),
+    )
+
+    # Surface flux boundary conditions enter as tendencies on the
+    # wall-adjacent cells (compute_flux_bc_tendencies!, reference
+    # update_atmosphere_model_state.jl:418-434).
+    if model.boundary_fluxes is not None:
+        from .physics.surface import apply_boundary_flux_tendencies
+        G = apply_boundary_flux_tendencies(model, state, aux, G)
+
+    # User forcings (geostrophic, subsidence, sponges...).
+    for forcing in model.forcings:
+        G = forcing(model, state, aux, G)
+
+    return G
+
+
+# ---------------------------------------------------------------------------
+# Pressure projection
+# ---------------------------------------------------------------------------
+
+def pressure_projection(model: AtmosphereModel, rho_u, rho_v, rho_w, dt):
+    """Project predicted momentum onto ∇·(ρᵣu) = 0.
+
+    Mirrors ``compute_pressure_correction!`` + ``make_pressure_correction!``
+    (``anelastic_time_stepping.jl:26-78``): solve ∇·(ρᵣ∇φ) = ∇·(ρũ)/Δt,
+    then ρu ← ρu − Δt ρᵣ ∇φ with ρᵣ at each component's location.
+
+    Returns ``(rho_u, rho_v, rho_w, phi)``.
+    """
+    g = model.grid
+    so = model.stencil_ops()
+
+    rho_w = fl.enforce_impenetrability(rho_w, g)
+
+    # δ = ∇·(ρu) at centers (1-wide halos suffice).
+    ru_pad = fl.pad(rho_u, g, fl.CCF)
+    rv_pad = fl.pad(rho_v, g, fl.CFC)
+    rw_pad = fl.pad(rho_w, g, fl.FCC)
+    div = so.div_c(ru_pad, rv_pad, rw_pad)
+
+    phi = model.solver.solve(div, dt)
+
+    phi_pad = fl.pad(phi, g, fl.CCC)
+    rho_c = model.reference.rho_col
+    rho_f = model.reference.rho_f_col
+    rho_u = rho_u - dt * rho_c * so.dx_cf(phi_pad)
+    rho_v = rho_v - dt * rho_c * so.dy_cf(phi_pad)
+    rho_w = rho_w - dt * rho_f * so.dz_cf(phi_pad)
+    rho_w = fl.enforce_impenetrability(rho_w, g)
+    return rho_u, rho_v, rho_w, phi

@@ -1,0 +1,92 @@
+"""Coriolis forces on the C-grid.
+
+TPU-native equivalent of the reference's Oceananigans Coriolis types
+(``FPlane``, ``BetaPlane``, ``ConstantCartesianCoriolis``; reference
+``src/Breeze.jl:217-218``, used in ``dynamics_kernel_functions.jl:3``).
+Each returns the components of ``f × (ρU)`` at the staggered momentum
+locations, built from 4-point averages of the transverse momentum.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..ops import StencilOps
+
+
+@dataclasses.dataclass(frozen=True)
+class FPlane:
+    """f-plane: constant rotation about ẑ."""
+
+    f: float = 1.0e-4
+
+
+@dataclasses.dataclass(frozen=True)
+class BetaPlane:
+    """f = f0 + β (y − y0)."""
+
+    f0: float = 1.0e-4
+    beta: float = 0.0
+    y0: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstantCartesianCoriolis:
+    """Rotation vector with all three components (non-traditional terms)."""
+
+    fx: float = 0.0
+    fy: float = 0.0
+    fz: float = 1.0e-4
+
+
+def _f_at(coriolis, y):
+    if isinstance(coriolis, FPlane):
+        return coriolis.f
+    if isinstance(coriolis, BetaPlane):
+        return coriolis.f0 + coriolis.beta * (y - coriolis.y0)
+    raise TypeError(coriolis)
+
+
+def coriolis_terms(coriolis, so: StencilOps, rho_u_pad, rho_v_pad, rho_w_pad, grid):
+    """(f×ρU)_x at u-points, (f×ρU)_y at v-points, (f×ρU)_z at w-points.
+
+    These are *subtracted* in the momentum tendencies (reference
+    ``x_f_cross_U`` sign convention: G += −f×U).
+    """
+    if coriolis is None:
+        return 0.0, 0.0, 0.0
+
+    if isinstance(coriolis, ConstantCartesianCoriolis):
+        fx, fy, fz = coriolis.fx, coriolis.fy, coriolis.fz
+        # Full cross product f × ρU on the C-grid; transverse momentum is
+        # interpolated with 4-point averages onto each component's location.
+        rv_u = 0.25 * (so.v(rho_v_pad) + so.v(rho_v_pad, dy=1)
+                       + so.v(rho_v_pad, dx=-1) + so.v(rho_v_pad, dy=1, dx=-1))
+        rw_u = 0.25 * (so.v(rho_w_pad) + so.v(rho_w_pad, dz=1)
+                       + so.v(rho_w_pad, dx=-1) + so.v(rho_w_pad, dz=1, dx=-1))
+        ru_v = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                       + so.v(rho_u_pad, dy=-1) + so.v(rho_u_pad, dx=1, dy=-1))
+        rw_v = 0.25 * (so.v(rho_w_pad) + so.v(rho_w_pad, dz=1)
+                       + so.v(rho_w_pad, dy=-1) + so.v(rho_w_pad, dz=1, dy=-1))
+        ru_w = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                       + so.v(rho_u_pad, dz=-1) + so.v(rho_u_pad, dx=1, dz=-1))
+        rv_w = 0.25 * (so.v(rho_v_pad) + so.v(rho_v_pad, dy=1)
+                       + so.v(rho_v_pad, dz=-1) + so.v(rho_v_pad, dy=1, dz=-1))
+        x_term = fy * rw_u - fz * rv_u
+        y_term = fz * ru_v - fx * rw_v
+        z_term = fx * rv_w - fy * ru_w
+        return x_term, y_term, z_term
+
+    # Traditional f(y) ẑ × U
+    y_c = jnp.asarray(grid.y_c(), so.grid.dtype)[None, :, None]
+    y_f = jnp.asarray(grid.y_f(), so.grid.dtype)[None, :, None]
+    f_c = _f_at(coriolis, y_c)   # at y-centers (u-points)
+    f_f = _f_at(coriolis, y_f)   # at y-faces (v-points)
+
+    rv_u = 0.25 * (so.v(rho_v_pad) + so.v(rho_v_pad, dy=1)
+                   + so.v(rho_v_pad, dx=-1) + so.v(rho_v_pad, dy=1, dx=-1))
+    ru_v = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                   + so.v(rho_u_pad, dy=-1) + so.v(rho_u_pad, dx=1, dy=-1))
+    return -f_c * rv_u, f_f * ru_v, 0.0

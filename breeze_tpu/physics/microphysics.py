@@ -1,0 +1,121 @@
+"""Microphysics schemes: saturation adjustment (0-moment equilibrium).
+
+TPU-native equivalent of reference ``src/Microphysics/saturation_adjustment.jl``
+(`SaturationAdjustment` :23, `adjust_thermodynamic_state` :193-264, residual
+:173-180).  The per-cell secant iteration is vectorized over whole fields
+with a fixed trip count (the reference's ``FixedIterations`` mode, which it
+requires for XLA tracing too); both saturated/unsaturated branches are
+evaluated and blended with ``jnp.where`` — branch-free VPU code.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..thermo.constants import MoistureMassFractions, ThermodynamicConstants
+from ..thermo.saturation import (
+    MixedPhaseEquilibrium,
+    WarmPhaseEquilibrium,
+    saturation_specific_humidity,
+    saturation_vapor_pressure,
+)
+from ..thermo.states import temperature_from_theta_li
+
+
+@dataclasses.dataclass(frozen=True)
+class SaturationAdjustment:
+    """Instantaneous equilibrium condensation microphysics.
+
+    ``equilibrium`` is :class:`WarmPhaseEquilibrium` or
+    :class:`MixedPhaseEquilibrium`; ``iterations`` is the fixed secant trip
+    count (reference default solver: SecantSolver(abstol=1e-4, maxiter=20);
+    fixed 5 iterations reaches the same tolerance in practice and is the
+    form the reference itself uses under Reactant/XLA).
+    """
+
+    equilibrium: object = dataclasses.field(default_factory=WarmPhaseEquilibrium)
+    iterations: int = 5
+
+
+def adjustment_saturation_specific_humidity(T, p, qt, constants, lam):
+    """Always-saturated branch (Pressel 2015 eq. 37): condensate present.
+
+    qᵛ⁺ = ε (1 − qᵗ) pᵛ⁺ / (p − pᵛ⁺)
+    """
+    pvs = saturation_vapor_pressure(T, constants, lam)
+    eps = constants.epsilon_dv
+    return eps * (1.0 - qt) * pvs / (p - pvs)
+
+
+def equilibrated_moisture_fractions(T, qt, qvs, equilibrium) -> MoistureMassFractions:
+    """Partition qᵗ into vapor + condensate; split condensate by λ(T)."""
+    qc = jnp.maximum(0.0, qt - qvs)
+    qv = qt - qc
+    lam = equilibrium.liquid_fraction(T)
+    if isinstance(equilibrium, WarmPhaseEquilibrium):
+        return MoistureMassFractions(qv, qc, jnp.zeros_like(qc))
+    return MoistureMassFractions(qv, lam * qc, (1.0 - lam) * qc)
+
+
+def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
+                      scheme: SaturationAdjustment,
+                      p_standard: float = 1.0e5):
+    """Saturation-adjusted (T, q) from prognostic (θˡⁱ, qᵗ) at pressure p.
+
+    Follows the reference's algorithm (:193-235): unsaturated first guess,
+    latent-heat-scaled second guess, then a fixed-count secant on the
+    temperature residual  r(T) = T − T(θˡⁱ, q_eq(T), p).
+
+    Returns ``(T, MoistureMassFractions)``.
+    """
+    eq = scheme.equilibrium
+
+    # Unsaturated guess: all moisture is vapor.
+    q1 = MoistureMassFractions.vapor_only(qt)
+    T1 = temperature_from_theta_li(theta_li, q1, p, constants, p_standard)
+    lam1 = eq.liquid_fraction(T1)
+    rho1 = constants.density(T1, p, q1)
+    qvs1 = saturation_specific_humidity(T1, rho1, constants, lam1)
+    saturated = qt > qvs1
+
+    def residual(T):
+        lam = eq.liquid_fraction(T)
+        qvs = adjustment_saturation_specific_humidity(T, p, qt, constants, lam)
+        q = equilibrated_moisture_fractions(T, qt, qvs, eq)
+        T_back = temperature_from_theta_li(theta_li, q, p, constants, p_standard)
+        return T - T_back
+
+    # Second guess: overshoot by half the latent warming implied at T1.
+    lam = eq.liquid_fraction(T1)
+    qvs_a = adjustment_saturation_specific_humidity(T1, p, qt, constants, lam)
+    qa = equilibrated_moisture_fractions(T1, qt, qvs_a, eq)
+    cpm = constants.mixture_heat_capacity(qa)
+    Ll = constants.liquid.reference_latent_heat
+    Li = constants.ice.reference_latent_heat
+    dT = (Ll * qa.liquid + Li * qa.ice) / cpm
+    T2 = T1 + jnp.maximum(0.01, 0.5 * dT)
+
+    # Fixed-count secant from (T1, T2).
+    Ta, Tb = T1, T2
+    ra = residual(Ta)
+    for _ in range(scheme.iterations):
+        rb = residual(Tb)
+        dr = rb - ra
+        safe = jnp.where(jnp.abs(dr) > 0, dr, jnp.ones_like(dr))
+        Tc = jnp.where(jnp.abs(dr) > 0, Tb - rb * (Tb - Ta) / safe, Tb)
+        Ta, ra, Tb = Tb, rb, Tc
+
+    T_star = Tb
+    lam_s = eq.liquid_fraction(T_star)
+    qvs_s = adjustment_saturation_specific_humidity(T_star, p, qt, constants, lam_s)
+    q_sat = equilibrated_moisture_fractions(T_star, qt, qvs_s, eq)
+
+    T = jnp.where(saturated, T_star, T1)
+    q = MoistureMassFractions(
+        jnp.where(saturated, q_sat.vapor, q1.vapor),
+        jnp.where(saturated, q_sat.liquid, 0.0),
+        jnp.where(saturated, q_sat.ice, 0.0),
+    )
+    return T, q

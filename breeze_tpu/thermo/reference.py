@@ -1,0 +1,197 @@
+"""Hydrostatic reference states.
+
+TPU-native equivalent of reference ``src/Thermodynamics/reference_states.jl``
+(`ReferenceState` :18/:402, adiabatic closed forms :102-123, numerically
+integrated Exner profiles :243-320, discrete balance :847-886).
+
+Construction is *host-side* in float64 numpy — this is trace-time setup, run
+once; profiles are then cast to the field dtype and stored as 1-D columns
+broadcast into the compiled step.  (Matches the survey's precision plan:
+selective f64 for reference-state integration.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..grid import Grid
+from .constants import ThermodynamicConstants, MoistureMassFractions
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["p_c", "rho_c", "T_c", "rho_f", "qv_c", "ql_c", "qi_c"],
+    meta_fields=["surface_pressure", "potential_temperature", "standard_pressure"],
+)
+@dataclasses.dataclass(frozen=True)
+class ReferenceState:
+    """Hydrostatic reference column for anelastic dynamics.
+
+    Arrays are vertical profiles: centers ``(nz,)`` and faces ``(nz+1,)``.
+    """
+
+    surface_pressure: float
+    potential_temperature: float     # value at the surface
+    standard_pressure: float
+    p_c: jax.Array
+    rho_c: jax.Array
+    T_c: jax.Array
+    rho_f: jax.Array
+    qv_c: jax.Array
+    ql_c: jax.Array
+    qi_c: jax.Array
+
+    # Broadcastable columns
+    @property
+    def p_col(self):
+        return self.p_c[:, None, None]
+
+    @property
+    def rho_col(self):
+        return self.rho_c[:, None, None]
+
+    @property
+    def T_col(self):
+        return self.T_c[:, None, None]
+
+    @property
+    def rho_f_col(self):
+        """Face density at stored faces 0..nz-1."""
+        return self.rho_f[:-1, None, None]
+
+    def moisture_fractions_col(self) -> MoistureMassFractions:
+        return MoistureMassFractions(
+            self.qv_c[:, None, None], self.ql_c[:, None, None], self.qi_c[:, None, None])
+
+
+# -- closed-form dry adiabatic profiles (reference :102-123) ---------------
+
+def adiabatic_hydrostatic_pressure(z, p0, theta0, p_st, constants):
+    cpd = constants.dry_air.heat_capacity
+    Rd = constants.Rd
+    g = constants.gravitational_acceleration
+    T0 = theta0 * (p0 / p_st) ** (Rd / cpd)
+    return p0 * (1.0 - g * z / (cpd * T0)) ** (cpd / Rd)
+
+
+def adiabatic_hydrostatic_density(z, p0, theta0, p_st, constants):
+    Rd = constants.Rd
+    cpd = constants.dry_air.heat_capacity
+    p = adiabatic_hydrostatic_pressure(z, p0, theta0, p_st, constants)
+    T0 = theta0 * (p0 / p_st) ** (Rd / cpd)
+    rho0 = p0 / (Rd * T0)
+    return rho0 * (p / p0) ** (1.0 - Rd / cpd)
+
+
+def _integrated_exner(z_points: np.ndarray, p0: float, theta_fn: Callable,
+                      p_st: float, constants: ThermodynamicConstants,
+                      n_sub: int = 64) -> np.ndarray:
+    """Integrate dΠ/dz = -g/(cᵖᵈ θ(z)) from 0 to each z (midpoint rule).
+
+    Mirrors reference ``numerically_integrated_hydrostatic_pressure``
+    (:276-300): the dry hydrostatic balance is linear in the Exner function.
+    """
+    cpd = constants.dry_air.heat_capacity
+    Rd = constants.Rd
+    kappa = Rd / cpd
+    g = constants.gravitational_acceleration
+    Pi0 = (p0 / p_st) ** kappa
+
+    out = np.empty_like(z_points)
+    for idx, z in enumerate(z_points):
+        if z == 0:
+            out[idx] = Pi0
+            continue
+        zs = (np.arange(n_sub) + 0.5) * (z / n_sub)
+        dPidz = -g / (cpd * np.asarray([theta_fn(zi) for zi in zs]))
+        out[idx] = Pi0 + np.sum(dPidz) * (z / n_sub)
+    return out
+
+
+def make_reference_state(
+    grid: Grid,
+    constants: ThermodynamicConstants,
+    surface_pressure: float = 101325.0,
+    potential_temperature: float | Callable[[float], float] = 288.0,
+    standard_pressure: float = 1.0e5,
+    discrete_hydrostatic_balance: bool = False,
+) -> ReferenceState:
+    """Build a dry hydrostatic :class:`ReferenceState` on ``grid``.
+
+    ``potential_temperature`` may be a constant (closed-form adiabatic
+    profiles) or a function ``θ(z)`` (numerically integrated, reference
+    :243-320).
+    """
+    p0 = float(surface_pressure)
+    p_st = float(standard_pressure)
+    Rd = constants.Rd
+    cpd = constants.dry_air.heat_capacity
+    kappa = Rd / cpd
+    g = constants.gravitational_acceleration
+
+    z_c = np.asarray(grid.z_c, np.float64)
+    z_f = np.asarray(grid.z_f, np.float64)
+
+    if callable(potential_temperature):
+        theta_fn = potential_temperature
+        theta0 = float(theta_fn(0.0))
+        Pi_c = _integrated_exner(z_c, p0, theta_fn, p_st, constants)
+        p_c = p_st * Pi_c ** (1.0 / kappa)
+        theta_c = np.asarray([theta_fn(z) for z in z_c])
+        T_c = theta_c * Pi_c
+        rho_c = p_c / (Rd * T_c)
+    else:
+        theta0 = float(potential_temperature)
+        p_c = adiabatic_hydrostatic_pressure(z_c, p0, theta0, p_st, constants)
+        rho_c = adiabatic_hydrostatic_density(z_c, p0, theta0, p_st, constants)
+        T_c = theta0 * (p_c / p_st) ** kappa
+
+    # Surface density from the ideal gas law at (p0, T0).
+    T0 = theta0 * (p0 / p_st) ** kappa
+    rho0 = p0 / (Rd * T0)
+
+    # Face densities: interior faces average adjacent centers; the bottom
+    # face carries the surface density (reference's bottom ValueBC, :414-420);
+    # the top face extends the last center (zero-gradient default).
+    nz = grid.nz
+    rho_f = np.empty(nz + 1, np.float64)
+    rho_f[1:nz] = 0.5 * (rho_c[1:] + rho_c[:-1])
+    rho_f[0] = rho0
+    rho_f[nz] = rho_c[-1]
+
+    if discrete_hydrostatic_balance:
+        # Recompute p from rho so that (p[k] - p[k-1])/dz_f[k] = -g*rho_f[k]
+        # holds exactly at interior faces (reference :847-886).
+        dz_f = np.asarray(grid.dz_f, np.float64)
+        p_c = p_c.copy()
+        for k in range(1, nz):
+            p_c[k] = p_c[k - 1] - g * rho_f[k] * dz_f[k]
+
+    dt = grid.dtype
+    zeros = jnp.zeros(nz, dt)
+    return ReferenceState(
+        surface_pressure=p0,
+        potential_temperature=theta0,
+        standard_pressure=p_st,
+        p_c=jnp.asarray(p_c, dt),
+        rho_c=jnp.asarray(rho_c, dt),
+        T_c=jnp.asarray(T_c, dt),
+        rho_f=jnp.asarray(rho_f, dt),
+        qv_c=zeros, ql_c=zeros, qi_c=zeros,
+    )
+
+
+def with_moisture_profiles(ref: ReferenceState, qv=None, ql=None, qi=None) -> ReferenceState:
+    """Return a copy of ``ref`` with moisture profiles replaced."""
+    return dataclasses.replace(
+        ref,
+        qv_c=ref.qv_c if qv is None else jnp.asarray(qv, ref.qv_c.dtype),
+        ql_c=ref.ql_c if ql is None else jnp.asarray(ql, ref.ql_c.dtype),
+        qi_c=ref.qi_c if qi is None else jnp.asarray(qi, ref.qi_c.dtype),
+    )

@@ -1,0 +1,84 @@
+"""Time steppers: SSP-RK3 with per-stage pressure projection.
+
+TPU-native equivalent of reference ``src/TimeSteppers/ssp_runge_kutta_3.jl``
+(`SSPRungeKutta3` :53-97, substep kernel :113-172, `time_step!` :208-277).
+The whole step is one pure function ``state -> state`` — under ``jit`` the
+three stages compile into a single XLA program (the reference needs Reactant
+to achieve the same, ``ext/BreezeReactantExt``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import model as M
+
+SSP_RK3_ALPHAS = (1.0, 0.25, 2.0 / 3.0)
+
+
+def _substep(u, u0, G, dt, alpha):
+    """u ← (1−α) u⁰ + α (u + Δt G)  (reference :165-172)."""
+    return (1.0 - alpha) * u0 + alpha * (u + dt * G)
+
+
+def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
+    """Advance one Δt with SSP-RK3 + projection each stage.
+
+    Stage structure mirrors reference ``time_step!`` (:208-277): tendencies →
+    substep → pressure correction over αΔt → (implicit diffusion step when a
+    vertically-implicit closure is configured) → diagnostics refresh (fused
+    into the next stage's tendency computation).  Operator-split
+    microphysics (`microphysics_model_update!`) runs once after stage 3.
+    """
+    state0 = state
+    for alpha in SSP_RK3_ALPHAS:
+        G = M.compute_tendencies(model, state)
+        new_ru = _substep(state.rho_u, state0.rho_u, G.rho_u, dt, alpha)
+        new_rv = _substep(state.rho_v, state0.rho_v, G.rho_v, dt, alpha)
+        new_rw = _substep(state.rho_w, state0.rho_w, G.rho_w, dt, alpha)
+        new_rt = _substep(state.rho_theta, state0.rho_theta, G.rho_theta, dt, alpha)
+        new_rq = None
+        if state.rho_qt is not None:
+            new_rq = _substep(state.rho_qt, state0.rho_qt, G.rho_qt, dt, alpha)
+        new_tr = {
+            k: _substep(state.tracers[k], state0.tracers[k], G.tracers[k], dt, alpha)
+            for k in state.tracers
+        }
+
+        if model.closure is not None and getattr(model.closure, "vertically_implicit", False):
+            from .physics.closures import implicit_vertical_diffusion_step
+            new_ru, new_rv, new_rt, new_rq, new_tr = implicit_vertical_diffusion_step(
+                model, state, new_ru, new_rv, new_rt, new_rq, new_tr, alpha * dt)
+
+        new_ru, new_rv, new_rw, _ = M.pressure_projection(
+            model, new_ru, new_rv, new_rw, alpha * dt)
+
+        state = state.replace(
+            rho_u=new_ru, rho_v=new_rv, rho_w=new_rw,
+            rho_theta=new_rt, rho_qt=new_rq, tracers=new_tr)
+
+    # Operator-split microphysics once per step (reference :272; a no-op for
+    # the tendency-/adjustment-interface schemes currently implemented).
+    if model.microphysics is not None and hasattr(model.microphysics, "model_update"):
+        state = model.microphysics.model_update(model, state, dt)
+
+    return state.replace(time=state.time + dt)
+
+
+@partial(jax.jit, static_argnames=("n_steps",))
+def many_steps(model: M.AtmosphereModel, state: M.State, dt, n_steps: int) -> M.State:
+    """Compile ``n_steps`` into one XLA program via ``lax.fori_loop``.
+
+    TPU analogue of the reference benchmark harness's traced step loop
+    (``benchmarking/src/timestepping.jl:11-31``).
+    """
+    def body(_, s):
+        return ssp_rk3_step(model, s, dt)
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
+
+
+step_jit = jax.jit(ssp_rk3_step)

@@ -1,0 +1,25 @@
+"""Test configuration: run on CPU with 8 virtual devices for mesh tests.
+
+Mirrors the survey's multi-chip test plan (SURVEY.md §4): a
+``jax.sharding`` mesh over virtual CPU devices is the "fake multi-node"
+fixture; sharded runs are compared against single-device runs.
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS to the TPU tunnel,
+# which must not be touched by unit tests (and is a single chip anyway).
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_threefry_partitionable", True)
+# f64-on-CPU verification mode (SURVEY.md §7 hard part 5): tests may build
+# float64 grids to check discrete identities to machine precision.
+jax.config.update("jax_enable_x64", True)
+# Persistent compilation cache: repeated pytest runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
