@@ -99,16 +99,20 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f) -> AnelasticPoisson
     plan); the stored factors are cast to the solve dtype at use sites via
     the complex rhs dtype promotion.
     """
-    if grid.x_topology != Topology.PERIODIC or grid.y_topology != Topology.PERIODIC:
+    ok = (Topology.PERIODIC, Topology.FLAT)
+    if grid.x_topology not in ok or grid.y_topology not in ok:
         raise NotImplementedError(
-            "anelastic Poisson solver currently requires periodic x and y "
-            "(the reference's FFT path; DCT for bounded directions is a "
-            "planned extension)")
+            "anelastic Poisson solver currently requires periodic (or flat) "
+            "x and y (the reference's FFT path; DCT for bounded directions "
+            "is a planned extension)")
 
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     nxr = nx // 2 + 1
-    lam_x = _periodic_eigenvalues(nx, grid.dx, rfft=True)      # (nxr,)
-    lam_y = _periodic_eigenvalues(ny, grid.dy, rfft=False)     # (ny,)
+    # FLAT axes contribute a single zero eigenvalue (size-1 FFT is trivial).
+    lam_x = (_periodic_eigenvalues(nx, grid.dx, rfft=True)
+             if grid.x_topology == Topology.PERIODIC else np.zeros(nxr))
+    lam_y = (_periodic_eigenvalues(ny, grid.dy, rfft=False)
+             if grid.y_topology == Topology.PERIODIC else np.zeros(ny))
     lam = lam_y[:, None] + lam_x[None, :]                       # (ny, nxr)
 
     rho_c = np.asarray(rho_c, np.float64)

@@ -1,0 +1,124 @@
+"""Anelastic Fourier-tridiagonal Poisson solver tests.
+
+Mirrors reference ``test/anelastic_pressure_solver_analytic.jl``: build
+closed-form (ρᵣ, φ) pairs, apply the discrete operator, and assert the
+solver recovers φ; plus a projection contract: after projection,
+∇·(ρᵣ u) = 0 to machine precision.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import breeze_tpu as bz
+from breeze_tpu import fields as fl
+from breeze_tpu.dynamics.poisson import build_anelastic_poisson_solver
+from breeze_tpu.model import make_model, initial_state, pressure_projection
+from breeze_tpu.ops import StencilOps
+
+
+def make_case(nx=16, ny=12, nz=20, rho_profile=None, dtype=jnp.float64):
+    g = bz.make_grid(size=(nx, ny, nz), extent=(2.0, 1.5, 1.0),
+                     topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                     dtype=dtype)
+    z_c = np.asarray(g.z_c, np.float64)
+    z_f = np.asarray(g.z_f, np.float64)
+    if rho_profile is None:
+        rho_c = np.exp(-z_c)          # smooth stratified density
+        rho_f = np.exp(-z_f)
+    else:
+        rho_c = rho_profile(z_c)
+        rho_f = rho_profile(z_f)
+    return g, rho_c, rho_f
+
+
+def apply_discrete_operator(g, rho_c, rho_f, phi):
+    """Apply ∇·(ρᵣ∇φ) with the same discretization the solver inverts."""
+    nz, ny, nx = g.shape
+    dz_c = np.asarray(g.dz_c, np.float64)
+    dz_f = np.asarray(g.dz_f, np.float64)
+    phi = np.asarray(phi, np.float64)
+
+    lap_h = ((np.roll(phi, -1, 2) - 2 * phi + np.roll(phi, 1, 2)) / g.dx**2
+             + (np.roll(phi, -1, 1) - 2 * phi + np.roll(phi, 1, 1)) / g.dy**2)
+    out = rho_c[:, None, None] * lap_h
+
+    # vertical: (1/dz_c) δz(rho_f dφ/dz) with Neumann walls
+    grad_f = np.zeros((nz + 1, ny, nx))
+    grad_f[1:nz] = (phi[1:] - phi[:-1]) / dz_f[1:nz, None, None]
+    flux = rho_f[:, None, None] * grad_f
+    out += (flux[1:] - flux[:-1]) / dz_c[:, None, None]
+    return out
+
+
+class TestPoissonSolver:
+    def test_recovers_manufactured_solution(self):
+        g, rho_c, rho_f = make_case()
+        solver = build_anelastic_poisson_solver(g, rho_c, rho_f)
+
+        x = np.asarray(g.x_c())[None, None, :]
+        y = np.asarray(g.y_c())[None, :, None]
+        z = np.asarray(g.z_c)[:, None, None]
+        phi = (np.cos(2 * np.pi * x / 2.0) * np.cos(2 * np.pi * y / 1.5)
+               * np.cos(np.pi * z / 1.0) * (1 + 0.3 * z))
+        phi -= phi.mean()
+
+        rhs = apply_discrete_operator(g, rho_c, rho_f, phi)
+        dt = 0.25
+        phi_solved = solver.solve(jnp.asarray(rhs * dt), dt)
+        got = np.array(phi_solved)
+        # Solution defined up to a constant for the Neumann problem
+        got -= got.mean()
+        ref = phi - phi.mean()
+        np.testing.assert_allclose(got, ref, atol=1e-9)
+
+    def test_zero_rhs_gives_zero(self):
+        g, rho_c, rho_f = make_case()
+        solver = build_anelastic_poisson_solver(g, rho_c, rho_f)
+        phi = solver.solve(jnp.zeros(g.shape, jnp.float64), 1.0)
+        np.testing.assert_allclose(np.asarray(phi), 0.0, atol=1e-14)
+
+    def test_constant_density_reduces_to_poisson(self):
+        g, rho_c, rho_f = make_case(rho_profile=lambda z: np.ones_like(z))
+        solver = build_anelastic_poisson_solver(g, rho_c, rho_f)
+        x = np.asarray(g.x_c())[None, None, :]
+        phi = np.cos(2 * np.pi * x / 2.0) * np.ones(g.shape)
+        rhs = apply_discrete_operator(g, rho_c, rho_f, phi)
+        got = np.array(solver.solve(jnp.asarray(rhs), 1.0))
+        got -= got.mean()
+        np.testing.assert_allclose(got, phi - phi.mean(), atol=1e-10)
+
+
+class TestProjection:
+    def test_projection_kills_divergence(self):
+        """After projection, ∇·(ρᵣu) = 0 (the anelastic constraint)."""
+        g = bz.make_grid(size=(16, 12, 20), extent=(2000.0, 1500.0, 1000.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, potential_temperature=300.0)
+        rng = np.random.default_rng(42)
+        ru = jnp.asarray(rng.normal(size=g.shape))
+        rv = jnp.asarray(rng.normal(size=g.shape))
+        rw = jnp.asarray(rng.normal(size=g.shape))
+
+        ru2, rv2, rw2, phi = pressure_projection(model, ru, rv, rw, dt=1.0)
+
+        so = StencilOps(g)
+        div = so.div_c(fl.pad(ru2, g, fl.CCF), fl.pad(rv2, g, fl.CFC),
+                       fl.pad(rw2, g, fl.FCC))
+        scale = float(jnp.abs(ru).max())
+        np.testing.assert_allclose(np.asarray(div) * g.dx / scale, 0.0, atol=1e-10)
+
+    def test_projection_idempotent(self):
+        """Projecting an already-divergence-free field is a no-op."""
+        g = bz.make_grid(size=(16, 12, 20), extent=(2000.0, 1500.0, 1000.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, potential_temperature=300.0)
+        rng = np.random.default_rng(7)
+        ru = jnp.asarray(rng.normal(size=g.shape))
+        rv = jnp.asarray(rng.normal(size=g.shape))
+        rw = jnp.asarray(rng.normal(size=g.shape))
+        ru1, rv1, rw1, _ = pressure_projection(model, ru, rv, rw, dt=1.0)
+        ru2, rv2, rw2, _ = pressure_projection(model, ru1, rv1, rw1, dt=1.0)
+        np.testing.assert_allclose(np.asarray(ru2), np.asarray(ru1), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(rw2), np.asarray(rw1), atol=1e-10)
