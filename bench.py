@@ -1,0 +1,98 @@
+"""Benchmark: anelastic LES throughput in grid-points/s on one chip.
+
+Canonical configuration mirrors the reference benchmark harness
+(``benchmarking/README.md:300-320``): WENO5, float32, no closure,
+10 warmup + 100 timed steps; metric = Nx*Ny*Nz / time_per_step
+(``benchmarking/src/result.jl:18-20``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=str, default="256x256x128")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--dt", type=float, default=0.5)
+    p.add_argument("--moist", action="store_true",
+                   help="enable saturation-adjustment moist thermodynamics")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import breeze_tpu as bz
+    from breeze_tpu.timesteppers import ssp_rk3_step
+
+    nx, ny, nz = (int(s) for s in args.size.split("x"))
+
+    # FastEddy CBL-like domain (reference benchmarking/README.md:193-208):
+    # 12.8 km x 12.8 km x 3.2 km.
+    grid = bz.make_grid(size=(nx, ny, nz), extent=(12_800.0, 12_800.0, 3_200.0),
+                        topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                        halo=3, dtype=jnp.float32)
+    microphysics = (bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium())
+                    if args.moist else None)
+    model = bz.make_model(grid, advection=bz.WENO(5), potential_temperature=300.0,
+                          microphysics=microphysics, coriolis=bz.FPlane(1e-4))
+
+    def theta0(x, y, z):
+        bubble = 0.5 * jnp.exp(-((x - 6400.0) ** 2 + (y - 6400.0) ** 2
+                                 + (z - 800.0) ** 2) / 500.0 ** 2)
+        strat = jnp.where(z > 1000.0, 3e-3 * (z - 1000.0), 0.0)
+        return 300.0 + strat + bubble
+
+    state = bz.initial_state(model, theta=theta0,
+                             qt=(lambda x, y, z: 0.008 * jnp.exp(-z / 1500.0))
+                             if args.moist else None)
+
+    chunk = jax.jit(
+        lambda m, s, dt: jax.lax.fori_loop(
+            0, 10, lambda _, st: ssp_rk3_step(m, st, dt), s),
+        donate_argnums=(1,))
+
+    # Warmup (compile + first run)
+    for _ in range(max(1, args.warmup // 10)):
+        state = chunk(model, state, args.dt)
+    jax.block_until_ready(state)
+
+    n_chunks = max(1, args.steps // 10)
+    t0 = time.perf_counter()
+    for _ in range(n_chunks):
+        state = chunk(model, state, args.dt)
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
+
+    steps = n_chunks * 10
+    time_per_step = elapsed / steps
+    gps = nx * ny * nz / time_per_step
+
+    # The reference publishes no absolute numbers (BASELINE.json "published": {});
+    # vs_baseline reports against the north-star working target of 1e9
+    # grid-points/s/chip for the canonical 256x256x128 WENO5 f32 config.
+    result = {
+        "metric": "grid_points_per_second",
+        "value": round(gps, 1),
+        "unit": "points/s",
+        "vs_baseline": round(gps / 1.0e9, 4),
+        "config": {
+            "size": args.size, "advection": "WENO5",
+            "dtype": "float32", "moist": bool(args.moist),
+            "steps": steps, "time_per_step_seconds": round(time_per_step, 6),
+            "device": str(jax.devices()[0]).replace(" ", "_"),
+        },
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

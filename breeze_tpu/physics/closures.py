@@ -1,0 +1,181 @@
+"""Subgrid-scale turbulence closures: Smagorinsky-Lilly (+ constant diffusivity).
+
+TPU-native equivalent of the reference's closure substrate (Oceananigans
+``SmagorinskyLilly``; density-weighting wrappers in
+``src/TurbulenceClosures/TurbulenceClosures.jl:52-101``): the dynamic stress
+is 𝒯 = ρ τ with kinematic τᵢⱼ = −2 νₑ Sᵢⱼ, scalar flux J = −ρ κₑ ∇c; the
+momentum tendency gets −∂ⱼ𝒯ᵢⱼ and scalars −∇·J.
+
+Everything is fused pointwise/stencil jnp on the staggered grid: strain
+components live at their natural (center/corner) locations; νₑ at centers
+with 4-point interpolation to corners.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .. import fields as fl
+from ..ops import StencilOps
+
+
+@dataclasses.dataclass(frozen=True)
+class SmagorinskyLilly:
+    """Smagorinsky (1963) with Lilly's stratification correction.
+
+    νₑ = (C Δ)² √(2 SᵢⱼSᵢⱼ) ς,  ς² = max(0, 1 − N²/(Pr |S|²)),
+    κₑ = νₑ / Pr.
+    """
+
+    coefficient: float = 0.16
+    prandtl: float = 1.0 / 3.0
+    buoyancy_correction: bool = True
+    vertically_implicit: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class ConstantDiffusivity:
+    """Fixed kinematic viscosity/diffusivity (useful for tests)."""
+
+    viscosity: float = 0.0
+    diffusivity: float = 0.0
+    vertically_implicit: bool = False
+
+
+class ClosureFluxes(NamedTuple):
+    G_u: jax.Array
+    G_v: jax.Array
+    G_w: jax.Array
+    G_theta: jax.Array | None
+    G_qt: jax.Array | None
+    nu_e: jax.Array | None     # eddy viscosity at centers (diagnostic)
+
+
+def _corner_avg_xy(so, c_pad):
+    """Center field → (yf, xf) corner via 4-point average."""
+    return 0.25 * (so.v(c_pad) + so.v(c_pad, dx=-1)
+                   + so.v(c_pad, dy=-1) + so.v(c_pad, dx=-1, dy=-1))
+
+
+def _corner_avg_xz(so, c_pad):
+    return 0.25 * (so.v(c_pad) + so.v(c_pad, dx=-1)
+                   + so.v(c_pad, dz=-1) + so.v(c_pad, dx=-1, dz=-1))
+
+
+def _corner_avg_yz(so, c_pad):
+    return 0.25 * (so.v(c_pad) + so.v(c_pad, dy=-1)
+                   + so.v(c_pad, dz=-1) + so.v(c_pad, dy=-1, dz=-1))
+
+
+def _center_avg_from_xy_corner(so, q_pad):
+    return 0.25 * (so.v(q_pad) + so.v(q_pad, dx=1)
+                   + so.v(q_pad, dy=1) + so.v(q_pad, dx=1, dy=1))
+
+
+def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> ClosureFluxes:
+    """Stress/flux divergences for the configured closure."""
+    g = model.grid
+    closure = model.closure
+    ref = model.reference
+    rho_c = ref.rho_col
+    rho_f = ref.rho_f_col
+
+    # --- strain-rate tensor on the staggered grid ---------------------
+    S11 = so.dx_fc(u_pad)                          # centers
+    S22 = so.dy_fc(v_pad)
+    S33 = so.dz_fc(w_pad)
+    S12 = 0.5 * (so.dy_cf(u_pad) + so.dx_cf(v_pad))   # (zc, yf, xf)
+    S13 = 0.5 * (so.dz_cf(u_pad) + so.dx_cf(w_pad))   # (zf, yc, xf)
+    S23 = 0.5 * (so.dz_cf(v_pad) + so.dy_cf(w_pad))   # (zf, yf, xc)
+
+    if isinstance(closure, ConstantDiffusivity):
+        nu_c = jnp.full(g.shape, closure.viscosity, g.dtype)
+        kappa_c = jnp.full(g.shape, closure.diffusivity, g.dtype)
+    else:
+        # |S|² at centers; off-diagonal components interpolated back.
+        S12_pad = fl.pad(S12, g, (fl.C, fl.F, fl.F))
+        S13_pad = fl.pad(S13, g, (fl.F, fl.C, fl.F))
+        S23_pad = fl.pad(S23, g, (fl.F, fl.F, fl.C))
+        S12c = 0.25 * (so.v(S12_pad) + so.v(S12_pad, dx=1)
+                       + so.v(S12_pad, dy=1) + so.v(S12_pad, dx=1, dy=1))
+        S13c = 0.25 * (so.v(S13_pad) + so.v(S13_pad, dx=1)
+                       + so.v(S13_pad, dz=1) + so.v(S13_pad, dx=1, dz=1))
+        S23c = 0.25 * (so.v(S23_pad) + so.v(S23_pad, dy=1)
+                       + so.v(S23_pad, dz=1) + so.v(S23_pad, dy=1, dz=1))
+        S2 = 2.0 * (S11**2 + S22**2 + S33**2
+                    + 2.0 * (S12c**2 + S13c**2 + S23c**2))
+
+        delta = (g.dx * g.dy * jnp.asarray(g.dz_c)[:, None, None]) ** (1.0 / 3.0)
+        C = closure.coefficient
+        abs_S = jnp.sqrt(S2)
+
+        if closure.buoyancy_correction and aux.theta is not None:
+            # N² = (g/θ) ∂z θ at centers (dry Brunt-Väisälä; moist θᵥ is a
+            # planned refinement)
+            th_pad = fl.pad(aux.theta, g, fl.CCC)
+            dthdz_f = so.dz_cf(th_pad)
+            dthdz = 0.5 * (dthdz_f + jnp.concatenate(
+                [dthdz_f[1:], dthdz_f[-1:]], axis=0))
+            g_acc = model.constants.gravitational_acceleration
+            N2 = g_acc / jnp.maximum(aux.theta, 1.0) * dthdz
+            Ri = N2 / jnp.maximum(S2, 1e-20)
+            zeta2 = jnp.maximum(0.0, 1.0 - Ri / closure.prandtl)
+            abs_S = abs_S * jnp.sqrt(zeta2)
+
+        nu_c = (C * delta) ** 2 * abs_S
+        kappa_c = nu_c / closure.prandtl
+
+    # --- dynamic stresses 𝒯ᵢⱼ = −2 ρ νₑ Sᵢⱼ --------------------------
+    nu_pad = fl.pad(nu_c, g, fl.CCC)
+    rho_nu_c = rho_c * nu_c
+    rho_nu_xy = _corner_avg_xy(so, nu_pad) * rho_c        # ρ is z-only
+    rho_nu_xz = _corner_avg_xz(so, nu_pad) * rho_f
+    rho_nu_yz = _corner_avg_yz(so, nu_pad) * rho_f
+
+    T11 = -2.0 * rho_nu_c * S11
+    T22 = -2.0 * rho_nu_c * S22
+    T33 = -2.0 * rho_nu_c * S33
+    T12 = -2.0 * rho_nu_xy * S12
+    T13 = -2.0 * rho_nu_xz * S13
+    T23 = -2.0 * rho_nu_yz * S23
+
+    # --- −∂ⱼ𝒯ᵢⱼ at each momentum location ---------------------------
+    T11p = fl.pad(T11, g, fl.CCC)
+    T22p = fl.pad(T22, g, fl.CCC)
+    T33p = fl.pad(T33, g, fl.CCC)
+    T12p = fl.pad(T12, g, (fl.C, fl.F, fl.F))
+    T13p = fl.pad(T13, g, (fl.F, fl.C, fl.F))
+    T23p = fl.pad(T23, g, (fl.F, fl.F, fl.C))
+
+    G_u = -(so.dx_cf(T11p) + so.dy_fc(T12p) + so.dz_fc(T13p))
+    G_v = -(so.dx_fc(T12p) + so.dy_cf(T22p) + so.dz_fc(T23p))
+    G_w = -(so.dx_fc(T13p) + so.dy_fc(T23p) + so.dz_cf(T33p))
+
+    # --- scalar diffusive flux divergences ---------------------------
+    kappa_pad = fl.pad(kappa_c, g, fl.CCC)
+
+    def scalar_diffusion(c):
+        c_pad = fl.pad(c, g, fl.CCC)
+        # J = -ρ κ ∇c at faces; G += −∇·J = ∇·(ρκ∇c)
+        kx = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dx=-1)) * rho_c
+        ky = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dy=-1)) * rho_c
+        kz = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dz=-1)) * rho_f
+        Fx = kx * so.dx_cf(c_pad)
+        Fy = ky * so.dy_cf(c_pad)
+        Fz = kz * so.dz_cf(c_pad)
+        # zero diffusive flux through walls
+        Fz = Fz.at[0].set(0.0) if g.z_topology.value == "bounded" else Fz
+        Fxp = fl.pad(Fx, g, fl.CCF)
+        Fyp = fl.pad(Fy, g, fl.CFC)
+        Fzp = fl.pad(Fz, g, fl.FCC)
+        return so.div_c(Fxp, Fyp, Fzp)
+
+    G_theta = scalar_diffusion(aux.theta)
+    G_qt = scalar_diffusion(aux.qt) if aux.qt is not None else None
+
+    return ClosureFluxes(G_u=G_u, G_v=G_v, G_w=G_w,
+                         G_theta=G_theta, G_qt=G_qt, nu_e=nu_c)

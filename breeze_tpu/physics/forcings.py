@@ -1,0 +1,147 @@
+"""Forcings: geostrophic pressure gradient, subsidence, sponge layers, custom.
+
+TPU-native equivalent of reference ``src/Forcings/`` (`GeostrophicForcing`
+``geostrophic_forcings.jl:11-138``, `SubsidenceForcing`
+``subsidence_forcing.jl:14-137``, upper sponges
+``time_discretizations.jl:387-507``).  Each forcing is a callable
+``(model, state, aux, G) -> G`` composed in ``compute_tendencies``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+from .. import fields as fl
+
+
+@dataclasses.dataclass(frozen=True)
+class GeostrophicForcing:
+    """Coriolis-consistent large-scale pressure gradient.
+
+    Adds −f × ρUᵍ so the configured Coriolis term balances the geostrophic
+    wind: Fᵤ = −ρ f vᵍ(z), Fᵥ = +ρ f uᵍ(z).  ``u_g``/``v_g`` are callables
+    of z or constants.
+    """
+
+    f: float
+    u_g: float | Callable = 0.0
+    v_g: float | Callable = 0.0
+
+    def __call__(self, model, state, aux, G):
+        g = model.grid
+        z = g.z_c_col
+        ug = self.u_g(z) if callable(self.u_g) else self.u_g
+        vg = self.v_g(z) if callable(self.v_g) else self.v_g
+        rho = model.reference.rho_col
+        G = G.replace(
+            rho_u=G.rho_u - rho * self.f * vg,
+            rho_v=G.rho_v + rho * self.f * ug,
+        )
+        return G
+
+
+@dataclasses.dataclass(frozen=True)
+class SubsidenceForcing:
+    """Large-scale subsidence: F_c = −ρ wˢ(z) ∂z⟨c⟩ for θ and qᵗ.
+
+    The horizontal mean is recomputed every stage (reference
+    ``subsidence_forcing.jl:14-137`` recomputes means in
+    ``compute_forcing!``); on TPU this is a cheap per-level reduction
+    (psum-mean over the mesh when sharded).
+    """
+
+    w_profile: Callable  # w_s(z) at cell centers, callable of z column
+
+    def __call__(self, model, state, aux, G):
+        g = model.grid
+        so = model.stencil_ops()
+        w_s = self.w_profile(g.z_c_col)
+        rho = model.reference.rho_col
+
+        def dz_mean(c):
+            mean = jnp.mean(c, axis=(1, 2), keepdims=True)
+            mp = fl.pad(mean * jnp.ones_like(c), g, fl.CCC)
+            ddz_f = so.dz_cf(mp)                # at z-faces 0..nz-1
+            # interp to centers (top face extrapolated)
+            return 0.5 * (ddz_f + jnp.concatenate([ddz_f[1:], ddz_f[-1:]], 0))
+
+        G = G.replace(rho_theta=G.rho_theta - rho * w_s * dz_mean(aux.theta))
+        if G.rho_qt is not None:
+            G = G.replace(rho_qt=G.rho_qt - rho * w_s * dz_mean(aux.qt))
+        return G
+
+
+@dataclasses.dataclass(frozen=True)
+class DrySubsidenceTendency:
+    """Prescribed large-scale drying: F_qt(z) added to ρqᵗ (e.g. BOMEX)."""
+
+    tendency_profile: Callable  # dqt/dt(z)
+
+    def __call__(self, model, state, aux, G):
+        if G.rho_qt is None:
+            return G
+        g = model.grid
+        rho = model.reference.rho_col
+        return G.replace(rho_qt=G.rho_qt + rho * self.tendency_profile(g.z_c_col))
+
+
+@dataclasses.dataclass(frozen=True)
+class UpperSponge:
+    """Rayleigh damping toward the reference/horizontal-mean state aloft.
+
+    TPU analogue of the reference's `UpperSponge` with smooth ramps
+    (``time_discretizations.jl:387-507``): damping rate
+    σ(z) = rate · sin²(π/2 · (z − z₀)/(L)) for z > z₀.
+    Momentum damps to zero w and to the horizontal-mean u, v; θ damps to its
+    horizontal mean.
+    """
+
+    rate: float
+    bottom: float               # sponge start height z₀
+    damp_scalars: bool = False
+
+    def _sigma(self, model):
+        g = model.grid
+        z = g.z_c_col
+        zf = g.z_f_col
+        L = max(g.Lz - self.bottom, 1e-30)
+        ramp_c = jnp.sin(0.5 * jnp.pi * jnp.clip((z - self.bottom) / L, 0, 1)) ** 2
+        ramp_f = jnp.sin(0.5 * jnp.pi * jnp.clip((zf - self.bottom) / L, 0, 1)) ** 2
+        return self.rate * ramp_c, self.rate * ramp_f
+
+    def __call__(self, model, state, aux, G):
+        sig_c, sig_f = self._sigma(model)
+        mean_u = jnp.mean(state.rho_u, axis=(1, 2), keepdims=True)
+        mean_v = jnp.mean(state.rho_v, axis=(1, 2), keepdims=True)
+        G = G.replace(
+            rho_u=G.rho_u - sig_c * (state.rho_u - mean_u),
+            rho_v=G.rho_v - sig_c * (state.rho_v - mean_v),
+            rho_w=G.rho_w - sig_f * state.rho_w,
+        )
+        if self.damp_scalars:
+            mean_t = jnp.mean(state.rho_theta, axis=(1, 2), keepdims=True)
+            G = G.replace(rho_theta=G.rho_theta - sig_c * (state.rho_theta - mean_t))
+        return G
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecificForcing:
+    """Wrap a per-mass forcing f(x, y, z, t) into a density forcing on a field.
+
+    TPU analogue of reference `SpecificForcing` (``specific_forcing.jl:12-80``).
+    ``field`` ∈ {"rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt"}.
+    """
+
+    field: str
+    func: Callable  # (x, y, z, t) -> per-mass tendency
+
+    def __call__(self, model, state, aux, G):
+        g = model.grid
+        x, y, z = g.xyz_c()
+        rho = (model.reference.rho_f_col if self.field == "rho_w"
+               else model.reference.rho_col)
+        incr = rho * self.func(x, y, z, state.time)
+        return G.replace(**{self.field: getattr(G, self.field) + incr})

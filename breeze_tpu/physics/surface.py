@@ -1,0 +1,122 @@
+"""Surface boundary fluxes: prescribed fluxes and bulk formulae.
+
+TPU-native equivalent of reference ``src/BoundaryConditions/`` (BulkDrag
+``bulk_drag.jl:5-181``, bulk sensible-heat/vapor fluxes
+``bulk_scalar_fluxes.jl:8-302``) and of the flux-BC tendency pathway
+(``compute_flux_bc_tendencies!``, ``update_atmosphere_model_state.jl:418-434``):
+a surface flux F through the bottom wall becomes a tendency ``+F/Δz`` on the
+wall-adjacent cell (sign: downward-positive input flux increases the cell).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PrescribedSurfaceFluxes:
+    """Constant (or callable(time)) kinematic surface fluxes.
+
+    - ``theta_flux``: w'θ' [K m/s]  (e.g. BOMEX: 8e-3)
+    - ``qt_flux``:   w'qᵗ' [m/s]    (e.g. BOMEX: 5.2e-5)
+    - ``momentum_drag_coefficient``: bulk Cd for u,v drag (None = free slip)
+    - ``friction_velocity``: if set, drag uses u*² scaling instead of Cd|U|
+    """
+
+    theta_flux: float | Callable = 0.0
+    qt_flux: float | Callable = 0.0
+    momentum_drag_coefficient: float | None = None
+    friction_velocity: float | None = None
+    gustiness: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class BulkSurfaceFluxes:
+    """Bulk aerodynamic fluxes against prescribed surface values.
+
+    F_θ = -Cθ |U| (θ₁ − θ_s),  F_q = -Cq |U| (q₁ − q_s(T_s)),
+    τ = -Cd |U| u₁  (reference ``bulk_scalar_fluxes.jl``, COARE-style
+    constant coefficients; stability-dependent coefficients are a planned
+    extension of ``polynomial_bulk_coefficient.jl``).
+    """
+
+    surface_temperature: float = 300.0
+    surface_theta: float | None = None
+    surface_qt: float | None = None      # None -> saturated at Ts
+    drag_coefficient: float = 1.2e-3
+    heat_transfer_coefficient: float = 1.2e-3
+    vapor_transfer_coefficient: float = 1.2e-3
+    gustiness: float = 0.1
+
+
+def _value(v, t):
+    return v(t) if callable(v) else v
+
+
+def apply_boundary_flux_tendencies(model, state, aux, G):
+    """Add surface-flux tendencies to the bottom-cell rows of G."""
+    bf = model.boundary_fluxes
+    g = model.grid
+    ref = model.reference
+    dz0 = g.dz_c[0]
+    rho0 = ref.rho_c[0]
+
+    u1 = aux.u[0]
+    v1 = aux.v[0]
+    speed = jnp.sqrt(u1 * u1 + v1 * v1 + getattr(bf, "gustiness", 0.1) ** 2)
+
+    if isinstance(bf, PrescribedSurfaceFluxes):
+        th_flux = _value(bf.theta_flux, state.time)
+        qt_flux = _value(bf.qt_flux, state.time)
+        G = G.replace(rho_theta=G.rho_theta.at[0].add(rho0 * th_flux / dz0))
+        if G.rho_qt is not None and qt_flux:
+            G = G.replace(rho_qt=G.rho_qt.at[0].add(rho0 * qt_flux / dz0))
+        if bf.friction_velocity is not None:
+            ustar2 = bf.friction_velocity ** 2
+            G = G.replace(
+                rho_u=G.rho_u.at[0].add(-rho0 * ustar2 * u1 / speed / dz0),
+                rho_v=G.rho_v.at[0].add(-rho0 * ustar2 * v1 / speed / dz0))
+        elif bf.momentum_drag_coefficient is not None:
+            cd = bf.momentum_drag_coefficient
+            G = G.replace(
+                rho_u=G.rho_u.at[0].add(-rho0 * cd * speed * u1 / dz0),
+                rho_v=G.rho_v.at[0].add(-rho0 * cd * speed * v1 / dz0))
+        return G
+
+    if isinstance(bf, BulkSurfaceFluxes):
+        from ..thermo.saturation import saturation_specific_humidity
+        from ..thermo.states import theta_li_from_temperature
+        from ..thermo.constants import MoistureMassFractions
+
+        c = model.constants
+        theta1 = aux.theta[0]
+        theta_s = bf.surface_theta
+        if theta_s is None:
+            q0 = MoistureMassFractions(0.0, 0.0, 0.0)
+            theta_s = theta_li_from_temperature(
+                jnp.asarray(bf.surface_temperature, g.dtype), q0,
+                ref.surface_pressure, c, model.p_standard)
+
+        th_flux = -bf.heat_transfer_coefficient * speed * (theta1 - theta_s)
+        G = G.replace(rho_theta=G.rho_theta.at[0].add(rho0 * th_flux / dz0))
+
+        if G.rho_qt is not None:
+            qt1 = aux.qt[0]
+            q_s = bf.surface_qt
+            if q_s is None:
+                rho_surf = ref.surface_pressure / (c.Rd * bf.surface_temperature)
+                q_s = saturation_specific_humidity(
+                    jnp.asarray(bf.surface_temperature, g.dtype), rho_surf, c)
+            q_flux = -bf.vapor_transfer_coefficient * speed * (qt1 - q_s)
+            G = G.replace(rho_qt=G.rho_qt.at[0].add(rho0 * q_flux / dz0))
+
+        cd = bf.drag_coefficient
+        G = G.replace(
+            rho_u=G.rho_u.at[0].add(-rho0 * cd * speed * u1 / dz0),
+            rho_v=G.rho_v.at[0].add(-rho0 * cd * speed * v1 / dz0))
+        return G
+
+    raise TypeError(f"unknown boundary flux config {bf!r}")

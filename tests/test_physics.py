@@ -1,0 +1,170 @@
+"""Closures, surface fluxes, forcings — and a miniature BOMEX run.
+
+Mirrors reference ``test/turbulence_closures.jl``, ``test/vertical_diffusion.jl``,
+``test/forcing_and_boundary_conditions.jl``, ``test/geostrophic_subsidence_forcings.jl``.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import breeze_tpu as bz
+from breeze_tpu.model import compute_tendencies, diagnose, initial_state, make_model
+from breeze_tpu.physics.closures import ConstantDiffusivity, SmagorinskyLilly
+from breeze_tpu.physics.forcings import (GeostrophicForcing, SubsidenceForcing,
+                                         UpperSponge)
+from breeze_tpu.physics.surface import BulkSurfaceFluxes, PrescribedSurfaceFluxes
+from breeze_tpu.timesteppers import ssp_rk3_step
+
+
+def les_grid(n=16, nz=16, dtype=jnp.float64):
+    return bz.make_grid(size=(n, n, nz), extent=(3200.0, 3200.0, 1600.0),
+                        topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                        dtype=dtype)
+
+
+class TestClosures:
+    def test_constant_diffusivity_decays_shear(self):
+        g = les_grid()
+        model = make_model(g, potential_temperature=300.0,
+                          closure=ConstantDiffusivity(viscosity=10.0, diffusivity=10.0))
+        x, y, z = g.xyz_c()
+        state = initial_state(model, u=lambda x, y, z: 2.0 * jnp.sin(
+            2 * jnp.pi * x / 3200.0))
+        ke0 = float(jnp.sum(state.rho_u ** 2))
+        for _ in range(5):
+            state = ssp_rk3_step(model, state, 2.0)
+        ke1 = float(jnp.sum(state.rho_u ** 2))
+        assert ke1 < ke0, "viscosity must dissipate shear kinetic energy"
+
+    def test_smagorinsky_viscosity_positive_in_shear(self):
+        from breeze_tpu.physics.closures import closure_tendencies
+        from breeze_tpu import fields as fl
+        g = les_grid()
+        model = make_model(g, potential_temperature=300.0,
+                          closure=SmagorinskyLilly())
+        state = initial_state(model, u=lambda x, y, z: 0.01 * z)
+        aux = diagnose(model, state)
+        so = model.stencil_ops()
+        cf = closure_tendencies(model, so, aux,
+                                fl.pad(aux.u, g, fl.CCF),
+                                fl.pad(aux.v, g, fl.CFC),
+                                fl.pad(aux.w, g, fl.FCC))
+        assert float(cf.nu_e.max()) > 0
+
+    def test_smagorinsky_zero_at_rest(self):
+        g = les_grid()
+        model = make_model(g, potential_temperature=300.0, closure=SmagorinskyLilly())
+        state = initial_state(model)
+        G = compute_tendencies(model, state)
+        np.testing.assert_allclose(np.asarray(G.rho_u), 0.0, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(G.rho_theta), 0.0, atol=1e-10)
+
+
+class TestSurfaceFluxes:
+    def test_prescribed_theta_flux_heats_bottom(self):
+        g = les_grid()
+        model = make_model(g, potential_temperature=300.0,
+                          boundary_fluxes=PrescribedSurfaceFluxes(theta_flux=0.1))
+        state = initial_state(model)
+        G = compute_tendencies(model, state)
+        assert float(G.rho_theta[0].min()) > 0
+        np.testing.assert_allclose(np.asarray(G.rho_theta[1:]), 0.0, atol=1e-12)
+
+    def test_drag_opposes_flow(self):
+        g = les_grid()
+        model = make_model(
+            g, potential_temperature=300.0,
+            boundary_fluxes=PrescribedSurfaceFluxes(momentum_drag_coefficient=1e-3))
+        state = initial_state(model, u=5.0 * jnp.ones(g.shape))
+        G = compute_tendencies(model, state)
+        assert float(G.rho_u[0].max()) < 0, "drag must decelerate the bottom cell"
+
+    def test_bulk_fluxes_warm_surface(self):
+        g = les_grid()
+        model = make_model(
+            g, potential_temperature=300.0,
+            microphysics=bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium()),
+            boundary_fluxes=BulkSurfaceFluxes(surface_temperature=302.0))
+        state = initial_state(model, u=2.0 * jnp.ones(g.shape),
+                              qt=jnp.full(g.shape, 0.005))
+        G = compute_tendencies(model, state)
+        assert float(G.rho_theta[0].mean()) > 0, "warm surface heats the air"
+        assert float(G.rho_qt[0].mean()) > 0, "saturated surface moistens the air"
+
+
+class TestForcings:
+    def test_geostrophic_balance_is_steady(self):
+        """u = uᵍ with FPlane + GeostrophicForcing has zero net tendency."""
+        g = les_grid()
+        f = 1e-4
+        ug = 5.0
+        model = make_model(g, potential_temperature=300.0,
+                          coriolis=bz.FPlane(f=f),
+                          forcings=(GeostrophicForcing(f=f, u_g=ug),))
+        state = initial_state(model, u=ug * jnp.ones(g.shape))
+        G = compute_tendencies(model, state)
+        np.testing.assert_allclose(np.asarray(G.rho_u), 0.0, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(G.rho_v), 0.0, atol=1e-10)
+
+    def test_subsidence_warms_with_stable_gradient(self):
+        g = les_grid()
+        model = make_model(
+            g, potential_temperature=300.0,
+            forcings=(SubsidenceForcing(w_profile=lambda z: -0.005 * jnp.ones_like(z)),))
+        # stable stratification: θ increases upward
+        state = initial_state(model, theta=lambda x, y, z: 300.0 + 0.003 * z)
+        G = compute_tendencies(model, state)
+        # −ρ wˢ ∂zθ with wˢ<0 and ∂zθ>0 → positive tendency
+        assert float(G.rho_theta[2:-2].mean()) > 0
+
+    def test_sponge_damps_w(self):
+        g = les_grid()
+        model = make_model(g, potential_temperature=300.0,
+                          forcings=(UpperSponge(rate=0.1, bottom=800.0),))
+        w = jnp.ones(g.shape)
+        state = initial_state(model, w=w)
+        G = compute_tendencies(model, state)
+        # at the top, damping dominates: G_rho_w < 0 where rho_w > 0
+        assert float(G.rho_w[-1].mean()) < 0
+
+
+class TestMiniBomex:
+    def test_bomex_like_les_runs_stably(self):
+        """All BOMEX ingredients together (closure + surface + forcings +
+        moisture), 10 steps, finite and cloud-free-to-cloudy sane."""
+        g = les_grid(n=16, nz=20)
+        f = 3.76e-5
+        model = make_model(
+            g, advection=bz.WENO(5), potential_temperature=299.1,
+            microphysics=bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium()),
+            closure=SmagorinskyLilly(),
+            coriolis=bz.FPlane(f=f),
+            boundary_fluxes=PrescribedSurfaceFluxes(
+                theta_flux=8e-3, qt_flux=5.2e-5, friction_velocity=0.28),
+            forcings=(
+                GeostrophicForcing(f=f, u_g=lambda z: -10.0 + 1.8e-3 * z),
+                SubsidenceForcing(w_profile=lambda z: -0.0065 * jnp.clip(z / 1500.0, 0, 1)),
+                UpperSponge(rate=0.05, bottom=1200.0),
+            ))
+
+        import jax
+
+        noise = 0.1 * jax.random.normal(jax.random.key(0), g.shape)
+
+        def theta0(x, y, z):
+            base = jnp.where(z < 520.0, 298.7, 298.7 + (z - 520.0) * 3.85e-3)
+            return base + noise * jnp.exp(-z / 500.0)
+
+        def qt0(x, y, z):
+            return jnp.where(z < 520.0, 0.017, 0.0163 - (z - 520.0) * 6e-6)
+
+        state = initial_state(model, theta=theta0, qt=qt0,
+                              u=lambda x, y, z: -8.75 * jnp.ones_like(x * y * z))
+        for _ in range(10):
+            state = ssp_rk3_step(model, state, 5.0)
+        assert bool(jnp.all(jnp.isfinite(state.rho_theta)))
+        assert bool(jnp.all(jnp.isfinite(state.rho_qt)))
+        assert bool(jnp.all(jnp.isfinite(state.rho_u)))
+        aux = diagnose(model, state)
+        # surface heating generates convective motion
+        assert float(jnp.abs(aux.w).max()) > 1e-6
