@@ -187,6 +187,157 @@ def make_reference_state(
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["p_c", "rho_c", "T_c", "theta_c", "exner_c", "rho_f", "qv_c"],
+    meta_fields=["surface_pressure", "surface_potential_temperature", "standard_pressure"],
+)
+@dataclasses.dataclass(frozen=True)
+class ExnerReferenceState:
+    """Discretely-balanced reference state for split-explicit compressible
+    dynamics.
+
+    TPU-native equivalent of the reference's ``ExnerReferenceState``
+    (``reference_states.jl:480-886``): built so the *discrete* face operator
+
+        (p[k] − p[k−1]) / Δzᶠ[k] + g (ρ[k] + ρ[k−1]) / 2  =  0
+
+    holds at every interior z-face to machine precision — the reference's
+    key ingredient for rest-state stability of the acoustic substepper
+    (docs compressible_dynamics.md "Reference state" section).
+    """
+
+    surface_pressure: float
+    surface_potential_temperature: float
+    standard_pressure: float
+    p_c: jax.Array
+    rho_c: jax.Array
+    T_c: jax.Array
+    theta_c: jax.Array
+    exner_c: jax.Array
+    rho_f: jax.Array
+    qv_c: jax.Array
+
+    @property
+    def p_col(self):
+        return self.p_c[:, None, None]
+
+    @property
+    def rho_col(self):
+        return self.rho_c[:, None, None]
+
+    @property
+    def theta_col(self):
+        return self.theta_c[:, None, None]
+
+    @property
+    def rho_f_col(self):
+        return self.rho_f[:-1, None, None]
+
+
+def make_exner_reference_state(
+    grid: Grid,
+    constants: ThermodynamicConstants,
+    surface_pressure: float = 101325.0,
+    potential_temperature: float | Callable[[float], float] = 300.0,
+    vapor_mass_fraction: float | Callable[[float], float] | None = None,
+    standard_pressure: float = 1.0e5,
+    newton_iterations: int = 30,
+) -> ExnerReferenceState:
+    """Per-column Newton hydrostatic integration in discrete balance.
+
+    Mirrors reference ``newton_hydrostatic_pressure`` /
+    ``integrate_exner_column!`` (``reference_states.jl:588-700``): at each
+    level solve the residual
+
+        F(p) = (p − p[k−1])/Δzᶠ[k] + g (ρ(p) + ρ[k−1]) / 2,
+        ρ(p) = p^{1−κ} (pˢᵗ)^κ / (Rᵐ θ̄ₖ)
+
+    which is monotone in p; the first center is anchored by the continuous
+    Exner recurrence over the half-step below it.
+    """
+    p0 = float(surface_pressure)
+    p_st = float(standard_pressure)
+    g = constants.gravitational_acceleration
+    Rd, Rv = constants.Rd, constants.Rv
+    cpd = constants.dry_air.heat_capacity
+    cpv = constants.vapor.heat_capacity
+
+    z_c = np.asarray(grid.z_c, np.float64)
+    dz_f = np.asarray(grid.dz_f, np.float64)
+    nz = grid.nz
+
+    def theta_at(z):
+        return (potential_temperature(z) if callable(potential_temperature)
+                else float(potential_temperature))
+
+    def qv_at(z):
+        if vapor_mass_fraction is None:
+            return 0.0
+        return (vapor_mass_fraction(z) if callable(vapor_mass_fraction)
+                else float(vapor_mass_fraction))
+
+    theta_c = np.asarray([theta_at(z) for z in z_c])
+    qv_c = np.asarray([qv_at(z) for z in z_c])
+    Rm_c = (1.0 - qv_c) * Rd + qv_c * Rv
+    cpm_c = (1.0 - qv_c) * cpd + qv_c * cpv
+    kappa_c = Rm_c / cpm_c
+
+    p_c = np.empty(nz, np.float64)
+    rho_c = np.empty(nz, np.float64)
+
+    # Anchor: continuous Exner recurrence over the half-step below center 0.
+    kap0 = kappa_c[0]
+    Pi_surf = (p0 / p_st) ** kap0
+    Pi_0 = Pi_surf - g * (z_c[0] - float(grid.z0)) / (cpm_c[0] * theta_c[0])
+    p_c[0] = p_st * Pi_0 ** (1.0 / kap0)
+    rho_c[0] = p_c[0] ** (1.0 - kap0) * p_st ** kap0 / (Rm_c[0] * theta_c[0])
+
+    for k in range(1, nz):
+        kap = kappa_c[k]
+        Rm_th = Rm_c[k] * theta_c[k]
+
+        def rho_of(p):
+            return p ** (1.0 - kap) * p_st ** kap / Rm_th
+
+        # Continuous-Π initial guess
+        Pi_prev = (p_c[k - 1] / p_st) ** kap
+        Pi_guess = Pi_prev - g * dz_f[k] / (cpm_c[k] * theta_c[k])
+        p = p_st * max(Pi_guess, 1e-10) ** (1.0 / kap)
+        for _ in range(newton_iterations):
+            F = (p - p_c[k - 1]) / dz_f[k] + g * 0.5 * (rho_of(p) + rho_c[k - 1])
+            dF = 1.0 / dz_f[k] + g * 0.5 * (1.0 - kap) * rho_of(p) / p
+            p_new = p - F / dF
+            if abs(p_new - p) < 1e-13 * p:
+                p = p_new
+                break
+            p = p_new
+        p_c[k] = p
+        rho_c[k] = rho_of(p)
+
+    exner_c = (p_c / p_st) ** kappa_c
+    T_c = theta_c * exner_c
+
+    rho_f = np.empty(nz + 1, np.float64)
+    rho_f[1:nz] = 0.5 * (rho_c[1:] + rho_c[:-1])
+    rho_f[0] = rho_c[0]
+    rho_f[nz] = rho_c[-1]
+
+    dt = grid.dtype
+    return ExnerReferenceState(
+        surface_pressure=p0,
+        surface_potential_temperature=float(theta_c[0]),
+        standard_pressure=p_st,
+        p_c=jnp.asarray(p_c, dt),
+        rho_c=jnp.asarray(rho_c, dt),
+        T_c=jnp.asarray(T_c, dt),
+        theta_c=jnp.asarray(theta_c, dt),
+        exner_c=jnp.asarray(exner_c, dt),
+        rho_f=jnp.asarray(rho_f, dt),
+        qv_c=jnp.asarray(qv_c, dt),
+    )
+
+
 def with_moisture_profiles(ref: ReferenceState, qv=None, ql=None, qi=None) -> ReferenceState:
     """Return a copy of ``ref`` with moisture profiles replaced."""
     return dataclasses.replace(

@@ -1,0 +1,225 @@
+"""Compressible split-explicit dynamics tests.
+
+Mirrors the reference's rest-state contracts
+(``test/substepper_rest_state.jl``: T1 discrete balance, T3 zero tendency
+at rest, T4 max|w| at machine zero over many steps) plus acoustic-wave and
+mass-conservation integration tests (``test/acoustic_substepping.jl``).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import breeze_tpu as bz
+from breeze_tpu.dynamics.compressible import (
+    SplitExplicitTimeDiscretization,
+    acoustic_rk3_step,
+    compressible_diagnose,
+    compressible_initial_state,
+    eos_pressure,
+    explicit_rk3_step,
+    make_compressible_model,
+    sound_speed,
+    substep_count,
+)
+from breeze_tpu.thermo.constants import ThermodynamicConstants
+from breeze_tpu.thermo.reference import make_exner_reference_state
+
+
+def comp_grid(nx=32, nz=24, lx=20_000.0, lz=10_000.0, dtype=jnp.float64):
+    return bz.make_grid(size=(nx, 1, nz), extent=(lx, 1.0, lz),
+                        topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                        halo=3, dtype=dtype)
+
+
+CONST = ThermodynamicConstants()
+
+
+class TestExnerReference:
+    def test_discrete_balance_machine_precision(self):
+        """T1: (p[k]−p[k−1])/Δzf + g(ρ[k]+ρ[k−1])/2 = 0 at every face."""
+        g = comp_grid(nz=64)
+        ref = make_exner_reference_state(g, CONST, potential_temperature=300.0)
+        p = np.asarray(ref.p_c, np.float64)
+        rho = np.asarray(ref.rho_c, np.float64)
+        dz_f = np.asarray(g.dz_f, np.float64)
+        res = (p[1:] - p[:-1]) / dz_f[1:-1] + 9.81 * 0.5 * (rho[1:] + rho[:-1])
+        # machine precision relative to the O(10) N/m^3 hydrostatic terms
+        np.testing.assert_allclose(res, 0.0, atol=1e-9)
+
+    def test_stratified_profile(self):
+        g = comp_grid(nz=48)
+        ref = make_exner_reference_state(
+            g, CONST, potential_temperature=lambda z: 300.0 * np.exp(1e-5 * z))
+        p = np.asarray(ref.p_c, np.float64)
+        rho = np.asarray(ref.rho_c, np.float64)
+        dz_f = np.asarray(g.dz_f, np.float64)
+        res = (p[1:] - p[:-1]) / dz_f[1:-1] + 9.81 * 0.5 * (rho[1:] + rho[:-1])
+        np.testing.assert_allclose(res, 0.0, atol=1e-9)
+
+    def test_eos_consistency(self):
+        """EOS closed form inverts ρθ → p consistently with p = ρRT, T = θΠ."""
+        g = comp_grid()
+        model = make_compressible_model(g)
+        ref = model.reference
+        p = eos_pressure(model, ref.rho_c * ref.theta_c)
+        np.testing.assert_allclose(np.asarray(p), np.asarray(ref.p_c), rtol=1e-12)
+
+
+class TestRestState:
+    def test_rest_atmosphere_stays_at_rest(self):
+        """T4: rest atmosphere over many outer steps keeps |w| at machine zero."""
+        g = comp_grid(nx=16, nz=32)
+        model = make_compressible_model(
+            g, reference_potential_temperature=300.0,
+            time_discretization=SplitExplicitTimeDiscretization(substeps=6))
+        state = compressible_initial_state(model)
+
+        for _ in range(20):
+            state = acoustic_rk3_step(model, state, 10.0)
+        aux = compressible_diagnose(model, state)
+        assert float(jnp.abs(aux.w).max()) < 1e-10
+        assert float(jnp.abs(aux.u).max()) < 1e-10
+        # density unchanged
+        ref_rho = np.broadcast_to(np.asarray(model.reference.rho_col), g.shape)
+        np.testing.assert_allclose(np.asarray(state.rho), ref_rho, rtol=1e-12)
+
+    def test_stratified_rest_state(self):
+        g = comp_grid(nx=16, nz=32)
+        theta_fn = lambda z: 300.0 + 0.004 * z
+        model = make_compressible_model(
+            g, reference_potential_temperature=theta_fn,
+            time_discretization=SplitExplicitTimeDiscretization(substeps=6))
+        state = compressible_initial_state(model)
+        for _ in range(10):
+            state = acoustic_rk3_step(model, state, 10.0)
+        aux = compressible_diagnose(model, state)
+        assert float(jnp.abs(aux.w).max()) < 1e-9
+
+
+class TestConservation:
+    def test_mass_conserved(self):
+        g = comp_grid(nx=32, nz=24)
+        model = make_compressible_model(
+            g, advection=bz.WENO(5),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=6))
+
+        def theta0(x, y, z):
+            r = jnp.sqrt((x - 10_000.0) ** 2 + (z - 2_000.0) ** 2)
+            return 300.0 + 2.0 * jnp.maximum(0.0, 1.0 - r / 2_000.0)
+
+        state = compressible_initial_state(model, theta=theta0)
+        dzc = np.asarray(g.dz_c)[:, None, None]
+        m0 = float(jnp.sum(state.rho * dzc))
+        e0 = float(jnp.sum(state.rho_theta * dzc))
+        for _ in range(10):
+            state = acoustic_rk3_step(model, state, 2.0)
+        m1 = float(jnp.sum(state.rho * dzc))
+        e1 = float(jnp.sum(state.rho_theta * dzc))
+        np.testing.assert_allclose(m1, m0, rtol=1e-12)
+        np.testing.assert_allclose(e1, e0, rtol=1e-12)
+
+
+class TestAcousticWave:
+    def test_acoustic_pulse_propagates_at_sound_speed(self):
+        """A pressure pulse spreads at ≈ c_s (BASELINE config 'acoustic_wave')."""
+        g = comp_grid(nx=128, nz=16, lx=64_000.0, lz=8_000.0)
+        model = make_compressible_model(
+            g, advection=bz.Centered(2),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=12,
+                                                                damping_coefficient=0.05))
+        # ρθ (pressure) pulse at domain center: NOT pressure-balanced
+        ref = model.reference
+
+        def theta0(x, y, z):
+            return (1.0 + 1e-3 * jnp.exp(-(x - 32_000.0) ** 2 / 2000.0 ** 2)) * 300.0
+
+        state = compressible_initial_state(model, theta=theta0,
+                                           pressure_balanced=False)
+        p0 = np.asarray(compressible_diagnose(model, state).p)
+
+        cs = sound_speed(model)
+        T = 40.0
+        n_steps = 8
+        for _ in range(n_steps):
+            state = acoustic_rk3_step(model, state, T / n_steps)
+        p1 = np.asarray(compressible_diagnose(model, state).p)
+
+        dp = (p1 - p0)[g.nz // 2, 0, :]
+        x = np.asarray(g.x_c())
+        # wavefront: the perturbation extremum near x = 32km ± cs*T
+        expected = cs * T
+        # locate the outgoing positive pulses
+        half = dp[x > 32_000.0]
+        xh = x[x > 32_000.0]
+        front = xh[np.argmax(half)] - 32_000.0
+        assert abs(front - expected) < 4 * g.dx, (
+            f"front at {front:.0f} m, expected {expected:.0f} m")
+
+    def test_explicit_matches_split_explicit(self):
+        """Explicit path (tiny Δt) and split-explicit agree on a short run."""
+        g = comp_grid(nx=48, nz=12, lx=24_000.0, lz=6_000.0)
+
+        def theta0(x, y, z):
+            return 300.0 * (1.0 + 5e-4 * jnp.exp(-(x - 12_000.0) ** 2 / 1500.0 ** 2))
+
+        model_se = make_compressible_model(
+            g, advection=bz.Centered(2),
+            time_discretization=SplitExplicitTimeDiscretization(
+                substeps=8, damping_coefficient=0.0, forward_weight=0.5))
+        state_se = compressible_initial_state(model_se, theta=theta0,
+                                              pressure_balanced=False)
+        state_ex = compressible_initial_state(model_se, theta=theta0,
+                                              pressure_balanced=False)
+
+        T_total = 4.0
+        state_se = acoustic_rk3_step(model_se, state_se, T_total, substeps=32)
+        dt_ex = 0.125  # well below the acoustic CFL (cs*dt/dx ≈ 0.09)
+        for _ in range(int(T_total / dt_ex)):
+            state_ex = explicit_rk3_step(model_se, state_ex, dt_ex)
+
+        p_se = np.asarray(compressible_diagnose(model_se, state_se).p)
+        p_ex = np.asarray(compressible_diagnose(model_se, state_ex).p)
+        p0 = np.asarray(eos_pressure(model_se, model_se.reference.rho_c
+                                     * model_se.reference.theta_c))[:, None, None]
+        # compare perturbation fields
+        scale = np.abs(p_ex - p0).max()
+        assert scale > 0
+        np.testing.assert_allclose((p_se - p0) / scale, (p_ex - p0) / scale,
+                                   atol=0.15)
+
+
+class TestGravityWave:
+    def test_inertia_gravity_wave_stable(self):
+        """Stratified channel with θ perturbation: stable long integration
+        (BASELINE config 'inertia_gravity_wave' capability)."""
+        g = comp_grid(nx=60, nz=20, lx=300_000.0, lz=10_000.0)
+        N_bv = 0.01  # Brunt-Väisälä
+        g_acc = CONST.gravitational_acceleration
+        theta_fn = lambda z: 300.0 * np.exp(N_bv ** 2 / g_acc * z)
+        model = make_compressible_model(
+            g, advection=bz.Centered(2), reference_potential_temperature=theta_fn,
+            time_discretization=SplitExplicitTimeDiscretization(substeps=8))
+
+        def theta0(x, y, z):
+            base = 300.0 * jnp.exp(N_bv ** 2 / g_acc * z)
+            pert = 0.01 * jnp.sin(jnp.pi * z / 10_000.0) / (
+                1.0 + (x - 100_000.0) ** 2 / 5_000.0 ** 2)
+            return base + pert
+
+        state = compressible_initial_state(model, theta=theta0)
+        for _ in range(30):
+            state = acoustic_rk3_step(model, state, 12.0)
+        aux = compressible_diagnose(model, state)
+        assert bool(jnp.all(jnp.isfinite(aux.w)))
+        # perturbation energy stays bounded (no blow-up)
+        assert float(jnp.abs(aux.w).max()) < 1.0
+
+
+class TestSubstepCount:
+    def test_adaptive_substep_formula(self):
+        g = comp_grid()
+        model = make_compressible_model(g)
+        n = substep_count(model, 2.0)
+        cs = sound_speed(model)
+        assert n == int(np.ceil(2.0 * cs / (0.5 * g.dx)))
