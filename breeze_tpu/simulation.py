@@ -1,0 +1,379 @@
+"""Simulation driver: run loop, schedules, callbacks, CFL wizard, checkpointing.
+
+TPU-native equivalent of the reference's Oceananigans driver surface
+(``Simulation``/``run!``/``Callback``/``conjure_time_step_wizard!``,
+re-exported at reference ``src/Breeze.jl:221-224``; NaN checker
+``atmosphere_model.jl:560-571``).  Host-side control loop around the jitted
+step function: the device executes compiled chunks of steps; schedules,
+output, and Δt adaptation run between chunks (device→host syncs only at
+schedule boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import pickle
+import time as _time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import Topology
+
+
+# ---------------------------------------------------------------------------
+# Schedules (reference: TimeInterval, IterationInterval, WallTimeInterval,
+# SpecifiedTimes)
+# ---------------------------------------------------------------------------
+
+class TimeInterval:
+    def __init__(self, interval: float):
+        self.interval = float(interval)
+        self._next = 0.0
+
+    def __call__(self, sim) -> bool:
+        if sim.time + 1e-12 >= self._next:
+            self._next = (np.floor(sim.time / self.interval) + 1) * self.interval
+            return True
+        return False
+
+
+class IterationInterval:
+    def __init__(self, interval: int):
+        self.interval = int(interval)
+
+    def __call__(self, sim) -> bool:
+        return sim.iteration % self.interval == 0
+
+
+class WallTimeInterval:
+    def __init__(self, interval: float):
+        self.interval = float(interval)
+        self._last = _time.monotonic()
+
+    def __call__(self, sim) -> bool:
+        now = _time.monotonic()
+        if now - self._last >= self.interval:
+            self._last = now
+            return True
+        return False
+
+
+class SpecifiedTimes:
+    def __init__(self, *times: float):
+        self.times = sorted(float(t) for t in times)
+        self._idx = 0
+
+    def __call__(self, sim) -> bool:
+        if self._idx < len(self.times) and sim.time + 1e-12 >= self.times[self._idx]:
+            self._idx += 1
+            return True
+        return False
+
+
+@dataclasses.dataclass
+class Callback:
+    func: Callable
+    schedule: Any
+
+
+# ---------------------------------------------------------------------------
+# CFL wizard (reference conjure_time_step_wizard! + CellAdvectionTimescale)
+# ---------------------------------------------------------------------------
+
+def cell_advection_timescale(model, state) -> float:
+    """min over cells of (Δx/|u| , Δy/|v| , Δz/|w|) (reference
+    ``cell_advection_timescale.jl:36``)."""
+    aux = model_diagnose(model, state)
+    g = model.grid
+    terms = [jnp.abs(aux.u) / g.dx]
+    if g.y_topology != Topology.FLAT:
+        terms.append(jnp.abs(aux.v) / g.dy)
+    terms.append(jnp.abs(aux.w) / g.dz_f_col)
+    inv_t = sum(jnp.max(t) for t in terms)
+    return float(1.0 / jnp.maximum(inv_t, 1e-12))
+
+
+@dataclasses.dataclass
+class TimeStepWizard:
+    """Adaptive Δt targeting a CFL number (reference
+    ``conjure_time_step_wizard!``)."""
+
+    cfl: float = 0.7
+    max_change: float = 1.1
+    min_change: float = 0.5
+    max_dt: float = float("inf")
+    min_dt: float = 1e-6
+
+    def __call__(self, sim):
+        tau = cell_advection_timescale(sim.model, sim.state)
+        new_dt = self.cfl * tau
+        new_dt = min(new_dt, self.max_change * sim.dt)
+        new_dt = max(new_dt, self.min_change * sim.dt)
+        new_dt = float(np.clip(new_dt, self.min_dt, self.max_dt))
+        if getattr(sim, "_dt_static", False):
+            # quantize to 2 significant figures so the static-dt compile
+            # cache stays small for compressible runs
+            exp = np.floor(np.log10(max(new_dt, 1e-12)))
+            new_dt = float(np.round(new_dt / 10 ** exp, 1) * 10 ** exp)
+        sim.dt = new_dt
+
+
+def model_diagnose(model, state):
+    """Dispatch diagnose() on model type (anelastic vs compressible)."""
+    from .dynamics.compressible import CompressibleModel, compressible_diagnose
+    from .model import AtmosphereModel, diagnose
+
+    if isinstance(model, CompressibleModel):
+        return compressible_diagnose(model, state)
+    return diagnose(model, state)
+
+
+def model_step_fn(model):
+    from .dynamics.compressible import CompressibleModel, acoustic_rk3_step
+    from .timesteppers import ssp_rk3_step
+
+    if isinstance(model, CompressibleModel):
+        return acoustic_rk3_step
+    return ssp_rk3_step
+
+
+# ---------------------------------------------------------------------------
+# Output writers (reference: JLD2Writer/NetCDFWriter/Checkpointer)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class FieldWriter:
+    """Append-mode field snapshots to .npz files (one per snapshot).
+
+    TPU analogue of the reference's JLD2Writer: each snapshot saves selected
+    prognostic + diagnostic fields with time metadata.  (NetCDF/Zarr output
+    is a planned extension; npz keeps the baked-image dependency set.)
+    """
+
+    path: str
+    schedule: Any
+    fields: tuple = ("u", "v", "w", "theta")
+    with_state: bool = False
+
+    def __post_init__(self):
+        os.makedirs(self.path, exist_ok=True)
+        self._count = 0
+        self._times: list[float] = []
+
+    def __call__(self, sim):
+        aux = model_diagnose(sim.model, sim.state)
+        out = {}
+        for name in self.fields:
+            if hasattr(aux, name) and getattr(aux, name) is not None:
+                out[name] = np.asarray(getattr(aux, name))
+            elif hasattr(sim.state, name):
+                out[name] = np.asarray(getattr(sim.state, name))
+        if self.with_state:
+            for f in dataclasses.fields(sim.state):
+                v = getattr(sim.state, f.name)
+                if isinstance(v, jax.Array):
+                    out[f"state_{f.name}"] = np.asarray(v)
+        fname = os.path.join(self.path, f"snap_{self._count:06d}.npz")
+        np.savez_compressed(fname, time=sim.time, iteration=sim.iteration, **out)
+        self._times.append(sim.time)
+        self._count += 1
+
+    def load_time_series(self, field: str):
+        """FieldTimeSeries-style readback: (times, stacked array)."""
+        snaps = sorted(f for f in os.listdir(self.path) if f.startswith("snap_"))
+        times, arrs = [], []
+        for s in snaps:
+            with np.load(os.path.join(self.path, s)) as z:
+                times.append(float(z["time"]))
+                arrs.append(z[field])
+        return np.asarray(times), np.stack(arrs)
+
+
+@dataclasses.dataclass
+class Checkpointer:
+    """Checkpoint/restore the full prognostic state (+ clock).
+
+    Reference analogue: Oceananigans ``Checkpointer`` (``src/Breeze.jl:223``).
+    The state pytree is pickled with numpy-materialized leaves; restart via
+    :func:`restore_checkpoint`.
+    """
+
+    path: str
+    schedule: Any
+    keep: int = 3
+
+    def __post_init__(self):
+        os.makedirs(self.path, exist_ok=True)
+        self._written: list[str] = []
+
+    def __call__(self, sim):
+        fname = os.path.join(self.path, f"checkpoint_iter{sim.iteration:08d}.pkl")
+        leaves, treedef = jax.tree.flatten(sim.state)
+        payload = {
+            "leaves": [np.asarray(l) if isinstance(l, jax.Array) else l
+                       for l in leaves],
+            "treedef": treedef,
+            "time": sim.time,
+            "iteration": sim.iteration,
+            "dt": sim.dt,
+        }
+        with open(fname, "wb") as f:
+            pickle.dump(payload, f)
+        self._written.append(fname)
+        while len(self._written) > self.keep:
+            old = self._written.pop(0)
+            if os.path.exists(old):
+                os.remove(old)
+
+
+def restore_checkpoint(path_or_file: str, state_template=None):
+    """Load the latest checkpoint in a directory (or a specific file).
+
+    Returns ``(state, metadata)``; device placement happens lazily.
+    """
+    if os.path.isdir(path_or_file):
+        files = sorted(f for f in os.listdir(path_or_file)
+                       if f.startswith("checkpoint_"))
+        if not files:
+            raise FileNotFoundError(f"no checkpoints in {path_or_file}")
+        path_or_file = os.path.join(path_or_file, files[-1])
+    with open(path_or_file, "rb") as f:
+        payload = pickle.load(f)
+    leaves = [jnp.asarray(l) if isinstance(l, np.ndarray) else l
+              for l in payload["leaves"]]
+    state = jax.tree.unflatten(payload["treedef"], leaves)
+    meta = {k: payload[k] for k in ("time", "iteration", "dt")}
+    return state, meta
+
+
+# ---------------------------------------------------------------------------
+# NaN checker (reference atmosphere_model.jl:560-571)
+# ---------------------------------------------------------------------------
+
+class NaNChecker:
+    def __init__(self, interval: int = 100):
+        self.schedule = IterationInterval(interval)
+
+    def __call__(self, sim):
+        field = sim.state.rho_theta
+        if not bool(jnp.all(jnp.isfinite(field))):
+            raise FloatingPointError(
+                f"NaN/Inf in rho_theta at iteration {sim.iteration}, "
+                f"t = {sim.time:.2f} s — aborting run (reference NaNChecker behavior)")
+
+
+# ---------------------------------------------------------------------------
+# Simulation
+# ---------------------------------------------------------------------------
+
+def prettytime(seconds: float) -> str:
+    if seconds < 1e-3:
+        return f"{seconds * 1e6:.1f} µs"
+    if seconds < 1:
+        return f"{seconds * 1e3:.1f} ms"
+    if seconds < 60:
+        return f"{seconds:.2f} s"
+    if seconds < 3600:
+        return f"{seconds / 60:.2f} min"
+    if seconds < 86400:
+        return f"{seconds / 3600:.2f} hr"
+    return f"{seconds / 86400:.2f} days"
+
+
+class Simulation:
+    """run!-style driver around a jitted step function.
+
+    Mirrors the reference quickstart API (``README.md:64-79``):
+
+        sim = Simulation(model, state, dt=1.0, stop_time=3600)
+        sim.add_callback(progress, IterationInterval(10))
+        conjure_time_step_wizard(sim, cfl=0.7)
+        sim.run()
+    """
+
+    def __init__(self, model, state, dt: float, stop_time: float | None = None,
+                 stop_iteration: int | None = None, wall_time_limit: float | None = None,
+                 nan_check_interval: int = 100, verbose: bool = True):
+        self.model = model
+        self.state = state
+        self.dt = float(dt)
+        self.stop_time = stop_time
+        self.stop_iteration = stop_iteration
+        self.wall_time_limit = wall_time_limit
+        self.iteration = 0
+        self.callbacks: list[Callback] = []
+        self.output_writers: list = []
+        self.verbose = verbose
+        from .dynamics.compressible import CompressibleModel
+        self._dt_static = isinstance(model, CompressibleModel)
+        if self._dt_static:
+            # acoustic substep counts are baked into the compiled program;
+            # the wizard quantizes dt to limit recompiles.
+            self._step = jax.jit(model_step_fn(model), static_argnums=(2,))
+        else:
+            self._step = jax.jit(model_step_fn(model))
+        if nan_check_interval:
+            nc = NaNChecker(nan_check_interval)
+            self.add_callback(nc, nc.schedule)
+        self._t0_wall = _time.monotonic()
+
+    # -- properties ----------------------------------------------------
+    @property
+    def time(self) -> float:
+        return float(self.state.time)
+
+    # -- configuration -------------------------------------------------
+    def add_callback(self, func, schedule):
+        self.callbacks.append(Callback(func, schedule))
+
+    def add_output_writer(self, writer):
+        self.output_writers.append(writer)
+
+    # -- run loop ------------------------------------------------------
+    def should_stop(self) -> bool:
+        if self.stop_time is not None and self.time >= self.stop_time - 1e-9:
+            return True
+        if self.stop_iteration is not None and self.iteration >= self.stop_iteration:
+            return True
+        if (self.wall_time_limit is not None
+                and _time.monotonic() - self._t0_wall > self.wall_time_limit):
+            return True
+        return False
+
+    def run(self):
+        if self.verbose:
+            print(f"[breeze_tpu] starting run: dt={self.dt}, "
+                  f"stop_time={self.stop_time}, device={jax.devices()[0]}")
+        while not self.should_stop():
+            dt = self.dt
+            if self.stop_time is not None:
+                dt = min(dt, self.stop_time - self.time)
+                if dt <= 0:
+                    break
+            self.state = self._step(self.model, self.state, float(dt))
+            self.iteration += 1
+            for cb in self.callbacks:
+                if cb.schedule(self):
+                    cb.func(self)
+            for w in self.output_writers:
+                if w.schedule(self):
+                    w(self)
+        jax.block_until_ready(self.state)
+        if self.verbose:
+            wall = _time.monotonic() - self._t0_wall
+            print(f"[breeze_tpu] run finished: {self.iteration} iterations, "
+                  f"t = {prettytime(self.time)}, wall = {prettytime(wall)}")
+        return self.state
+
+
+def conjure_time_step_wizard(sim: Simulation, cfl: float = 0.7,
+                             update_interval: int = 10, **kw):
+    """Attach an adaptive-Δt wizard (reference ``conjure_time_step_wizard!``)."""
+    wizard = TimeStepWizard(cfl=cfl, **kw)
+    sim.add_callback(wizard, IterationInterval(update_interval))
+    return wizard

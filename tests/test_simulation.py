@@ -1,0 +1,155 @@
+"""Simulation driver, output writers, checkpointing, wizard, diagnostics."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import breeze_tpu as bz
+from breeze_tpu import diagnostics as diag
+from breeze_tpu.model import initial_state, make_model
+from breeze_tpu.simulation import (Checkpointer, FieldWriter, IterationInterval,
+                                   NaNChecker, Simulation, SpecifiedTimes,
+                                   TimeInterval, cell_advection_timescale,
+                                   conjure_time_step_wizard, restore_checkpoint)
+
+
+def small_model(n=16):
+    g = bz.make_grid(size=(n, 1, n), extent=(8000.0, 1.0, 4000.0),
+                     topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                     dtype=jnp.float32)
+    model = make_model(g, advection=bz.WENO(5), potential_temperature=300.0)
+
+    def theta0(x, y, z):
+        return 300.0 + 2.0 * jnp.exp(-((x - 4000.0) ** 2 + (z - 1000.0) ** 2) / 500.0 ** 2)
+
+    return model, initial_state(model, theta=theta0)
+
+
+class TestSimulation:
+    def test_run_until_stop_time(self):
+        model, state = small_model()
+        sim = Simulation(model, state, dt=2.0, stop_time=20.0, verbose=False)
+        sim.run()
+        np.testing.assert_allclose(sim.time, 20.0, atol=1e-3)
+        assert sim.iteration == 10
+
+    def test_stop_iteration_and_callbacks(self):
+        model, state = small_model()
+        sim = Simulation(model, state, dt=1.0, stop_iteration=7, verbose=False)
+        calls = []
+        sim.add_callback(lambda s: calls.append(s.iteration), IterationInterval(2))
+        sim.run()
+        assert sim.iteration == 7
+        assert calls == [2, 4, 6]
+
+    def test_time_interval_schedule(self):
+        model, state = small_model()
+        sim = Simulation(model, state, dt=1.5, stop_time=12.0, verbose=False)
+        hits = []
+        sim.add_callback(lambda s: hits.append(s.time), TimeInterval(4.0))
+        sim.run()
+        assert len(hits) >= 2
+
+    def test_wizard_adapts_dt(self):
+        model, state = small_model()
+        sim = Simulation(model, state, dt=0.1, stop_iteration=25, verbose=False)
+        conjure_time_step_wizard(sim, cfl=0.5, update_interval=5, max_dt=30.0)
+        sim.run()
+        assert sim.dt != 0.1, "wizard should change dt"
+        tau = cell_advection_timescale(model, sim.state)
+        assert sim.dt <= 30.0 and sim.dt > 0
+
+    def test_nan_checker_aborts(self):
+        model, state = small_model()
+        bad = state.replace(rho_theta=state.rho_theta.at[0, 0, 0].set(jnp.nan))
+        sim = Simulation(model, bad, dt=1.0, stop_iteration=3,
+                         nan_check_interval=1, verbose=False)
+        with pytest.raises(FloatingPointError):
+            sim.run()
+
+
+class TestOutput:
+    def test_field_writer_and_time_series(self, tmp_path):
+        model, state = small_model()
+        sim = Simulation(model, state, dt=2.0, stop_time=10.0, verbose=False)
+        writer = FieldWriter(str(tmp_path / "out"), IterationInterval(2),
+                             fields=("w", "theta"))
+        sim.add_output_writer(writer)
+        sim.run()
+        times, thetas = writer.load_time_series("theta")
+        assert len(times) >= 2
+        assert thetas.shape[1:] == model.grid.shape
+
+    def test_checkpoint_restart_bitwise(self, tmp_path):
+        model, state = small_model()
+        sim = Simulation(model, state, dt=2.0, stop_iteration=6, verbose=False)
+        ckpt = Checkpointer(str(tmp_path / "ckpt"), IterationInterval(3))
+        sim.add_output_writer(ckpt)
+        sim.run()
+        final_direct = sim.state
+
+        # restore from the iteration-3 checkpoint and rerun 3 steps
+        files = sorted(os.listdir(tmp_path / "ckpt"))
+        state3, meta = restore_checkpoint(str(tmp_path / "ckpt" / files[0]))
+        assert meta["iteration"] == 3
+        sim2 = Simulation(model, state3, dt=2.0, stop_iteration=3, verbose=False,
+                          nan_check_interval=0)
+        sim2.run()
+        np.testing.assert_array_equal(np.asarray(sim2.state.rho_theta),
+                                      np.asarray(final_direct.rho_theta))
+
+    def test_checkpointer_keep_limit(self, tmp_path):
+        model, state = small_model()
+        sim = Simulation(model, state, dt=1.0, stop_iteration=10, verbose=False)
+        ckpt = Checkpointer(str(tmp_path / "ck"), IterationInterval(2), keep=2)
+        sim.add_output_writer(ckpt)
+        sim.run()
+        assert len(os.listdir(tmp_path / "ck")) == 2
+
+
+class TestDiagnostics:
+    def test_potential_temperature_flavors(self):
+        model, state = small_model()
+        th = diag.potential_temperature(model, state)
+        thv = diag.virtual_potential_temperature(model, state)
+        assert th.shape == model.grid.shape
+        # dry: θᵥ == θ
+        np.testing.assert_allclose(np.asarray(thv), np.asarray(th), rtol=1e-6)
+
+    def test_moist_diagnostics(self):
+        g = bz.make_grid(size=(8, 1, 8), extent=(4000.0, 1.0, 2000.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(
+            g, potential_temperature=300.0,
+            microphysics=bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium()))
+        state = initial_state(model, qt=jnp.full(g.shape, 0.008))
+        rh = diag.relative_humidity(model, state)
+        assert 0.1 < float(rh.mean()) < 1.1
+        td = diag.dewpoint_temperature(model, state)
+        aux = diag.model_diagnose(model, state)
+        assert float((td - aux.T).max()) < 1.0  # Td <= T (loose)
+        qvs = diag.saturation_specific_humidity_field(model, state)
+        assert float(qvs.min()) > 0
+        the = diag.equivalent_potential_temperature(model, state)
+        th = diag.potential_temperature(model, state)
+        assert float((the - th).min()) > 0  # θₑ > θ with vapor present
+
+    def test_azimuthal_mean(self):
+        g = bz.make_grid(size=(32, 32, 4), extent=(10000.0, 10000.0, 1000.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED))
+        x = np.asarray(g.x_c())[None, None, :]
+        y = np.asarray(g.y_c())[None, :, None]
+        r = np.sqrt((x - 5000.0) ** 2 + (y - 5000.0) ** 2)
+        field = np.broadcast_to(r, g.shape)
+        r_c, mean = diag.azimuthal_mean(field, g, 5000.0, 5000.0)
+        # azimuthal mean of r is ≈ r
+        mask = (r_c > 500) & (r_c < 4000)
+        np.testing.assert_allclose(mean[0][mask], r_c[mask], rtol=0.2)
+
+    def test_total_energy_finite(self):
+        model, state = small_model()
+        te = diag.total_energy(model, state)
+        assert bool(jnp.all(jnp.isfinite(te)))
