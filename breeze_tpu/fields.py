@@ -88,6 +88,10 @@ def pad_axis(a: jax.Array, axis: int, h: int, topo: Topology, loc: Loc) -> jax.A
         ghost = jnp.tile(edge_lo, reps)
         return jnp.concatenate([ghost, a, ghost], axis=axis)
     if topo == Topology.PERIODIC:
+        from .parallel import halo as _halo
+        if _halo.axis_is_sharded(axis):
+            # inside shard_map: wrap halos come from mesh neighbors (ppermute)
+            return _halo.pad_axis_sharded(a, axis, h)
         return _pad_periodic(a, axis, h)
     if loc == Loc.CENTER:
         return _pad_bounded_center(a, axis, h)

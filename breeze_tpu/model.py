@@ -224,10 +224,15 @@ def initial_state(model: AtmosphereModel,
     rho_w = _field(w, 0.0, rho_f)
     rho_w = fl.enforce_impenetrability(rho_w, g)
 
+    tracers = dict(tracers or {})
+    # Microphysics schemes with prognostic condensate allocate their tracers.
+    for name in getattr(model.microphysics, "prognostic_tracer_names", ()):
+        tracers.setdefault(name, jnp.zeros(g.shape, dt))
+
     return State(
         rho_u=rho_u, rho_v=rho_v, rho_w=rho_w,
         rho_theta=rho_theta, rho_qt=rho_qt,
-        tracers=dict(tracers or {}),
+        tracers=tracers,
         time=jnp.zeros((), dt),
     )
 
@@ -262,6 +267,16 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
         if isinstance(model.microphysics, SaturationAdjustment):
             T, q = saturation_adjust(theta, qt, p_r, c, model.microphysics,
                                      model.p_standard)
+        elif hasattr(model.microphysics, "prognostic_tracer_names"):
+            # Prognostic-condensate schemes (e.g. Kessler): the moisture slot
+            # is vapor; condensate fractions come from tracer prognostics
+            # (reference grid_moisture_fractions, microphysics_interface.jl:611).
+            zero = jnp.zeros_like(theta)
+            ql = zero
+            for name in model.microphysics.prognostic_tracer_names:
+                ql = ql + state.tracers.get(name, zero) / rho_c
+            q = MoistureMassFractions(qt, ql, zero)
+            T = temperature_from_theta_li(theta, q, p_r, c, model.p_standard)
         else:
             q = MoistureMassFractions.vapor_only(qt)
             T = temperature_from_theta_li(theta, q, p_r, c, model.p_standard)

@@ -59,6 +59,63 @@ def equilibrated_moisture_fractions(T, qt, qvs, equilibrium) -> MoistureMassFrac
     return MoistureMassFractions(qv, lam * qc, (1.0 - lam) * qc)
 
 
+@dataclasses.dataclass(frozen=True)
+class InstantaneousPrecipitation:
+    """Saturation adjustment + instant removal of condensate.
+
+    TPU analogue of reference ``src/Microphysics/instantaneous_precipitation.jl``
+    (:38-182): each step (operator-split), condensate diagnosed by the
+    embedded saturation adjustment is removed from the column; θˡⁱ is
+    re-expressed for the condensate-free state at unchanged temperature.
+    """
+
+    equilibrium: object = dataclasses.field(default_factory=WarmPhaseEquilibrium)
+    iterations: int = 5
+
+    def model_update(self, model, state, dt):
+        from ..thermo.states import theta_li_from_temperature
+
+        c = model.constants
+        ref = model.reference
+        rho = ref.rho_col
+        p = ref.p_col
+        theta = state.rho_theta / rho
+        qt = state.rho_qt / rho
+        scheme = SaturationAdjustment(self.equilibrium, self.iterations)
+        T, q = saturation_adjust(theta, qt, p, c, scheme, model.p_standard)
+        q_dry = MoistureMassFractions.vapor_only(q.vapor)
+        theta_new = theta_li_from_temperature(T, q_dry, p, c, model.p_standard)
+        return state.replace(
+            rho_qt=rho * q.vapor,
+            rho_theta=rho * theta_new,
+        )
+
+
+def fix_negative_moisture(rho_q):
+    """Vertical-borrowing repair of negative moisture after advection.
+
+    TPU analogue of reference ``negative_moisture_correction.jl``
+    (`VerticalBorrowing` :50, column kernel :199): a downward z-scan carries
+    each cell's deficit into the cell below (conserving the column
+    integral), then a final clip removes any residual negative at the
+    bottom.  Vectorized over all columns via ``lax.scan``.
+    """
+    import jax
+
+    def sweep(carry, layer):
+        new = layer + carry
+        clipped = jnp.maximum(new, 0.0)
+        deficit = jnp.minimum(new, 0.0)
+        return deficit, clipped
+
+    # scan from top (index nz-1) downward
+    _residual, fixed_rev = jax.lax.scan(sweep, jnp.zeros_like(rho_q[0]),
+                                        rho_q[::-1])
+    # Any residual deficit at the bottom is clamped away (tiny mass loss,
+    # matching the reference's final clamp of orphaned negatives).
+    return fixed_rev[::-1]
+
+
 def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
                       scheme: SaturationAdjustment,
                       p_standard: float = 1.0e5):

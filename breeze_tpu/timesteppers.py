@@ -33,6 +33,16 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
     into the next stage's tendency computation).  Operator-split
     microphysics (`microphysics_model_update!`) runs once after stage 3.
     """
+    # Negative-moisture repair at step start (reference fix_negative_moisture!,
+    # update_atmosphere_model_state.jl:42).
+    if state.rho_qt is not None:
+        from .physics.microphysics import fix_negative_moisture
+        state = state.replace(rho_qt=fix_negative_moisture(state.rho_qt))
+        if state.tracers:
+            fixed = {k: fix_negative_moisture(v) if k.startswith("rho_q") else v
+                     for k, v in state.tracers.items()}
+            state = state.replace(tracers=fixed)
+
     state0 = state
     for alpha in SSP_RK3_ALPHAS:
         G = M.compute_tendencies(model, state)

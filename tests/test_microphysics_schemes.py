@@ -1,0 +1,129 @@
+"""Kessler, instantaneous precipitation, and negative-moisture correction.
+
+Mirrors reference ``test/dcmip2016_kessler.jl``,
+``test/instantaneous_precipitation.jl``, and the negative-moisture kernels.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+import breeze_tpu as bz
+from breeze_tpu.model import diagnose, initial_state, make_model
+from breeze_tpu.physics.kessler import KesslerMicrophysics, kessler_update
+from breeze_tpu.physics.microphysics import (InstantaneousPrecipitation,
+                                             fix_negative_moisture)
+from breeze_tpu.timesteppers import ssp_rk3_step
+
+
+def moist_grid(n=16, nz=20):
+    return bz.make_grid(size=(n, 1, nz), extent=(8000.0, 1.0, 5000.0),
+                        topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                        dtype=jnp.float64)
+
+
+class TestNegativeMoisture:
+    def test_borrowing_conserves_when_fixable(self):
+        col = jnp.array([1.0, -0.3, 2.0, -0.1, 0.5])[:, None, None]
+        fixed = fix_negative_moisture(col)
+        assert float(fixed.min()) >= 0
+        np.testing.assert_allclose(float(fixed.sum()), float(col.sum()), rtol=1e-12)
+
+    def test_all_negative_clamped(self):
+        col = jnp.array([-1.0, -0.5])[:, None, None]
+        fixed = fix_negative_moisture(col)
+        np.testing.assert_allclose(np.asarray(fixed), 0.0)
+
+    def test_positive_untouched(self):
+        col = jnp.array([0.5, 1.0, 0.2])[:, None, None]
+        np.testing.assert_allclose(np.asarray(fix_negative_moisture(col)),
+                                   np.asarray(col))
+
+
+class TestKessler:
+    def model_state(self, qv0=0.016):
+        g = moist_grid()
+        model = make_model(g, advection=bz.WENO(5), potential_temperature=300.0,
+                          microphysics=KesslerMicrophysics())
+        state = initial_state(
+            model,
+            theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(-(z - 1000.0) ** 2 / 500.0 ** 2),
+            qt=lambda x, y, z: qv0 * jnp.exp(-z / 2500.0))
+        return g, model, state
+
+    def test_supersaturation_condenses_and_rains(self):
+        g, model, state = self.model_state(qv0=0.025)
+        # several operator-split updates on a supersaturated column
+        for _ in range(5):
+            state, precip = kessler_update(model.microphysics, model, state, 10.0)
+        qcl = state.tracers["rho_qcl"]
+        qr = state.tracers["rho_qr"]
+        assert float(qcl.max() + qr.max()) > 1e-6, "supersaturated air must condense"
+        assert bool(jnp.all(jnp.isfinite(state.rho_theta)))
+
+    def test_subsaturated_is_inert(self):
+        g, model, state = self.model_state(qv0=0.002)
+        s1, _ = kessler_update(model.microphysics, model, state, 10.0)
+        np.testing.assert_allclose(np.asarray(s1.rho_qt), np.asarray(state.rho_qt),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(s1.rho_theta),
+                                   np.asarray(state.rho_theta), rtol=1e-10)
+
+    def test_water_budget_closes_without_sedimentation(self):
+        """Total water conserved when rain cannot fall out (zero rain)."""
+        g, model, state = self.model_state(qv0=0.02)
+        dzc = np.asarray(g.dz_c)[:, None, None]
+        total0 = float(jnp.sum(state.rho_qt * dzc))
+        s1, _ = kessler_update(model.microphysics, model, state, 1.0)
+        total1 = float(jnp.sum((s1.rho_qt + s1.tracers["rho_qcl"]
+                                + s1.tracers["rho_qr"]) * dzc))
+        # only loss channel is rain through the surface; with 1 s and fresh
+        # rain the loss is tiny
+        np.testing.assert_allclose(total1, total0, rtol=1e-4)
+
+    def test_rain_falls_and_precipitates(self):
+        g, model, state = self.model_state()
+        # put rain aloft; it should fall and leave through the surface
+        z = np.asarray(g.z_c)[:, None, None]
+        rain = jnp.asarray(0.002 * np.exp(-(z - 3000.0) ** 2 / 300.0 ** 2)
+                           * np.ones(g.shape))
+        rho = model.reference.rho_col
+        state = state.replace(
+            rho_qt=jnp.full(g.shape, 1e-4) * rho,
+            tracers={**state.tracers, "rho_qr": rain * rho})
+        com0 = float((state.tracers["rho_qr"] * z).sum()
+                     / state.tracers["rho_qr"].sum())
+        precip_total = 0.0
+        for _ in range(6):
+            state, precip = kessler_update(model.microphysics, model, state, 20.0)
+            precip_total += float(precip.mean())
+        com1 = float((state.tracers["rho_qr"] * z).sum()
+                     / jnp.maximum(state.tracers["rho_qr"].sum(), 1e-20))
+        assert com1 < com0 - 200.0, "rain center of mass must fall"
+        assert precip_total > 0, "surface precipitation must accumulate"
+
+    def test_full_model_step_with_kessler(self):
+        g, model, state = self.model_state(qv0=0.02)
+        for _ in range(5):
+            state = ssp_rk3_step(model, state, 5.0)
+        assert bool(jnp.all(jnp.isfinite(state.rho_theta)))
+        assert float(state.rho_qt.min()) >= 0
+        aux = diagnose(model, state)
+        assert bool(jnp.all(jnp.isfinite(aux.T)))
+
+
+class TestInstantaneousPrecipitation:
+    def test_condensate_removed(self):
+        g = moist_grid()
+        model = make_model(
+            g, potential_temperature=300.0,
+            microphysics=InstantaneousPrecipitation())
+        state = initial_state(model, qt=jnp.full(g.shape, 0.03))
+        s1 = model.microphysics.model_update(model, state, 1.0)
+        # after removal the state holds vapor only, at/below saturation
+        from breeze_tpu.physics.microphysics import SaturationAdjustment, saturation_adjust
+        theta = s1.rho_theta / model.reference.rho_col
+        qt = s1.rho_qt / model.reference.rho_col
+        T, q = saturation_adjust(theta, qt, model.reference.p_col,
+                                 model.constants, SaturationAdjustment())
+        assert float(q.liquid.max()) < 1e-7, "no condensate should remain"
+        assert float(qt.max()) < 0.03
