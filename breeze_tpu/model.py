@@ -90,7 +90,7 @@ class Aux(NamedTuple):
     meta_fields=[
         "constants", "momentum_advection", "scalar_advection",
         "microphysics", "coriolis", "closure", "forcings",
-        "boundary_fluxes", "p_standard",
+        "boundary_fluxes", "p_standard", "formulation",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +116,7 @@ class AtmosphereModel:
     forcings: tuple                # tuple of callables (model, state, aux) -> G-increments
     boundary_fluxes: Any           # None | physics.surface.BoundaryFluxes
     p_standard: float
+    formulation: str = "theta_li"  # "theta_li" (ρθˡⁱ) | "static_energy" (ρe)
 
     @property
     def has_moisture(self) -> bool:
@@ -141,6 +142,7 @@ def make_model(
     surface_pressure: float = 101325.0,
     potential_temperature=288.0,
     p_standard: float = 1.0e5,
+    formulation: str = "theta_li",
 ) -> AtmosphereModel:
     """Model factory (host-side; allocates reference profiles + solver)."""
     constants = constants or ThermodynamicConstants()
@@ -177,6 +179,7 @@ def make_model(
         forcings=tuple(forcings),
         boundary_fluxes=boundary_fluxes,
         p_standard=p_standard,
+        formulation=formulation,
     )
 
 
@@ -211,9 +214,26 @@ def initial_state(model: AtmosphereModel,
     # anelastic_time_stepping.jl:15-19).
     if theta is None:
         theta_arr = jnp.full(g.shape, ref.potential_temperature, dt)
-        rho_theta = theta_arr * rho_c
+    elif callable(theta):
+        x, y, z = g.xyz_c()
+        theta_arr = jnp.asarray(theta(x, y, z), dt) * jnp.ones(g.shape, dt)
     else:
-        rho_theta = _field(theta, 0.0, rho_c)
+        theta_arr = jnp.asarray(theta, dt) * jnp.ones(g.shape, dt)
+
+    if model.formulation == "static_energy":
+        # Convert θ (vapor-only composition) to moist static energy at the
+        # reference pressure: e = cᵖᵐT + gz (dry condensate-free init).
+        from .thermo.states import static_energy as _se
+        q0 = MoistureMassFractions.vapor_only(
+            jnp.zeros(g.shape, dt) if qt is None or model.microphysics is None
+            else jnp.asarray(qt(*g.xyz_c()) if callable(qt) else qt, dt)
+            * jnp.ones(g.shape, dt))
+        T0 = temperature_from_theta_li(theta_arr, q0, ref.p_col,
+                                       model.constants, model.p_standard)
+        chi = _se(T0, g.z_c_col, q0, model.constants)
+        rho_theta = chi * rho_c
+    else:
+        rho_theta = theta_arr * rho_c
 
     rho_qt = None
     if model.has_moisture:
@@ -260,6 +280,9 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
     v = state.rho_v / rho_c
     w = state.rho_w / rho_f
 
+    if model.formulation == "static_energy":
+        return _diagnose_static_energy(model, state, u, v, w)
+
     theta = state.rho_theta / rho_c
 
     if model.has_moisture:
@@ -292,6 +315,47 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
     Rm = c.mixture_gas_constant(q)
     g_accel = c.gravitational_acceleration
     buoyancy_force = -g_accel * rho_c * (Rm_ref * ref.T_col / (Rm * T) - 1.0)
+
+    return Aux(u=u, v=v, w=w, theta=theta, qt=qt, T=T, q=q,
+               buoyancy_force=buoyancy_force)
+
+
+def _diagnose_static_energy(model: AtmosphereModel, state: State, u, v, w) -> Aux:
+    """Static-energy formulation: prognostic ρe (reference
+    ``src/StaticEnergyFormulations/``); T from e with saturation adjustment,
+    θˡⁱ diagnosed for closures/diagnostics."""
+    from .physics.microphysics import saturation_adjust_static_energy
+    from .thermo.states import temperature_from_static_energy
+
+    ref = model.reference
+    c = model.constants
+    rho_c = ref.rho_col
+    p_r = ref.p_col
+    z = model.grid.z_c_col
+
+    e = state.rho_theta / rho_c     # thermodynamic density slot holds ρe
+
+    if model.has_moisture:
+        qt = state.rho_qt / rho_c
+        if isinstance(model.microphysics, SaturationAdjustment):
+            T, q = saturation_adjust_static_energy(e, z, qt, p_r, c,
+                                                   model.microphysics)
+        else:
+            q = MoistureMassFractions.vapor_only(qt)
+            T = temperature_from_static_energy(e, z, q, c)
+    else:
+        qt = None
+        zero = jnp.zeros_like(e)
+        q = MoistureMassFractions(zero, zero, zero)
+        T = temperature_from_static_energy(e, z, q, c)
+
+    theta = theta_li_from_temperature(T, q, p_r, c, model.p_standard)
+
+    q_ref = ref.moisture_fractions_col()
+    Rm_ref = c.mixture_gas_constant(q_ref)
+    Rm = c.mixture_gas_constant(q)
+    g_acc = c.gravitational_acceleration
+    buoyancy_force = -g_acc * rho_c * (Rm_ref * ref.T_col / (Rm * T) - 1.0)
 
     return Aux(u=u, v=v, w=w, theta=theta, qt=qt, T=T, q=q,
                buoyancy_force=buoyancy_force)
@@ -354,9 +418,18 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     rho_r_field = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
     rho_r_pad = fl.pad(rho_r_field, g, fl.CCC)
 
-    theta_pad = fl.pad(aux.theta, g, fl.CCC)
+    # Specific thermodynamic prognostic: θˡⁱ or e (formulation dispatch,
+    # reference formulation_interface.jl:22-208).
+    chi = state.rho_theta / ref.rho_col
+    chi_pad = fl.pad(chi, g, fl.CCC)
     G_rho_theta = -adv.div_rho_u_c(
-        so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, theta_pad)
+        so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, chi_pad)
+    if model.formulation == "static_energy":
+        # −ρwb buoyancy flux couples energy and momentum budgets in the
+        # anelastic limit (reference static_energy_tendency.jl:60-72).
+        b_f = so.iz_cf(fl.pad(aux.buoyancy_force, g, fl.CCC))  # ρb at z-faces
+        wb_pad = fl.pad(aux.w * b_f, g, fl.FCC)
+        G_rho_theta = G_rho_theta - so.iz_fc(wb_pad)
     if closure_fluxes is not None and closure_fluxes.G_theta is not None:
         G_rho_theta = G_rho_theta + closure_fluxes.G_theta
 

@@ -59,6 +59,63 @@ def equilibrated_moisture_fractions(T, qt, qvs, equilibrium) -> MoistureMassFrac
     return MoistureMassFractions(qv, lam * qc, (1.0 - lam) * qc)
 
 
+def saturation_adjust_static_energy(e, z, qt, p, constants: ThermodynamicConstants,
+                                    scheme: "SaturationAdjustment"):
+    """Saturation-adjusted (T, q) from prognostic moist static energy.
+
+    Static-energy analogue of :func:`saturation_adjust` (reference
+    ``StaticEnergyState`` pathway, ``dynamic_states.jl:270``): solve
+    T = (e − gz + ℒˡᵣqˡ(T) + ℒⁱᵣqⁱ(T)) / cᵖᵐ(q(T)) with equilibrium
+    partitioning at pressure p.
+    """
+    from ..thermo.states import temperature_from_static_energy
+
+    eq = scheme.equilibrium
+    g_acc = constants.gravitational_acceleration
+
+    q1 = MoistureMassFractions.vapor_only(qt)
+    T1 = temperature_from_static_energy(e, z, q1, constants)
+    lam1 = eq.liquid_fraction(T1)
+    rho1 = constants.density(T1, p, q1)
+    qvs1 = saturation_specific_humidity(T1, rho1, constants, lam1)
+    saturated = qt > qvs1
+
+    def residual(T):
+        lam = eq.liquid_fraction(T)
+        qvs = adjustment_saturation_specific_humidity(T, p, qt, constants, lam)
+        q = equilibrated_moisture_fractions(T, qt, qvs, eq)
+        return T - temperature_from_static_energy(e, z, q, constants)
+
+    lam = eq.liquid_fraction(T1)
+    qvs_a = adjustment_saturation_specific_humidity(T1, p, qt, constants, lam)
+    qa = equilibrated_moisture_fractions(T1, qt, qvs_a, eq)
+    cpm = constants.mixture_heat_capacity(qa)
+    dT = (constants.liquid.reference_latent_heat * qa.liquid
+          + constants.ice.reference_latent_heat * qa.ice) / cpm
+    T2 = T1 + jnp.maximum(0.01, 0.5 * dT)
+
+    Ta, Tb = T1, T2
+    ra = residual(Ta)
+    for _ in range(scheme.iterations):
+        rb = residual(Tb)
+        dr = rb - ra
+        safe = jnp.where(jnp.abs(dr) > 0, dr, jnp.ones_like(dr))
+        Tc = jnp.where(jnp.abs(dr) > 0, Tb - rb * (Tb - Ta) / safe, Tb)
+        Ta, ra, Tb = Tb, rb, Tc
+
+    lam_s = eq.liquid_fraction(Tb)
+    qvs_s = adjustment_saturation_specific_humidity(Tb, p, qt, constants, lam_s)
+    q_sat = equilibrated_moisture_fractions(Tb, qt, qvs_s, eq)
+
+    T = jnp.where(saturated, Tb, T1)
+    q = MoistureMassFractions(
+        jnp.where(saturated, q_sat.vapor, q1.vapor),
+        jnp.where(saturated, q_sat.liquid, 0.0),
+        jnp.where(saturated, q_sat.ice, 0.0),
+    )
+    return T, q
+
+
 @dataclasses.dataclass(frozen=True)
 class InstantaneousPrecipitation:
     """Saturation adjustment + instant removal of condensate.

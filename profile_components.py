@@ -1,0 +1,104 @@
+"""Per-component wall timing on the real chip (tendencies / projection / FFT).
+
+TPU analogue of the reference's ``benchmarking/src/tendency_profiling.jl``:
+wall-times individual hot paths and reports grid-points/s per kernel.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", default="256x256x128")
+    args = p.parse_args()
+    nx, ny, nz = (int(s) for s in args.size.split("x"))
+
+    import breeze_tpu as bz
+    from breeze_tpu import fields as fl
+    from breeze_tpu import model as M
+    from breeze_tpu.timesteppers import ssp_rk3_step
+
+    grid = bz.make_grid(size=(nx, ny, nz), extent=(12800.0, 12800.0, 3200.0),
+                        topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                        halo=3, dtype=jnp.float32)
+    model = bz.make_model(grid, advection=bz.WENO(5), potential_temperature=300.0)
+    state = bz.initial_state(
+        model, theta=lambda x, y, z: 300.0 + 0.5 * jnp.exp(
+            -((x - 6400.0) ** 2 + (y - 6400.0) ** 2 + (z - 800.0) ** 2) / 500.0 ** 2))
+
+    npts = nx * ny * nz
+
+    full = jax.jit(lambda m, s: ssp_rk3_step(m, s, 0.5))
+    t = timeit(full, model, state)
+    print(f"full step           : {t * 1e3:8.2f} ms  {npts / t / 1e9:6.2f} Gpt/s")
+
+    tend = jax.jit(lambda m, s: M.compute_tendencies(m, s))
+    t = timeit(tend, model, state)
+    print(f"tendencies (1 stage): {t * 1e3:8.2f} ms  {npts / t / 1e9:6.2f} Gpt/s")
+
+    diag = jax.jit(lambda m, s: M.diagnose(m, s))
+    t = timeit(diag, model, state)
+    print(f"diagnose            : {t * 1e3:8.2f} ms")
+
+    proj = jax.jit(lambda m, ru, rv, rw: M.pressure_projection(m, ru, rv, rw, 0.5))
+    t = timeit(proj, model, state.rho_u, state.rho_v, state.rho_w)
+    print(f"projection          : {t * 1e3:8.2f} ms")
+
+    solve = jax.jit(lambda m, d: m.solver.solve(d, 0.5))
+    t = timeit(solve, model, state.rho_theta)
+    print(f"poisson solve       : {t * 1e3:8.2f} ms")
+
+    fft = jax.jit(lambda x: jnp.fft.irfft2(jnp.fft.rfft2(x, axes=(1, 2)),
+                                           s=(ny, nx), axes=(1, 2)))
+    t = timeit(fft, state.rho_theta)
+    print(f"rfft2+irfft2        : {t * 1e3:8.2f} ms")
+
+    padf = jax.jit(lambda x: fl.pad(x, grid, fl.CCC).sum())
+    t = timeit(padf, state.rho_theta)
+    print(f"pad(+reduce)        : {t * 1e3:8.2f} ms")
+
+    # advection alone
+    from breeze_tpu import advection as adv
+    so = model.stencil_ops()
+
+    def adv_only(m, s):
+        aux = M.diagnose(m, s)
+        g = m.grid
+        rho_r_pad = fl.pad(jnp.broadcast_to(m.reference.rho_col, g.shape), g, fl.CCC)
+        return adv.div_rho_u_c(so, m.scalar_advection, rho_r_pad,
+                               fl.pad(aux.u, g, fl.CCF), fl.pad(aux.v, g, fl.CFC),
+                               fl.pad(aux.w, g, fl.FCC), fl.pad(aux.theta, g, fl.CCC))
+
+    t = timeit(jax.jit(adv_only), model, state)
+    print(f"scalar WENO divρUc  : {t * 1e3:8.2f} ms")
+
+    def mom_only(m, s):
+        aux = M.diagnose(m, s)
+        g = m.grid
+        return adv.momentum_flux_divergence(
+            so, m.momentum_advection,
+            fl.pad(s.rho_u, g, fl.CCF), fl.pad(s.rho_v, g, fl.CFC),
+            fl.pad(s.rho_w, g, fl.FCC), fl.pad(aux.u, g, fl.CCF),
+            fl.pad(aux.v, g, fl.CFC), fl.pad(aux.w, g, fl.FCC))
+
+    t = timeit(jax.jit(mom_only), model, state)
+    print(f"momentum WENO div   : {t * 1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
