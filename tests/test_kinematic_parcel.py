@@ -1,0 +1,84 @@
+"""Kinematic driver + parcel model tests (reference test/kinematic_driver.jl,
+test/parcel_dynamics.jl)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import breeze_tpu as bz
+from breeze_tpu.kinematic import PrescribedDynamics, kinematic_step
+from breeze_tpu.model import initial_state, make_model
+from breeze_tpu.parcel import ParcelDynamics
+from breeze_tpu.physics.kessler import KesslerMicrophysics
+
+
+class TestKinematicDriver:
+    def test_prescribed_advection_translates_scalar(self):
+        g = bz.make_grid(size=(32, 1, 8), extent=(3200.0, 1.0, 800.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, advection=bz.WENO(5), potential_temperature=300.0)
+        dyn = PrescribedDynamics(u=10.0)
+
+        state = initial_state(model, theta=lambda x, y, z: 300.0 + jnp.exp(
+            -(x - 1600.0) ** 2 / 200.0 ** 2))
+        theta0 = np.asarray(state.rho_theta / model.reference.rho_col)
+
+        # advect for 1600 m / 10 m/s = 160 s → half-domain translation
+        for _ in range(80):
+            state = kinematic_step(model, dyn, state, 2.0)
+        theta1 = np.asarray(state.rho_theta / model.reference.rho_col)
+
+        peak0 = np.argmax(theta0[2, 0])
+        peak1 = np.argmax(theta1[2, 0])
+        shift = (peak1 - peak0) % 32
+        assert abs(shift - 16) <= 1, f"expected ~16-cell shift, got {shift}"
+        # WENO preserves extrema reasonably
+        assert theta1.max() > 300.5
+
+    def test_kinematic_with_kessler(self):
+        g = bz.make_grid(size=(16, 1, 16), extent=(1600.0, 1.0, 3200.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, advection=bz.WENO(5), potential_temperature=300.0,
+                          microphysics=KesslerMicrophysics())
+        # updraft column carries moisture upward where it condenses
+        dyn = PrescribedDynamics(
+            w=lambda x, y, z, t: 2.0 * jnp.sin(jnp.pi * z / 3200.0)
+            * jnp.sin(jnp.pi * x / 1600.0) ** 2)
+        state = initial_state(model, qt=lambda x, y, z: 0.015 * jnp.exp(-z / 1500.0))
+        for _ in range(20):
+            state = kinematic_step(model, dyn, state, 10.0)
+        assert bool(jnp.all(jnp.isfinite(state.rho_qt)))
+        cloud = float(state.tracers["rho_qcl"].max() + state.tracers["rho_qr"].max())
+        assert cloud > 1e-7, "updraft should form condensate"
+
+
+class TestParcelModel:
+    def test_dry_parcel_conserves_theta(self):
+        pd = ParcelDynamics(vertical_velocity=2.0)
+        s0 = pd.initial_state(theta=300.0, qt=0.0)
+        final, traj = pd.integrate(s0, dt=1.0, n_steps=500)
+        # parcel rose 1 km
+        np.testing.assert_allclose(float(final.z), 1000.0, rtol=1e-5)
+        # temperature follows the dry adiabat
+        expected_T = float(s0.T) - 9.81 / 1005.0 * 1000.0
+        np.testing.assert_allclose(float(final.T), expected_T, atol=0.2)
+
+    def test_moist_parcel_condenses_at_lcl(self):
+        pd = ParcelDynamics(vertical_velocity=2.0)
+        s0 = pd.initial_state(theta=300.0, qt=0.012)
+        final, traj = pd.integrate(s0, dt=1.0, n_steps=1200)
+        ql_traj = np.asarray(traj.ql)
+        assert ql_traj[-1] > 1e-4, "parcel should condense above the LCL"
+        # LCL: first level with liquid, expect between 300 m and 1.8 km
+        lcl_idx = np.argmax(ql_traj > 1e-6)
+        lcl_z = float(np.asarray(traj.z)[lcl_idx])
+        assert 300.0 < lcl_z < 1800.0, f"LCL at {lcl_z} m?"
+
+    def test_prognostic_w_buoyant_parcel_accelerates(self):
+        pd = ParcelDynamics(vertical_velocity="prognostic",
+                            environment_theta=300.0)
+        s0 = pd.initial_state(theta=302.0, qt=0.0, w=0.0)
+        final, traj = pd.integrate(s0, dt=0.5, n_steps=100)
+        assert float(final.w) > 0.5, "warm parcel should accelerate upward"
+        assert float(final.z) > 10.0
