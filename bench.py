@@ -59,16 +59,19 @@ def main() -> int:
             0, 10, lambda _, st: ssp_rk3_step(m, st, dt), s),
         donate_argnums=(1,))
 
-    # Warmup (compile + first run)
+    # Warmup (compile + first run).  NOTE: synchronization is via an actual
+    # device→host readback — block_until_ready through the remote-execution
+    # relay does not reliably await completion, which silently inflates
+    # throughput numbers.
     for _ in range(max(1, args.warmup // 10)):
         state = chunk(model, state, args.dt)
-    jax.block_until_ready(state)
+    _sync = float(jnp.sum(state.rho_theta))
 
     n_chunks = max(1, args.steps // 10)
     t0 = time.perf_counter()
     for _ in range(n_chunks):
         state = chunk(model, state, args.dt)
-    jax.block_until_ready(state)
+    _sync = float(jnp.sum(state.rho_theta))
     elapsed = time.perf_counter() - t0
 
     steps = n_chunks * 10
