@@ -1,0 +1,195 @@
+"""Fused Pallas WENO5 tracer flux-divergence kernel.
+
+The hot kernel of the framework (SURVEY.md §7 hard-part 3): computes
+G = −∇·(ρ u c) for a scalar in ONE pass, reading each input field once and
+keeping every WENO intermediate (both upwind branches, smoothness
+indicators, candidate polynomials, interface fluxes) in VMEM — the XLA jnp
+path materializes many of those intermediates in HBM (measured ≈7×
+copy-traffic per reconstruction direction).
+
+Domain decomposition: grid over (z, y) blocks; x stays fully lane-resident
+(periodic wrap via ``pltpu.roll``).  Inputs are pre-padded in z and y by
+the halo (host-side concat — cheap, amortized across the three directions)
+so every block reads a contiguous (bz+2h, by+2h, nx) window via manual
+async DMA; output blocks are standard non-overlapping tiles.
+
+Restrictions (fall back to the jnp path otherwise):
+- periodic x and y, bounded/periodic z handled by the host-side pad
+- uniform vertical spacing
+- WENO5 (halo 3), float32
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H = 3  # WENO5 halo
+
+
+def _weno5_plus(g):
+    """Left-biased WENO5 given cell getter g(o) (o=0 upwind cell)."""
+    qm2, qm1, q0, q1, q2 = g(-2), g(-1), g(0), g(1), g(2)
+    p0 = (2.0 * qm2 - 7.0 * qm1 + 11.0 * q0) * (1.0 / 6.0)
+    p1 = (-qm1 + 5.0 * q0 + 2.0 * q1) * (1.0 / 6.0)
+    p2 = (2.0 * q0 + 5.0 * q1 - q2) * (1.0 / 6.0)
+    b0 = (13.0 / 12.0) * (qm2 - 2.0 * qm1 + q0) ** 2 + 0.25 * (qm2 - 4.0 * qm1 + 3.0 * q0) ** 2
+    b1 = (13.0 / 12.0) * (qm1 - 2.0 * q0 + q1) ** 2 + 0.25 * (qm1 - q1) ** 2
+    b2 = (13.0 / 12.0) * (q0 - 2.0 * q1 + q2) ** 2 + 0.25 * (3.0 * q0 - 4.0 * q1 + q2) ** 2
+    eps = 1e-6
+    a0 = 0.1 / (b0 + eps) ** 2
+    a1 = 0.6 / (b1 + eps) ** 2
+    a2 = 0.3 / (b2 + eps) ** 2
+    return (a0 * p0 + a1 * p1 + a2 * p2) / (a0 + a1 + a2)
+
+
+def _weno_face(cell, sign):
+    """Upwind WENO5 interface value; ``cell(o)`` = cell at offset o from the
+    interface's LEFT cell; ``sign`` = advecting velocity at the interface."""
+    q_plus = _weno5_plus(lambda o: cell(o))
+    q_minus = _weno5_plus(lambda o: cell(1 - o))
+    return jnp.where(sign >= 0, q_plus, q_minus)
+
+
+def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
+                 inv_dz: float):
+    wz, wy = bz + 2 * H, by + 2 * H
+
+    def kernel(c_hbm, u_hbm, v_hbm, w_hbm, rho_hbm, out_ref,
+               c_w, u_w, v_w, w_w, rho_w, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        srcs = (c_hbm, u_hbm, v_hbm, w_hbm, rho_hbm)
+        dsts = (c_w, u_w, v_w, w_w, rho_w)
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).start()
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).wait()
+
+        c = c_w[:]
+        u = u_w[:]
+        v = v_w[:]
+        w = w_w[:]
+        rho = rho_w[:]
+
+        # ---------- x direction (periodic: lane rolls) ----------------
+        def xs(a, o):
+            # roll semantics: out[i] = a[(i - s) mod n]; we want a[(i+o) mod n]
+            return pltpu.roll(a, (-o) % nx, 2) if o else a
+
+        # mass flux at x-face i: 0.5(ρ[i-1]+ρ[i]) u[i]
+        mfx = 0.5 * (rho + xs(rho, -1)) * u
+        cx = _weno_face(lambda o: xs(c, o - 1), mfx)
+        Fx = mfx * cx
+        div = (xs(Fx, 1) - Fx) * inv_dx          # at centers (all rows)
+        acc = div[H:H + bz, H:H + by, :]
+
+        # ---------- y direction (sublane static slices) ---------------
+        # faces jy = H .. H+by  (by+1 values); cell(o) = row jy-1+o
+        def yc(a, o):
+            return a[:, H - 1 + o: H + o + by, :]
+
+        mfy = 0.5 * (yc(rho, 0) + yc(rho, 1))  # cells jy-1, jy -> face jy
+        # careful: mfy must be ρ at face = 0.5(ρ[jy-1]+ρ[jy]); yc(rho,0)=row jy-1?
+        # yc(a,o)[, m, ] = a[, H-1+o+m, ] with m = 0..by; face index jy = H+m.
+        # cell jy-1 = row H-1+m -> o=0 ✓; cell jy = row H+m -> o=1 ✓.
+        vy = v[:, H: H + by + 1, :]             # v at faces H..H+by
+        mfy = mfy * vy
+        cy = _weno_face(lambda o: yc(c, o), mfy)
+        Fy = mfy * cy
+        acc = acc + (Fy[:, 1:, :] - Fy[:, :-1, :])[H:H + bz, :, :] * inv_dy
+
+        # ---------- z direction --------------------------------------
+        def zc(a, o):
+            return a[H - 1 + o: H + o + bz, :, :]
+
+        mfz = 0.5 * (zc(rho, 0) + zc(rho, 1))
+        wz_ = w[H: H + bz + 1, :, :]
+        mfz = mfz * wz_
+        cz = _weno_face(lambda o: zc(c, o), mfz)
+        Fz = mfz * cz
+        acc = acc + (Fz[1:, :, :] - Fz[:-1, :, :])[:, H:H + by, :] * inv_dz
+
+        out_ref[:] = -acc
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("inv_dx", "inv_dy", "inv_dz", "nz", "ny", "nx", "bz", "by", "interpret"))
+def _run(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dx, inv_dy, inv_dz,
+         nz, ny, nx, bz, by, interpret=False):
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, inv_dz)
+    wz, wy = bz + 2 * H, by + 2 * H
+    grid = (nz // bz, ny // by)
+
+    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        out_specs=pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
+        scratch_shapes=[win(), win(), win(), win(), win(),
+                        pltpu.SemaphoreType.DMA((5,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024),
+        interpret=interpret,
+    )(c_pad, u_pad, v_pad, w_pad, rho_pad)
+
+
+def _pick_block(n, candidates):
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return None
+
+
+def supported(grid, scheme) -> bool:
+    from ..advection import WENO
+    from ..grid import Topology
+
+    return (isinstance(scheme, WENO) and scheme.order == 5
+            and grid.x_topology == Topology.PERIODIC
+            and grid.y_topology == Topology.PERIODIC
+            and grid.uniform_z
+            and grid.dtype == jnp.float32
+            and grid.halo >= H
+            and grid.nx >= 128 and grid.ny >= 8 and grid.nz >= 8
+            and _pick_block(grid.nz, (8, 16, 4)) is not None
+            and _pick_block(grid.ny, (32, 16, 8, 64)) is not None)
+
+
+def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
+                       rho_pad_zy, interpret=False):
+    """Fused −∇·(ρuc); inputs pre-padded by H in z and y ONLY (not x)."""
+    nz, ny, nx = grid.shape
+    bz = _pick_block(nz, (8, 16, 4))
+    by = _pick_block(ny, (32, 16, 8, 64))
+    # uniform z (checked by `supported`): dz from static metadata so
+    # this works under an outer jit trace (dz_c may be a tracer there)
+    inv_dz = float(grid.nz / grid.Lz)
+    return _run(c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy, rho_pad_zy,
+                float(1.0 / grid.dx), float(1.0 / grid.dy), inv_dz,
+                nz, ny, nx, bz, by, interpret=interpret)
+
+
+def available(grid, scheme) -> bool:
+    """Use the fused kernel? (capability + backend + opt-out env)."""
+    import os
+
+    if os.environ.get("BREEZE_TPU_DISABLE_PALLAS"):
+        return False
+    if jax.default_backend() not in ("tpu", "axon"):
+        return False
+    return supported(grid, scheme)

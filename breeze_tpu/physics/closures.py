@@ -151,8 +151,13 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> Closu
     T13p = fl.pad(T13, g, (fl.F, fl.C, fl.F))
     T23p = fl.pad(T23, g, (fl.F, fl.F, fl.C))
 
-    G_u = -(so.dx_cf(T11p) + so.dy_fc(T12p) + so.dz_fc(T13p))
-    G_v = -(so.dx_fc(T12p) + so.dy_cf(T22p) + so.dz_fc(T23p))
+    # When the closure is vertically implicit, the vertical diffusive fluxes
+    # of u, v, and scalars are EXCLUDED from the explicit tendency — the
+    # tridiagonal implicit step applies them (mirrors Oceananigans
+    # VerticallyImplicitTimeDiscretization semantics).
+    vi = bool(getattr(closure, "vertically_implicit", False))
+    G_u = -(so.dx_cf(T11p) + so.dy_fc(T12p)) - (0.0 if vi else so.dz_fc(T13p))
+    G_v = -(so.dx_fc(T12p) + so.dy_cf(T22p)) - (0.0 if vi else so.dz_fc(T23p))
     G_w = -(so.dx_fc(T13p) + so.dy_fc(T23p) + so.dz_cf(T33p))
 
     # --- scalar diffusive flux divergences ---------------------------
@@ -167,6 +172,8 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> Closu
         Fx = kx * so.dx_cf(c_pad)
         Fy = ky * so.dy_cf(c_pad)
         Fz = kz * so.dz_cf(c_pad)
+        if vi:
+            Fz = jnp.zeros_like(Fz)   # vertical part handled implicitly
         # zero diffusive flux through walls
         Fz = Fz.at[0].set(0.0) if g.z_topology.value == "bounded" else Fz
         Fxp = fl.pad(Fx, g, fl.CCF)
@@ -179,3 +186,69 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> Closu
 
     return ClosureFluxes(G_u=G_u, G_v=G_v, G_w=G_w,
                          G_theta=G_theta, G_qt=G_qt, nu_e=nu_c)
+
+
+def eddy_coefficients(model, state):
+    """(νₑ, κₑ) at cell centers for the configured closure."""
+    from ..model import diagnose
+
+    g = model.grid
+    closure = model.closure
+    if isinstance(closure, ConstantDiffusivity):
+        nu = jnp.full(g.shape, closure.viscosity, g.dtype)
+        kappa = jnp.full(g.shape, closure.diffusivity, g.dtype)
+        return nu, kappa
+    aux = diagnose(model, state)
+    so = model.stencil_ops()
+    cf = closure_tendencies(model, so, aux,
+                            fl.pad(aux.u, g, fl.CCF),
+                            fl.pad(aux.v, g, fl.CFC),
+                            fl.pad(aux.w, g, fl.FCC))
+    return cf.nu_e, cf.nu_e / closure.prandtl
+
+
+def implicit_vertical_diffusion_step(model, state, new_ru, new_rv, new_rt,
+                                     new_rq, new_tr, dt_eff):
+    """Backward-Euler vertical diffusion via batched tridiagonal solve.
+
+    TPU analogue of the reference's per-field ``implicit_step!`` with
+    ``VerticallyImplicitTimeDiscretization`` (``ssp_runge_kutta_3.jl:139-160``):
+    solve (ρc − Δt ∂z(ρ κ ∂z c))_new = (ρc)_rhs per column, z-walls
+    zero-flux.  Removes the vertical diffusive CFL limit on stretched grids.
+    """
+    from ..dynamics.tridiagonal import thomas_solve
+
+    g = model.grid
+    ref = model.reference
+    rho_c = ref.rho_col
+    rho_f = ref.rho_f_col
+    dz_c = g.dz_c_col
+    dz_f = g.dz_f_col
+    nz = g.nz
+
+    nu_c, kappa_c = eddy_coefficients(model, state)
+
+    def solve(rho_field, coeff_c):
+        # face coefficients: ρᶠ κᶠ at faces 1..nz-1 (0 at walls)
+        coeff_f = 0.5 * (coeff_c + jnp.concatenate([coeff_c[:1], coeff_c[:-1]], 0))
+        a_fac = rho_f * coeff_f / dz_f          # at faces 0..nz-1; face 0 wall→0
+        a_fac = a_fac.at[0].set(0.0)
+        a_up = jnp.concatenate([a_fac[1:], jnp.zeros_like(a_fac[:1])], 0)  # face k+1
+
+        # row k (cell): ρᵣ c − Δt/Δzc [aᶠ(k+1)(c[k+1]−c[k]) − aᶠ(k)(c[k]−c[k−1])]
+        lam = dt_eff / dz_c
+        lower = -lam * a_fac
+        upper = -lam * a_up
+        diag = jnp.broadcast_to(rho_c, g.shape) + lam * (a_fac + a_up)
+        c_spec = rho_field / rho_c
+        rhs = jnp.broadcast_to(rho_c, g.shape) * c_spec
+        c_new = thomas_solve(lower, diag, upper, rhs)
+        return c_new * rho_c
+
+    new_ru = solve(new_ru, nu_c)
+    new_rv = solve(new_rv, nu_c)
+    new_rt = solve(new_rt, kappa_c)
+    if new_rq is not None:
+        new_rq = solve(new_rq, kappa_c)
+    new_tr = {k: solve(v, kappa_c) for k, v in new_tr.items()}
+    return new_ru, new_rv, new_rt, new_rq, new_tr
