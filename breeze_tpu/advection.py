@@ -53,8 +53,15 @@ class UpwindBiased:
 
 @dataclasses.dataclass(frozen=True)
 class WENO:
+    """WENO reconstruction; ``bounds_preserving`` clips each interface value
+    to the hull of its adjacent cells (TPU analogue of the reference's
+    bounds-preserving WENO route, ``src/Advection.jl:42-47``): under the CFL
+    this keeps tracers within their initial bounds (no new extrema), at the
+    cost of locally reducing to low order at clipped interfaces."""
+
     order: int = 5
     epsilon: float = 1e-6
+    bounds_preserving: bool = False
 
     @property
     def required_halo(self):
@@ -219,7 +226,11 @@ def reconstruct(scheme, q_pad: jax.Array, upwind_sign: jax.Array | None,
         return q_plus
     q_minus = formula(w.neg)
     assert upwind_sign is not None, "upwind schemes need an advecting velocity"
-    return jnp.where(upwind_sign >= 0, q_plus, q_minus)
+    out = jnp.where(upwind_sign >= 0, q_plus, q_minus)
+    if isinstance(scheme, WENO) and scheme.bounds_preserving:
+        qL, qR = w.pos(0), w.pos(1)
+        out = jnp.clip(out, jnp.minimum(qL, qR), jnp.maximum(qL, qR))
+    return out
 
 
 # ---------------------------------------------------------------------------
