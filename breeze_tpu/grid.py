@@ -59,7 +59,7 @@ def _uniform_spacing(extent: float, n: int) -> float:
         "nx", "ny", "nz",
         "x_topology", "y_topology", "z_topology",
         "x0", "y0", "z0", "Lx", "Ly", "Lz",
-        "dx", "dy", "halo", "dtype_name", "uniform_z",
+        "dx", "dy", "halo", "dtype_name", "uniform_z", "dz_min",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +93,7 @@ class Grid:
     halo: int
     dtype_name: str
     uniform_z: bool
+    dz_min: float          # static min(dz_c): usable under jit traces
     z_c: jax.Array
     z_f: jax.Array
     dz_c: jax.Array
@@ -214,6 +215,7 @@ def make_grid(
         halo=int(halo),
         dtype_name=str(fdtype),
         uniform_z=uniform_z,
+        dz_min=float(dz_c.min()),
         z_c=jnp.asarray(z_c, fdtype),
         z_f=jnp.asarray(z_f, fdtype),
         dz_c=jnp.asarray(dz_c, fdtype),

@@ -418,12 +418,26 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     rho_r_field = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
     rho_r_pad = fl.pad(rho_r_field, g, fl.CCC)
 
+    # Fused Pallas scalar-advection path (opt-in; see pallas_kernels.advection)
+    from .pallas_kernels import advection as padv
+    use_pallas = padv.available(g, model.scalar_advection)
+    if use_pallas:
+        pz = lambda a, loc: fl.pad(a, g, loc, axes=(0, 1))
+        pz_args = (pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC),
+                   pz(rho_r_field, fl.CCC))
+
+        def scalar_div(c_spec):
+            return -padv.div_rho_u_c_pallas(g, pz(c_spec, fl.CCC), *pz_args)
+    else:
+        def scalar_div(c_spec):
+            c_pad = fl.pad(c_spec, g, fl.CCC)
+            return adv.div_rho_u_c(
+                so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, c_pad)
+
     # Specific thermodynamic prognostic: θˡⁱ or e (formulation dispatch,
     # reference formulation_interface.jl:22-208).
     chi = state.rho_theta / ref.rho_col
-    chi_pad = fl.pad(chi, g, fl.CCC)
-    G_rho_theta = -adv.div_rho_u_c(
-        so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, chi_pad)
+    G_rho_theta = -scalar_div(chi)
     if model.formulation == "static_energy":
         # −ρwb buoyancy flux couples energy and momentum budgets in the
         # anelastic limit (reference static_energy_tendency.jl:60-72).
@@ -435,18 +449,13 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
 
     G_rho_qt = None
     if model.has_moisture:
-        qt_pad = fl.pad(aux.qt, g, fl.CCC)
-        G_rho_qt = -adv.div_rho_u_c(
-            so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, qt_pad)
+        G_rho_qt = -scalar_div(aux.qt)
         if closure_fluxes is not None and closure_fluxes.G_qt is not None:
             G_rho_qt = G_rho_qt + closure_fluxes.G_qt
 
     G_tracers = {}
     for name, rho_c_tr in state.tracers.items():
-        c_spec = rho_c_tr / ref.rho_col
-        c_pad = fl.pad(c_spec, g, fl.CCC)
-        G_tracers[name] = -adv.div_rho_u_c(
-            so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, c_pad)
+        G_tracers[name] = -scalar_div(rho_c_tr / ref.rho_col)
 
     G = State(
         rho_u=G_rho_u, rho_v=G_rho_v, rho_w=G_rho_w,

@@ -185,10 +185,13 @@ def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
 
 
 def available(grid, scheme) -> bool:
-    """Use the fused kernel? (capability + backend + opt-out env)."""
+    """Use the fused kernel? Currently opt-in via BREEZE_TPU_ENABLE_PALLAS:
+    the kernel is verified in interpret mode, but Mosaic compilation through
+    the remote-compile tunnel of this environment stalls — to be promoted to
+    the default once compiled on directly-attached hardware."""
     import os
 
-    if os.environ.get("BREEZE_TPU_DISABLE_PALLAS"):
+    if not os.environ.get("BREEZE_TPU_ENABLE_PALLAS"):
         return False
     if jax.default_backend() not in ("tpu", "axon"):
         return False

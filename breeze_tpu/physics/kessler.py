@@ -128,7 +128,7 @@ def kessler_update(scheme: KesslerMicrophysics, model, state, dt: float):
 
     # Global fixed subcycle count from the terminal-velocity bound
     # (TPU: trace-friendly; reference uses per-column adaptive counts).
-    dz_min = float(jnp.min(g.dz_c))
+    dz_min = g.dz_min   # static metadata (jit-safe)
     n_sub = max(1, math.ceil(dt * scheme.max_terminal_velocity
                              / (scheme.substep_cfl * dz_min)))
     dts = dt / n_sub

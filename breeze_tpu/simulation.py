@@ -309,14 +309,12 @@ class Simulation:
         self.callbacks: list[Callback] = []
         self.output_writers: list = []
         self.verbose = verbose
-        from .dynamics.compressible import CompressibleModel
-        self._dt_static = isinstance(model, CompressibleModel)
-        if self._dt_static:
-            # acoustic substep counts are baked into the compiled program;
-            # the wizard quantizes dt to limit recompiles.
-            self._step = jax.jit(model_step_fn(model), static_argnums=(2,))
-        else:
-            self._step = jax.jit(model_step_fn(model))
+        # dt is compiled in as a static value: the compressible path bakes
+        # its acoustic substep count into the program, and operator-split
+        # microphysics (Kessler) bakes its sedimentation subcycle count.
+        # The wizard quantizes dt to keep the compile cache small.
+        self._dt_static = True
+        self._step = jax.jit(model_step_fn(model), static_argnums=(2,))
         if nan_check_interval:
             nc = NaNChecker(nan_check_interval)
             self.add_callback(nc, nc.schedule)

@@ -1,0 +1,33 @@
+"""Smoke tests: every example runs in --quick mode (reference docs build
+executes all examples via Literate — same contract)."""
+
+import subprocess
+import sys
+import os
+
+import pytest
+
+EXAMPLES = [
+    "dry_thermal_bubble.py",
+    "cloudy_thermal_bubble.py",
+    "acoustic_wave.py",
+    "inertia_gravity_wave.py",
+    "bomex.py",
+    "splitting_supercell.py",
+]
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.parametrize("example", EXAMPLES)
+def test_example_quick(example):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = ROOT
+    result = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", example), "--quick"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=ROOT)
+    assert result.returncode == 0, (
+        f"{example} failed:\nSTDOUT:\n{result.stdout[-2000:]}\n"
+        f"STDERR:\n{result.stderr[-2000:]}")
