@@ -291,14 +291,18 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
             T, q = saturation_adjust(theta, qt, p_r, c, model.microphysics,
                                      model.p_standard)
         elif hasattr(model.microphysics, "prognostic_tracer_names"):
-            # Prognostic-condensate schemes (e.g. Kessler): the moisture slot
+            # Prognostic-condensate schemes (Kessler, 1M): the moisture slot
             # is vapor; condensate fractions come from tracer prognostics
             # (reference grid_moisture_fractions, microphysics_interface.jl:611).
             zero = jnp.zeros_like(theta)
             ql = zero
-            for name in model.microphysics.prognostic_tracer_names:
+            qi = zero
+            mp = model.microphysics
+            for name in getattr(mp, "liquid_tracer_names", mp.prognostic_tracer_names):
                 ql = ql + state.tracers.get(name, zero) / rho_c
-            q = MoistureMassFractions(qt, ql, zero)
+            for name in getattr(mp, "ice_tracer_names", ()):
+                qi = qi + state.tracers.get(name, zero) / rho_c
+            q = MoistureMassFractions(qt, ql, qi)
             T = temperature_from_theta_li(theta, q, p_r, c, model.p_standard)
         else:
             q = MoistureMassFractions.vapor_only(qt)
@@ -422,7 +426,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     from .pallas_kernels import advection as padv
     use_pallas = padv.available(g, model.scalar_advection)
     if use_pallas:
-        pz = lambda a, loc: fl.pad(a, g, loc, axes=(0, 1))
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
         pz_args = (pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC),
                    pz(rho_r_field, fl.CCC))
 

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-H = 3  # WENO5 halo
+H = 3   # WENO5 halo (z)
+HY = 4  # y-halo: one extra row so the VMEM window sublane count is 8-aligned
 
 
 def _weno5_plus(g):
@@ -58,7 +59,7 @@ def _weno_face(cell, sign):
 
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                  inv_dz: float):
-    wz, wy = bz + 2 * H, by + 2 * H
+    wz, wy = bz + 2 * H, by + 2 * HY
 
     def kernel(c_hbm, u_hbm, v_hbm, w_hbm, rho_hbm, out_ref,
                c_w, u_w, v_w, w_w, rho_w, sems):
@@ -92,18 +93,16 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         cx = _weno_face(lambda o: xs(c, o - 1), mfx)
         Fx = mfx * cx
         div = (xs(Fx, 1) - Fx) * inv_dx          # at centers (all rows)
-        acc = div[H:H + bz, H:H + by, :]
+        acc = div[H:H + bz, HY:HY + by, :]
 
         # ---------- y direction (sublane static slices) ---------------
-        # faces jy = H .. H+by  (by+1 values); cell(o) = row jy-1+o
+        # interior rows sit at window rows HY..HY+by; faces jy = HY..HY+by;
+        # yc(a,o)[:, m, :] = row HY-1+o+m = cell (jy-1)+o for face jy=HY+m.
         def yc(a, o):
-            return a[:, H - 1 + o: H + o + by, :]
+            return a[:, HY - 1 + o: HY + o + by, :]
 
-        mfy = 0.5 * (yc(rho, 0) + yc(rho, 1))  # cells jy-1, jy -> face jy
-        # careful: mfy must be ρ at face = 0.5(ρ[jy-1]+ρ[jy]); yc(rho,0)=row jy-1?
-        # yc(a,o)[, m, ] = a[, H-1+o+m, ] with m = 0..by; face index jy = H+m.
-        # cell jy-1 = row H-1+m -> o=0 ✓; cell jy = row H+m -> o=1 ✓.
-        vy = v[:, H: H + by + 1, :]             # v at faces H..H+by
+        mfy = 0.5 * (yc(rho, 0) + yc(rho, 1))
+        vy = v[:, HY: HY + by + 1, :]           # v at faces HY..HY+by
         mfy = mfy * vy
         cy = _weno_face(lambda o: yc(c, o), mfy)
         Fy = mfy * cy
@@ -118,7 +117,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         mfz = mfz * wz_
         cz = _weno_face(lambda o: zc(c, o), mfz)
         Fz = mfz * cz
-        acc = acc + (Fz[1:, :, :] - Fz[:-1, :, :])[:, H:H + by, :] * inv_dz
+        acc = acc + (Fz[1:, :, :] - Fz[:-1, :, :])[:, HY:HY + by, :] * inv_dz
 
         out_ref[:] = -acc
 
@@ -129,7 +128,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 def _run(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dx, inv_dy, inv_dz,
          nz, ny, nx, bz, by, interpret=False):
     kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, inv_dz)
-    wz, wy = bz + 2 * H, by + 2 * H
+    wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
 
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
@@ -172,7 +171,7 @@ def supported(grid, scheme) -> bool:
 
 def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
                        rho_pad_zy, interpret=False):
-    """Fused −∇·(ρuc); inputs pre-padded by H in z and y ONLY (not x)."""
+    """Fused −∇·(ρuc); inputs pre-padded by H=3 in z and HY=4 in y (not x)."""
     nz, ny, nx = grid.shape
     bz = _pick_block(nz, (8, 16, 4))
     by = _pick_block(ny, (32, 16, 8, 64))
@@ -182,6 +181,14 @@ def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
     return _run(c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy, rho_pad_zy,
                 float(1.0 / grid.dx), float(1.0 / grid.dy), inv_dz,
                 nz, ny, nx, bz, by, interpret=interpret)
+
+
+def pad_zy(a, grid, loc):
+    """Host-side pre-pad for the kernel: z by H=3, y by HY=4."""
+    from .. import fields as fl
+
+    out = fl.pad(a, grid, loc, halo=H, axes=(0,))
+    return fl.pad(out, grid, loc, halo=HY, axes=(1,))
 
 
 def available(grid, scheme) -> bool:

@@ -55,6 +55,8 @@ class KesslerMicrophysics:
     tetens_dT: float = 35.85
 
     prognostic_tracer_names = ("rho_qcl", "rho_qr")
+    liquid_tracer_names = ("rho_qcl", "rho_qr")
+    ice_tracer_names = ()
 
     # -- process rates (mixing-ratio space) ----------------------------
     def terminal_velocity(self, r_r, rho, rho_surf):

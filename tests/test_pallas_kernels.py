@@ -36,7 +36,7 @@ class TestFusedWENO:
             so, scheme, fl.pad(rho, g, fl.CCC), fl.pad(u, g, fl.CCF),
             fl.pad(v, g, fl.CFC), fl.pad(w, g, fl.FCC), fl.pad(c, g, fl.CCC))
 
-        pz = lambda a, loc: fl.pad(a, g, loc, axes=(0, 1))
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
         got = padv.div_rho_u_c_pallas(
             g, pz(c, fl.CCC), pz(u, fl.CCF), pz(v, fl.CFC), pz(w, fl.FCC),
             pz(rho, fl.CCC), interpret=True)
