@@ -39,8 +39,9 @@ def _periodic_eigenvalues(n: int, delta: float, rfft: bool) -> np.ndarray:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["lower", "c_prime", "inv_den", "zero_mode_mask", "dz_c"],
-    meta_fields=["nz", "ny", "nxr"],
+    data_fields=["lower", "c_prime", "inv_den", "zero_mode_mask", "dz_c",
+                 "dft_mats"],
+    meta_fields=["nz", "ny", "nxr", "use_matmul_dft"],
 )
 @dataclasses.dataclass(frozen=True)
 class AnelasticPoissonSolver:
@@ -52,6 +53,39 @@ class AnelasticPoissonSolver:
     inv_den: jax.Array        # (nz, ny, nxr) Thomas pivot reciprocals
     zero_mode_mask: jax.Array  # (ny, nxr) bool
     dz_c: jax.Array            # (nz,) cell heights (volume weighting of rows)
+    dft_mats: dict             # matmul-DFT matrices (empty when unused)
+    use_matmul_dft: bool
+
+    # -- transforms ----------------------------------------------------
+    def _forward(self, rhs):
+        if not self.use_matmul_dft:
+            return jnp.fft.rfft2(rhs, axes=(1, 2))
+        m = self.dft_mats
+        # x: real → half-complex via two real matmuls (MXU path: XLA's TPU
+        # FFT lowers to a slow generic routine; the DFT-as-matmul runs on
+        # the systolic array and is several times faster at these sizes)
+        re = jnp.einsum("zyx,xk->zyk", rhs, m["cx"])
+        im = jnp.einsum("zyx,xk->zyk", rhs, m["sx"])
+        # y: complex DFT
+        yre = jnp.einsum("zyk,ym->zmk", re, m["cy"]) + jnp.einsum(
+            "zyk,ym->zmk", im, m["sy"])
+        yim = jnp.einsum("zyk,ym->zmk", im, m["cy"]) - jnp.einsum(
+            "zyk,ym->zmk", re, m["sy"])
+        return yre + 1j * yim
+
+    def _inverse(self, x_hat, out_shape):
+        if not self.use_matmul_dft:
+            return jnp.fft.irfft2(x_hat, s=out_shape, axes=(1, 2))
+        m = self.dft_mats
+        re, im = jnp.real(x_hat), jnp.imag(x_hat)
+        # inverse y (complex): kernels with +i sign and 1/ny scaling
+        yre = jnp.einsum("zmk,my->zyk", re, m["icy"]) - jnp.einsum(
+            "zmk,my->zyk", im, m["isy"])
+        yim = jnp.einsum("zmk,my->zyk", im, m["icy"]) + jnp.einsum(
+            "zmk,my->zyk", re, m["isy"])
+        # inverse x (half-complex → real) with hermitian weights folded in
+        return (jnp.einsum("zyk,kx->zyx", yre, m["icx"])
+                + jnp.einsum("zyk,kx->zyx", yim, m["isx"]))
 
     def solve(self, divergence: jax.Array, dt) -> jax.Array:
         """Solve for φ given δ = ∇·(ρu~); returns the kinematic pressure φ.
@@ -61,7 +95,7 @@ class AnelasticPoissonSolver:
         """
         nz = self.nz
         rhs = divergence * self.dz_c[:, None, None]
-        rhs_hat = jnp.fft.rfft2(rhs, axes=(1, 2)) / dt
+        rhs_hat = self._forward(rhs) / dt
         # Pin the singular (0,0) mode: its top-row equation is replaced by
         # phi = 0 (compatibility makes the dropped equation redundant).
         rhs_hat = rhs_hat.at[nz - 1].set(
@@ -87,11 +121,40 @@ class AnelasticPoissonSolver:
             bwd, x_top, (d[: nz - 1][::-1], self.c_prime[: nz - 1][::-1]))
         x = jnp.concatenate([x_rev[::-1], x_top[None]], axis=0)
 
-        phi = jnp.fft.irfft2(x, s=divergence.shape[1:], axes=(1, 2))
+        phi = self._inverse(x, divergence.shape[1:])
         return phi.astype(divergence.dtype)
 
 
-def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f) -> AnelasticPoissonSolver:
+def _build_dft_matrices(nx: int, ny: int, dtype) -> dict:
+    """Real matmul factors for rfft2/irfft2 (forward sign e^{-2πi k n/N})."""
+    nxr = nx // 2 + 1
+    n = np.arange(nx)
+    k = np.arange(nxr)
+    ang_x = 2.0 * np.pi * np.outer(n, k) / nx           # (nx, nxr)
+    cx = np.cos(ang_x)
+    sx = -np.sin(ang_x)
+    # inverse x: real output with hermitian symmetry folded into weights
+    w = np.full(nxr, 2.0 / nx)
+    w[0] = 1.0 / nx
+    if nx % 2 == 0:
+        w[-1] = 1.0 / nx
+    icx = (w[:, None] * np.cos(ang_x.T))                 # (nxr, nx)
+    isx = (w[:, None] * -np.sin(ang_x.T))
+    # y: full complex DFT
+    j = np.arange(ny)
+    m = np.arange(ny)
+    ang_y = 2.0 * np.pi * np.outer(j, m) / ny            # (ny, ny)
+    cy = np.cos(ang_y)
+    sy = np.sin(ang_y)
+    icy = np.cos(ang_y) / ny
+    isy = np.sin(ang_y) / ny
+    cast = lambda a: jnp.asarray(a, dtype)
+    return {"cx": cast(cx), "sx": cast(sx), "icx": cast(icx), "isx": cast(isx),
+            "cy": cast(cy), "sy": cast(sy), "icy": cast(icy), "isy": cast(isy)}
+
+
+def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
+                                   use_matmul_dft: bool | None = None) -> AnelasticPoissonSolver:
     """Precompute Thomas factors for the ρᵣ-weighted Fourier-tridiagonal solve.
 
     ``rho_c``: reference density at centers ``(nz,)``; ``rho_f``: at faces
@@ -154,6 +217,11 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f) -> AnelasticPoisson
         inv_den[k] = 1.0 / den
         c_prime[k] = upper[k] * inv_den[k]
 
+    if use_matmul_dft is None:
+        # The MXU DFT path is the default on TPU backends; CPU keeps the
+        # library FFT (pocketfft is fast there and f64-exact for tests).
+        use_matmul_dft = jax.default_backend() in ("tpu", "axon")
+
     dt = grid.dtype
     return AnelasticPoissonSolver(
         nz=nz, ny=ny, nxr=nxr,
@@ -162,4 +230,6 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f) -> AnelasticPoisson
         inv_den=jnp.asarray(inv_den, dt),
         zero_mode_mask=jnp.asarray(zero_mode),
         dz_c=jnp.asarray(dz_c, dt),
+        dft_mats=(_build_dft_matrices(nx, ny, dt) if use_matmul_dft else {}),
+        use_matmul_dft=bool(use_matmul_dft),
     )

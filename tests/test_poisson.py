@@ -122,3 +122,40 @@ class TestProjection:
         ru2, rv2, rw2, _ = pressure_projection(model, ru1, rv1, rw1, dt=1.0)
         np.testing.assert_allclose(np.asarray(ru2), np.asarray(ru1), atol=1e-10)
         np.testing.assert_allclose(np.asarray(rw2), np.asarray(rw1), atol=1e-10)
+
+
+class TestMatmulDFT:
+    def test_matmul_dft_matches_fft_solver(self):
+        """The MXU DFT path must agree with the library-FFT path."""
+        g, rho_c, rho_f = make_case()
+        s_fft = build_anelastic_poisson_solver(g, rho_c, rho_f, use_matmul_dft=False)
+        s_mm = build_anelastic_poisson_solver(g, rho_c, rho_f, use_matmul_dft=True)
+        rng = np.random.default_rng(3)
+        rhs = jnp.asarray(rng.normal(size=g.shape))
+        rhs = rhs - rhs.mean()
+        p1 = np.array(s_fft.solve(rhs, 0.5))
+        p2 = np.array(s_mm.solve(rhs, 0.5))
+        p1 -= p1.mean()
+        p2 -= p2.mean()
+        np.testing.assert_allclose(p2, p1, atol=1e-10)
+
+    def test_matmul_projection_kills_divergence(self):
+        from breeze_tpu.model import make_model, pressure_projection
+        from breeze_tpu.dynamics.poisson import build_anelastic_poisson_solver
+        import dataclasses as dc
+        g = bz.make_grid(size=(16, 12, 20), extent=(2000.0, 1500.0, 1000.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, potential_temperature=300.0)
+        solver_mm = build_anelastic_poisson_solver(
+            g, model.reference.rho_c, model.reference.rho_f, use_matmul_dft=True)
+        model = dc.replace(model, solver=solver_mm)
+        rng = np.random.default_rng(9)
+        ru = jnp.asarray(rng.normal(size=g.shape))
+        rv = jnp.asarray(rng.normal(size=g.shape))
+        rw = jnp.asarray(rng.normal(size=g.shape))
+        ru2, rv2, rw2, _ = pressure_projection(model, ru, rv, rw, dt=1.0)
+        so = StencilOps(g)
+        div = so.div_c(fl.pad(ru2, g, fl.CCF), fl.pad(rv2, g, fl.CFC),
+                       fl.pad(rw2, g, fl.FCC))
+        np.testing.assert_allclose(np.asarray(div) * g.dx, 0.0, atol=1e-9)
