@@ -221,12 +221,20 @@ def reconstruct(scheme, q_pad: jax.Array, upwind_sign: jax.Array | None,
     w = _Windows(b, axis, h, n_out, left0)
 
     formula, symmetric = _biased_formula(scheme)
-    q_plus = formula(w.pos)
     if symmetric:
-        return q_plus
-    q_minus = formula(w.neg)
+        return formula(w.pos)
     assert upwind_sign is not None, "upwind schemes need an advecting velocity"
-    out = jnp.where(upwind_sign >= 0, q_plus, q_minus)
+
+    # Stencil-select upwinding: pick the upwind cell for each offset with a
+    # cheap select, then evaluate the biased formula ONCE — half the
+    # reconstruction arithmetic and intermediates of the compute-both-
+    # branches approach (the VPU win that makes jnp-level WENO competitive).
+    up = upwind_sign >= 0
+
+    def g(o):
+        return jnp.where(up, w.pos(o), w.neg(o))
+
+    out = formula(g)
     if isinstance(scheme, WENO) and scheme.bounds_preserving:
         qL, qR = w.pos(0), w.pos(1)
         out = jnp.clip(out, jnp.minimum(qL, qR), jnp.maximum(qL, qR))
