@@ -103,7 +103,7 @@ class CompressibleState:
     data_fields=["grid", "reference"],
     meta_fields=["constants", "momentum_advection", "scalar_advection",
                  "coriolis", "closure", "forcings", "boundary_fluxes",
-                 "time_discretization", "p_standard"],
+                 "time_discretization", "p_standard", "microphysics"],
 )
 @dataclasses.dataclass(frozen=True)
 class CompressibleModel:
@@ -118,10 +118,11 @@ class CompressibleModel:
     boundary_fluxes: Any
     time_discretization: Any
     p_standard: float
+    microphysics: Any = None   # None (dry) | SaturationAdjustment (moist)
 
     @property
     def has_moisture(self):
-        return False  # moist compressible: planned extension (v1 is dry)
+        return self.microphysics is not None
 
     def stencil_ops(self) -> StencilOps:
         return StencilOps(self.grid)
@@ -139,8 +140,10 @@ def make_compressible_model(
     forcings=(),
     boundary_fluxes=None,
     time_discretization=None,
+    microphysics=None,
     surface_pressure: float = 101325.0,
     reference_potential_temperature=300.0,
+    reference_vapor_mass_fraction=None,
     p_standard: float = 1.0e5,
 ) -> CompressibleModel:
     constants = constants or ThermodynamicConstants()
@@ -149,6 +152,7 @@ def make_compressible_model(
             grid, constants,
             surface_pressure=surface_pressure,
             potential_temperature=reference_potential_temperature,
+            vapor_mass_fraction=reference_vapor_mass_fraction,
             standard_pressure=p_standard)
     if advection is not None:
         momentum_advection = momentum_advection or advection
@@ -164,11 +168,12 @@ def make_compressible_model(
         boundary_fluxes=boundary_fluxes,
         time_discretization=time_discretization,
         p_standard=p_standard,
+        microphysics=microphysics,
     )
 
 
 def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
-                               v=None, w=None, rho=None,
+                               v=None, w=None, rho=None, qt=None,
                                pressure_balanced: bool = True) -> CompressibleState:
     """Initialize from θ (+ optional velocity) against the reference column.
 
@@ -206,13 +211,18 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
     w_arr = materialize(w, 0.0)
     rho_w = fl.enforce_impenetrability(rho_f * w_arr, g)
 
+    rho_qt = None
+    if model.has_moisture:
+        qt_arr = materialize(qt, 0.0) if qt is not None else jnp.zeros(g.shape, dt)
+        rho_qt = rho_arr * qt_arr
+
     return CompressibleState(
         rho=rho_arr,
         rho_u=rho_arr * u_arr,
         rho_v=rho_arr * v_arr,
         rho_w=rho_w,
         rho_theta=rho_arr * theta_arr,
-        rho_qt=None, tracers={},
+        rho_qt=rho_qt, tracers={},
         time=jnp.zeros((), dt),
     )
 
@@ -242,12 +252,17 @@ class CompAux(NamedTuple):
     theta: jax.Array
     p: jax.Array
     T: jax.Array
+    q: Any = None      # MoistureMassFractions | None
+    qt: Any = None
 
 
 def compressible_diagnose(model: CompressibleModel, state: CompressibleState) -> CompAux:
-    """u = ρu/ρ̄ᶠ (3-D face interpolation now), θ = ρθ/ρ, p from EOS."""
+    """u = ρu/ρ̄ᶠ (3-D face interpolation now), θ = ρθ/ρ, p from EOS.
+
+    Moist path: density-based saturation adjustment (T, q, p) from
+    (ρ, θˡⁱ, qᵗ) — the reference's LiquidIceDensityState Newton inversion
+    (``compressible_time_stepping.jl:161-244``)."""
     g = model.grid
-    so = model.stencil_ops()
     rho_pad = fl.pad(state.rho, g, fl.CCC, halo=1, axes=(0, 1, 2))
 
     def v1(a, dz=0, dy=0, dx=0):
@@ -261,6 +276,16 @@ def compressible_diagnose(model: CompressibleModel, state: CompressibleState) ->
     v = state.rho_v / rho_y
     w = state.rho_w / rho_z
     theta = state.rho_theta / state.rho
+
+    if model.has_moisture:
+        from ..physics.microphysics import density_saturation_adjust
+
+        qt = state.rho_qt / state.rho
+        T, q, p = density_saturation_adjust(theta, state.rho, qt,
+                                            model.constants, model.microphysics,
+                                            model.p_standard)
+        return CompAux(u=u, v=v, w=w, theta=theta, p=p, T=T, q=q, qt=qt)
+
     p = eos_pressure(model, state.rho_theta)
     T = p / (model.constants.Rd * state.rho)
     return CompAux(u=u, v=v, w=w, theta=theta, p=p, T=T)
@@ -410,12 +435,16 @@ class StageCaches(NamedTuple):
 def stage_caches(model: CompressibleModel, state: CompressibleState,
                  aux: CompAux) -> StageCaches:
     c = model.constants
-    Rd = c.Rd
-    cpd = c.dry_air.heat_capacity
-    gamma = cpd / (cpd - Rd)
-    kappa = Rd / cpd
+    if model.has_moisture and aux.q is not None:
+        Rm = c.mixture_gas_constant(aux.q)
+        cpm = c.mixture_heat_capacity(aux.q)
+    else:
+        Rm = c.Rd
+        cpm = c.dry_air.heat_capacity
+    gamma = cpm / (cpm - Rm)
+    kappa = Rm / cpm
     Pi_L = (aux.p / model.p_standard) ** kappa
-    C_L = gamma * Rd * Pi_L
+    C_L = gamma * Rm * Pi_L
     th = aux.theta
     th_zf = 0.5 * (th + jnp.concatenate([th[:1], th[:-1]], axis=0))
     return StageCaches(theta_L=th, theta_L_zf=th_zf, C_L=C_L)

@@ -116,6 +116,67 @@ def saturation_adjust_static_energy(e, z, qt, p, constants: ThermodynamicConstan
     return T, q
 
 
+def density_saturation_adjust(theta_li, rho, qt, constants: ThermodynamicConstants,
+                              scheme: "SaturationAdjustment",
+                              p_standard: float = 1.0e5):
+    """Density-consistent saturation adjustment for compressible dynamics.
+
+    Mirrors the reference's ``LiquidIceDensityState`` pathway
+    (``saturation_adjustment.jl:236-290``): qsat and the θˡⁱ inversion are
+    evaluated at the state's actual density ρ (with true pressure p = ρRᵐT)
+    rather than a fixed reference pressure.  The single residual
+
+        r(T) = θˡⁱ(T; q_eq(T, ρ)) − θ₀
+
+    covers both branches (unsaturated cells get q_eq = all-vapor because
+    qᵗ < qᵛ⁺).  Returns ``(T, q, p)``.
+    """
+    from .microphysics import equilibrated_moisture_fractions  # self-import ok
+
+    eq = scheme.equilibrium
+    Ll = constants.liquid.reference_latent_heat
+    Li = constants.ice.reference_latent_heat
+
+    def partition(T):
+        lam = eq.liquid_fraction(T)
+        qvs = saturation_specific_humidity(T, rho, constants, lam)
+        qvs = jnp.minimum(qvs, jnp.maximum(qt, 0.0) + 1.0)  # guard
+        return equilibrated_moisture_fractions(T, qt, qvs, eq)
+
+    def theta_of(T):
+        q = partition(T)
+        Rm = constants.mixture_gas_constant(q)
+        cpm = constants.mixture_heat_capacity(q)
+        p = rho * Rm * T
+        kappa = Rm / cpm
+        return (T - (Ll * q.liquid + Li * q.ice) / cpm) * (p_standard / p) ** kappa
+
+    def residual(T):
+        return theta_of(T) - theta_li
+
+    # initial guesses: dry inversion, then a latent-heat bump
+    Rd = constants.Rd
+    cpd = constants.dry_air.heat_capacity
+    # dry closed form: T = θ (ρRdθ/pst)^(Rd/cvd)
+    cvd = cpd - Rd
+    T1 = theta_li * (rho * Rd * theta_li / p_standard) ** (Rd / cvd)
+    T2 = T1 + 1.0
+
+    Ta, Tb = T1, T2
+    ra = residual(Ta)
+    for _ in range(scheme.iterations + 2):
+        rb = residual(Tb)
+        dr = rb - ra
+        safe = jnp.where(jnp.abs(dr) > 1e-30, dr, jnp.ones_like(dr))
+        Tc = jnp.where(jnp.abs(dr) > 1e-30, Tb - rb * (Tb - Ta) / safe, Tb)
+        Ta, ra, Tb = Tb, rb, Tc
+
+    T = Tb
+    q = partition(T)
+    p = rho * constants.mixture_gas_constant(q) * T
+    return T, q, p
+
+
 @dataclasses.dataclass(frozen=True)
 class InstantaneousPrecipitation:
     """Saturation adjustment + instant removal of condensate.

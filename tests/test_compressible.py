@@ -223,3 +223,51 @@ class TestSubstepCount:
         n = substep_count(model, 2.0)
         cs = sound_speed(model)
         assert n == int(np.ceil(2.0 * cs / (0.5 * g.dx)))
+
+
+class TestMoistCompressible:
+    def test_density_saturation_adjust_consistency(self):
+        from breeze_tpu.physics.microphysics import (SaturationAdjustment,
+                                                     density_saturation_adjust)
+        from breeze_tpu.thermo.constants import MoistureMassFractions
+        from breeze_tpu.thermo.states import theta_li_from_temperature
+        scheme = SaturationAdjustment()
+        rho = jnp.full((4, 1, 4), 1.1)
+        theta = jnp.full((4, 1, 4), 295.0)
+        qt = jnp.full((4, 1, 4), 0.02)
+        T, q, p = density_saturation_adjust(theta, rho, qt, CONST, scheme)
+        # residual closed: theta_li(T, q, p) == theta
+        th_back = theta_li_from_temperature(
+            T, MoistureMassFractions(q.vapor, q.liquid, q.ice), p, CONST)
+        np.testing.assert_allclose(np.asarray(th_back), 295.0, rtol=1e-6)
+        # EOS holds
+        np.testing.assert_allclose(np.asarray(p),
+                                   np.asarray(rho * CONST.mixture_gas_constant(q) * T),
+                                   rtol=1e-12)
+        assert float(q.liquid.max()) > 1e-4, "cold dense moist air condenses"
+
+    def test_moist_bubble_runs_and_conserves(self):
+        from breeze_tpu.physics.microphysics import SaturationAdjustment
+        from breeze_tpu.thermo.saturation import WarmPhaseEquilibrium
+        g = comp_grid(nx=24, nz=20)
+        model = make_compressible_model(
+            g, advection=bz.WENO(5),
+            microphysics=SaturationAdjustment(equilibrium=WarmPhaseEquilibrium()),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=6))
+
+        def theta0(x, y, z):
+            r = jnp.sqrt((x - 10_000.0) ** 2 + (z - 2_000.0) ** 2)
+            return 300.0 + 2.0 * jnp.maximum(0.0, 1.0 - r / 2_000.0)
+
+        state = compressible_initial_state(
+            model, theta=theta0, qt=lambda x, y, z: 0.015 * jnp.exp(-z / 2500.0))
+        dzc = np.asarray(g.dz_c)[:, None, None]
+        m0 = float(jnp.sum(state.rho * dzc))
+        q0 = float(jnp.sum(state.rho_qt * dzc))
+        for _ in range(10):
+            state = acoustic_rk3_step(model, state, 2.0)
+        aux = compressible_diagnose(model, state)
+        assert bool(jnp.all(jnp.isfinite(aux.T)))
+        np.testing.assert_allclose(float(jnp.sum(state.rho * dzc)), m0, rtol=1e-10)
+        np.testing.assert_allclose(float(jnp.sum(state.rho_qt * dzc)), q0, rtol=1e-10)
+        assert float(aux.q.liquid.max()) > 1e-6, "moist bubble should condense"
