@@ -29,7 +29,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 
-from .grid import Grid
+from .grid import Grid, Topology as _Topo
 from .ops import StencilOps
 
 
@@ -210,13 +210,10 @@ def reconstruct(scheme, q_pad: jax.Array, upwind_sign: jax.Array | None,
     centered schemes.  See module docstring for the output layout.
     """
     n = shape[axis]
-    n_out = n + 1
-    # Output index m is the interface between window entries m-1 (left) and m
-    # (right) for BOTH targets: for "cf" that's face m between cells m-1, m;
-    # for "fc" it's center m-1 between faces m-1, m.  The distinction lives in
-    # the caller's interpretation and divergence spacing, not the indexing.
-    left0 = -1
-    del target
+    n_out = n
+    # "cf": output m is face m, between cells m-1 (left) and m (right).
+    # "fc": output m is center m, between faces m (left) and m+1 (right).
+    left0 = -1 if target == "cf" else 0
     b = _interior_except(q_pad, axis, h, shape)
     w = _Windows(b, axis, h, n_out, left0)
 
@@ -243,34 +240,61 @@ def reconstruct(scheme, q_pad: jax.Array, upwind_sign: jax.Array | None,
 
 # ---------------------------------------------------------------------------
 # Interface mass fluxes & flux divergences
+#
+# All flux arrays are INTERIOR-SIZED (n per axis, lane/sublane aligned — the
+# earlier n+1 layout paid a large misalignment tax on every intermediate).
+# Divergences wrap via jnp.roll on periodic axes; on the bounded z axis the
+# top-wall flux is an implicit zero (shift-in-zero).
 # ---------------------------------------------------------------------------
 
-def _iface_interp_cf(a_pad, axis, h, shape):
-    """Center→face interpolation output at faces 0..n along ``axis``."""
+def _iface_cf(a_pad, axis, h, shape):
+    """Center→face interpolation at faces 0..n-1 along ``axis``."""
     b = _interior_except(a_pad, axis, h, shape)
-    n_out = shape[axis] + 1
-    return 0.5 * (_slide(b, axis, h, n_out, -1) + _slide(b, axis, h, n_out, 0))
+    n = shape[axis]
+    return 0.5 * (_slide(b, axis, h, n, -1) + _slide(b, axis, h, n, 0))
 
 
-def _iface_interp_fc(a_pad, axis, h, shape):
-    """Face→center interpolation output at centers -1..n-1 along ``axis``."""
+def _iface_fc(a_pad, axis, h, shape):
+    """Face→center interpolation at centers 0..n-1 along ``axis``."""
     b = _interior_except(a_pad, axis, h, shape)
-    n_out = shape[axis] + 1
-    return 0.5 * (_slide(b, axis, h, n_out, -1) + _slide(b, axis, h, n_out, 0))
+    n = shape[axis]
+    return 0.5 * (_slide(b, axis, h, n, 0) + _slide(b, axis, h, n, 1))
 
 
-def _iface_window(a_pad, axis, h, shape, base):
-    """Raw windows of a field at interface positions base..base+n."""
+def _iview(a_pad, axis, h, shape):
+    """Interior view (entries 0..n-1) with other axes restricted too."""
     b = _interior_except(a_pad, axis, h, shape)
-    return _slide(b, axis, h, shape[axis] + 1, base)
+    return _slide(b, axis, h, shape[axis], 0)
 
 
-def _ddiv(flux: jax.Array, axis: int, spacing) -> jax.Array:
-    """(flux[1:] - flux[:-1]) / spacing along ``axis``."""
-    n = flux.shape[axis] - 1
-    hi = jax.lax.slice_in_dim(flux, 1, n + 1, axis=axis)
-    lo = jax.lax.slice_in_dim(flux, 0, n, axis=axis)
-    return (hi - lo) / spacing
+def _shift_in_zero(F, axis, from_top: bool):
+    zshape = list(F.shape)
+    zshape[axis] = 1
+    zero = jnp.zeros(zshape, F.dtype)
+    n = F.shape[axis]
+    if from_top:   # next(i) = F(i+1), F(n) = 0
+        body = jax.lax.slice_in_dim(F, 1, n, axis=axis)
+        return jnp.concatenate([body, zero], axis=axis)
+    body = jax.lax.slice_in_dim(F, 0, n - 1, axis=axis)
+    return jnp.concatenate([zero, body], axis=axis)
+
+
+def _div_cf(F, axis, spacing, periodic: bool):
+    """Face-flux → center divergence: (F(i+1) − F(i))/Δ.
+
+    Periodic: F(n) ≡ F(0) (roll).  Bounded: F(n) = 0 (wall flux vanishes —
+    valid because wall-normal mass flux is zero there)."""
+    nxt = jnp.roll(F, -1, axis) if periodic else _shift_in_zero(F, axis, True)
+    return (nxt - F) / spacing
+
+
+def _div_fc(F, axis, spacing, periodic: bool):
+    """Center-flux → face divergence: (F(i) − F(i−1))/Δ.
+
+    Bounded: the i=0 row references the below-wall flux; it is garbage there
+    and must be overwritten by the wall condition (impenetrability)."""
+    prv = jnp.roll(F, 1, axis) if periodic else _shift_in_zero(F, axis, False)
+    return (F - prv) / spacing
 
 
 def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad):
@@ -281,21 +305,20 @@ def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad):
     ``c`` is the *specific* (per-mass) quantity.
     """
     g, h, shape = so.grid, so.h, so.shape
+    topo = g.topologies()
+    per = [t == _Topo.PERIODIC for t in topo]
 
-    # x faces 0..nx
-    mfx = _iface_interp_cf(rho_pad, 2, h, shape) * _iface_window(u_pad, 2, h, shape, 0)
+    mfx = _iface_cf(rho_pad, 2, h, shape) * _iview(u_pad, 2, h, shape)
     cx = reconstruct(scheme, c_pad, mfx, 2, h, shape, "cf")
-    out = _ddiv(mfx * cx, 2, g.dx)
+    out = _div_cf(mfx * cx, 2, g.dx, per[2])
 
-    # y faces 0..ny
-    mfy = _iface_interp_cf(rho_pad, 1, h, shape) * _iface_window(v_pad, 1, h, shape, 0)
+    mfy = _iface_cf(rho_pad, 1, h, shape) * _iview(v_pad, 1, h, shape)
     cy = reconstruct(scheme, c_pad, mfy, 1, h, shape, "cf")
-    out = out + _ddiv(mfy * cy, 1, g.dy)
+    out = out + _div_cf(mfy * cy, 1, g.dy, per[1])
 
-    # z faces 0..nz (wall faces carry zero mass flux via the odd halo rule)
-    mfz = _iface_interp_cf(rho_pad, 0, h, shape) * _iface_window(w_pad, 0, h, shape, 0)
+    mfz = _iface_cf(rho_pad, 0, h, shape) * _iview(w_pad, 0, h, shape)
     cz = reconstruct(scheme, c_pad, mfz, 0, h, shape, "cf")
-    out = out + _ddiv(mfz * cz, 0, g.dz_c_col)
+    out = out + _div_cf(mfz * cz, 0, g.dz_c_col, per[0])
     return out
 
 
@@ -316,42 +339,42 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     """
     g, h, shape = so.grid, so.h, so.shape
     dzc, dzf = g.dz_c_col, g.dz_f_col
+    per = [t == _Topo.PERIODIC for t in g.topologies()]
 
     # ---- x momentum: u at (zc, yc, xf) ------------------------------
-    #   x-flux at centers:  ℑx_fc(ρu) · û_x        → δx at x-faces
-    mf = _iface_interp_fc(rho_u_pad, 2, h, shape)
+    mf = _iface_fc(rho_u_pad, 2, h, shape)           # at centers
     q = reconstruct(scheme, u_pad, mf, 2, h, shape, "fc")
-    du = _ddiv(mf * q, 2, g.dx)
-    #   y-flux at (yf, xf) corners: ℑx_cf(ρv) · û_y → δy at faces
-    mf = _iface_window(_pad_interp_cf_x(rho_v_pad), 1, h, shape, 0)
+    du = _div_fc(mf * q, 2, g.dx, per[2])
+    mf = _iview(_pad_interp_cf_x(rho_v_pad), 1, h, shape)   # (yf, xf) corners
     q = reconstruct(scheme, u_pad, mf, 1, h, shape, "cf")
-    du = du + _ddiv(mf * q, 1, g.dy)
-    #   z-flux at (zf, xf): ℑx_cf(ρw) · û_z         → δz at faces
-    mf = _iface_window(_pad_interp_cf_x(rho_w_pad), 0, h, shape, 0)
+    du = du + _div_cf(mf * q, 1, g.dy, per[1])
+    mf = _iview(_pad_interp_cf_x(rho_w_pad), 0, h, shape)   # (zf, xf)
     q = reconstruct(scheme, u_pad, mf, 0, h, shape, "cf")
-    du = du + _ddiv(mf * q, 0, dzc)
+    du = du + _div_cf(mf * q, 0, dzc, per[0])
 
     # ---- y momentum: v at (zc, yf, xc) ------------------------------
-    mf = _iface_window(_pad_interp_cf_y(rho_u_pad), 2, h, shape, 0)
+    mf = _iview(_pad_interp_cf_y(rho_u_pad), 2, h, shape)
     q = reconstruct(scheme, v_pad, mf, 2, h, shape, "cf")
-    dv = _ddiv(mf * q, 2, g.dx)
-    mf = _iface_interp_fc(rho_v_pad, 1, h, shape)
+    dv = _div_cf(mf * q, 2, g.dx, per[2])
+    mf = _iface_fc(rho_v_pad, 1, h, shape)
     q = reconstruct(scheme, v_pad, mf, 1, h, shape, "fc")
-    dv = dv + _ddiv(mf * q, 1, g.dy)
-    mf = _iface_window(_pad_interp_cf_y(rho_w_pad), 0, h, shape, 0)
+    dv = dv + _div_fc(mf * q, 1, g.dy, per[1])
+    mf = _iview(_pad_interp_cf_y(rho_w_pad), 0, h, shape)
     q = reconstruct(scheme, v_pad, mf, 0, h, shape, "cf")
-    dv = dv + _ddiv(mf * q, 0, dzc)
+    dv = dv + _div_cf(mf * q, 0, dzc, per[0])
 
     # ---- z momentum: w at (zf, yc, xc) ------------------------------
-    mf = _iface_window(_pad_interp_cf_z(rho_u_pad), 2, h, shape, 0)
+    mf = _iview(_pad_interp_cf_z(rho_u_pad), 2, h, shape)
     q = reconstruct(scheme, w_pad, mf, 2, h, shape, "cf")
-    dw = _ddiv(mf * q, 2, g.dx)
-    mf = _iface_window(_pad_interp_cf_z(rho_v_pad), 1, h, shape, 0)
+    dw = _div_cf(mf * q, 2, g.dx, per[2])
+    mf = _iview(_pad_interp_cf_z(rho_v_pad), 1, h, shape)
     q = reconstruct(scheme, w_pad, mf, 1, h, shape, "cf")
-    dw = dw + _ddiv(mf * q, 1, g.dy)
-    mf = _iface_interp_fc(rho_w_pad, 0, h, shape)
+    dw = dw + _div_cf(mf * q, 1, g.dy, per[1])
+    mf = _iface_fc(rho_w_pad, 0, h, shape)
     q = reconstruct(scheme, w_pad, mf, 0, h, shape, "fc")
-    dw = dw + _ddiv(mf * q, 0, dzf)
+    # Bounded z: the face-0 row of _div_fc references below-wall data; the
+    # wall condition (ρw = 0, enforced by the stepper) overwrites it.
+    dw = dw + _div_fc(mf * q, 0, dzf, per[0])
 
     return du, dv, dw
 
