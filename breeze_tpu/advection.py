@@ -288,6 +288,37 @@ def _div_cf(F, axis, spacing, periodic: bool):
     return (nxt - F) / spacing
 
 
+def _ydiv_cf(so, F, periodic: bool):
+    """y-face flux → center divergence with spherical cos-weighting."""
+    g = so.grid
+    if g.is_latlon:
+        assert not periodic, "lat-lon y is bounded"
+        ny = g.ny
+        cosf = g.coslat_f[None, :, None]           # (1, ny+1, 1)
+        Fw = F * cosf[:, :ny]
+        # upper face of row ny-1 is the wall (zero flux); interior upper
+        # faces carry their own cos weight
+        return (_shift_top_weighted(F, cosf, ny) - Fw) / (g.dy * so.cosc_row)
+    return _div_cf(F, 1, g.dy, periodic)
+
+
+def _shift_top_weighted(F, cosf, ny):
+    """Upper-face flux rows: F[j+1]·cosφ_f[j+1]; wall row gets zero."""
+    body = F[:, 1:, :] * cosf[:, 1:ny]
+    zero = jnp.zeros_like(F[:, :1, :])
+    return jnp.concatenate([body, zero], axis=1)
+
+
+def _ydiv_fc(so, Fc, periodic: bool):
+    """y-center flux → y-face divergence with spherical cos-weighting."""
+    g = so.grid
+    if g.is_latlon:
+        Fw = Fc * so.cosc_row
+        prv = jnp.roll(Fw, 1, 1) if periodic else _shift_in_zero(Fw, 1, False)
+        return (Fw - prv) / (g.dy * so.cosf_row)
+    return _div_fc(Fc, 1, g.dy, periodic)
+
+
 def _div_fc(F, axis, spacing, periodic: bool):
     """Center-flux → face divergence: (F(i) − F(i−1))/Δ.
 
@@ -310,11 +341,11 @@ def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad):
 
     mfx = _iface_cf(rho_pad, 2, h, shape) * _iview(u_pad, 2, h, shape)
     cx = reconstruct(scheme, c_pad, mfx, 2, h, shape, "cf")
-    out = _div_cf(mfx * cx, 2, g.dx, per[2])
+    out = _div_cf(mfx * cx, 2, 1.0, per[2]) * so.inv_dx
 
     mfy = _iface_cf(rho_pad, 1, h, shape) * _iview(v_pad, 1, h, shape)
     cy = reconstruct(scheme, c_pad, mfy, 1, h, shape, "cf")
-    out = out + _div_cf(mfy * cy, 1, g.dy, per[1])
+    out = out + _ydiv_cf(so, mfy * cy, per[1])
 
     mfz = _iface_cf(rho_pad, 0, h, shape) * _iview(w_pad, 0, h, shape)
     cz = reconstruct(scheme, c_pad, mfz, 0, h, shape, "cf")
@@ -344,10 +375,10 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     # ---- x momentum: u at (zc, yc, xf) ------------------------------
     mf = _iface_fc(rho_u_pad, 2, h, shape)           # at centers
     q = reconstruct(scheme, u_pad, mf, 2, h, shape, "fc")
-    du = _div_fc(mf * q, 2, g.dx, per[2])
+    du = _div_fc(mf * q, 2, 1.0, per[2]) * so.inv_dx
     mf = _iview(_pad_interp_cf_x(rho_v_pad), 1, h, shape)   # (yf, xf) corners
     q = reconstruct(scheme, u_pad, mf, 1, h, shape, "cf")
-    du = du + _div_cf(mf * q, 1, g.dy, per[1])
+    du = du + _ydiv_cf(so, mf * q, per[1])
     mf = _iview(_pad_interp_cf_x(rho_w_pad), 0, h, shape)   # (zf, xf)
     q = reconstruct(scheme, u_pad, mf, 0, h, shape, "cf")
     du = du + _div_cf(mf * q, 0, dzc, per[0])
@@ -355,10 +386,10 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     # ---- y momentum: v at (zc, yf, xc) ------------------------------
     mf = _iview(_pad_interp_cf_y(rho_u_pad), 2, h, shape)
     q = reconstruct(scheme, v_pad, mf, 2, h, shape, "cf")
-    dv = _div_cf(mf * q, 2, g.dx, per[2])
+    dv = _div_cf(mf * q, 2, 1.0, per[2]) * so.inv_dx_yface
     mf = _iface_fc(rho_v_pad, 1, h, shape)
     q = reconstruct(scheme, v_pad, mf, 1, h, shape, "fc")
-    dv = dv + _div_fc(mf * q, 1, g.dy, per[1])
+    dv = dv + _ydiv_fc(so, mf * q, per[1])
     mf = _iview(_pad_interp_cf_y(rho_w_pad), 0, h, shape)
     q = reconstruct(scheme, v_pad, mf, 0, h, shape, "cf")
     dv = dv + _div_cf(mf * q, 0, dzc, per[0])
@@ -366,10 +397,10 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     # ---- z momentum: w at (zf, yc, xc) ------------------------------
     mf = _iview(_pad_interp_cf_z(rho_u_pad), 2, h, shape)
     q = reconstruct(scheme, w_pad, mf, 2, h, shape, "cf")
-    dw = _div_cf(mf * q, 2, g.dx, per[2])
+    dw = _div_cf(mf * q, 2, 1.0, per[2]) * so.inv_dx
     mf = _iview(_pad_interp_cf_z(rho_v_pad), 1, h, shape)
     q = reconstruct(scheme, w_pad, mf, 1, h, shape, "cf")
-    dw = dw + _div_cf(mf * q, 1, g.dy, per[1])
+    dw = dw + _ydiv_cf(so, mf * q, per[1])
     mf = _iface_fc(rho_w_pad, 0, h, shape)
     q = reconstruct(scheme, w_pad, mf, 0, h, shape, "fc")
     # Bounded z: the face-0 row of _div_fc references below-wall data; the

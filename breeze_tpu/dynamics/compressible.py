@@ -209,7 +209,8 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
     u_arr = materialize(u, 0.0)
     v_arr = materialize(v, 0.0)
     w_arr = materialize(w, 0.0)
-    rho_w = fl.enforce_impenetrability(rho_f * w_arr, g)
+    rho_u_arr, rho_v_arr, rho_w = fl.enforce_wall_normals(
+        g, rho_arr * u_arr, rho_arr * v_arr, rho_f * w_arr)
 
     rho_qt = None
     if model.has_moisture:
@@ -218,8 +219,8 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
 
     return CompressibleState(
         rho=rho_arr,
-        rho_u=rho_arr * u_arr,
-        rho_v=rho_arr * v_arr,
+        rho_u=rho_u_arr,
+        rho_v=rho_v_arr,
         rho_w=rho_w,
         rho_theta=rho_arr * theta_arr,
         rho_qt=rho_qt, tracers={},
@@ -341,6 +342,23 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     p_pad = fl.pad(aux.p, g, fl.CCC)
     G_rho_u = -adv_u - cor_x - so.dx_cf(p_pad)
     G_rho_v = -adv_v - cor_y - so.dy_cf(p_pad)
+
+    if g.is_latlon:
+        # Spherical curvature terms (shallow-atmosphere, traditional):
+        # +ρuv tanφ/R on zonal momentum, −ρu² tanφ/R on meridional
+        # (reference: Oceananigans U_dot_∇u_metric on curvilinear grids,
+        # dynamics_kernel_functions.jl:54-62).
+        tan_c = g.tanlat_c[None, :, None]
+        tan_f = g.tanlat_f[: g.ny][None, :, None]
+        inv_R = 1.0 / g.radius
+        v_at_u = 0.25 * (so.v(v_pad) + so.v(v_pad, dy=1)
+                         + so.v(v_pad, dx=-1) + so.v(v_pad, dy=1, dx=-1))
+        G_rho_u = G_rho_u + state.rho_u * v_at_u * tan_c * inv_R
+        u_at_v = 0.25 * (so.v(u_pad) + so.v(u_pad, dx=1)
+                         + so.v(u_pad, dy=-1) + so.v(u_pad, dx=1, dy=-1))
+        ru_at_v = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                          + so.v(rho_u_pad, dy=-1) + so.v(rho_u_pad, dx=1, dy=-1))
+        G_rho_v = G_rho_v - ru_at_v * u_at_v * tan_f * inv_R
 
     # Vertical: stage-entry imbalance with the same discrete face operator
     # as the reference state's balance (docs "Reference state" section).
@@ -486,6 +504,19 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     omega = td.forward_weight
     g_acc = model.constants.gravitational_acceleration
     nz = g.nz
+    # Horizontal metric (spherical on lat-lon grids; scalars on Cartesian):
+    # x-derivatives at y-center rows scale by 1/(R cosφ Δλ); y-flux
+    # divergences are cos-weighted.
+    inv_dx_c = so.inv_dx
+    inv_dx_f = so.inv_dx_yface
+    if g.is_latlon:
+        cosf_full = g.coslat_f[None, :, None]          # (1, ny+1, 1)
+        wy_lo = cosf_full[:, : g.ny]
+        wy_hi = cosf_full[:, 1: g.ny + 1]
+        inv_dy_c = 1.0 / (g.dy * so.cosc_row)
+    else:
+        wy_lo = wy_hi = 1.0
+        inv_dy_c = 1.0 / g.dy
     dz_c = g.dz_c_col                      # (nz,1,1)
     dz_f = g.dz_f_col                      # faces 0..nz-1
     C_L = caches.C_L
@@ -536,18 +567,19 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         def vv(a, dz=0, dy=0, dx=0):
             return a[1 + dz:1 + dz + nz, 1 + dy:1 + dy + g.ny, 1 + dx:1 + dx + g.nx]
 
-        dpdx = (vv(pp) - vv(pp, dx=-1)) / g.dx
+        dpdx = (vv(pp) - vv(pp, dx=-1)) * inv_dx_c
         dpdy = (vv(pp) - vv(pp, dy=-1)) / g.dy
         apply_pgf = jnp.logical_or(i > 0, jnp.asarray(not gate_first))
         pgf_fac = jnp.where(apply_pgf, 1.0, 0.0).astype(ru_p.dtype)
         ru_new = ru_p + dtau * (G.rho_u - pgf_fac * dpdx)
         rv_new = rv_p + dtau * (G.rho_v - pgf_fac * dpdy)
+        ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
 
         # ---- B: predictors from updated horizontal divergence -------
         rup = _hpad(ru_new, g, fl.CCF)
         rvp = _hpad(rv_new, g, fl.CFC)
-        div_h = ((vv(rup, dx=1) - vv(rup)) / g.dx
-                 + (vv(rvp, dy=1) - vv(rvp)) / g.dy)
+        div_h = ((vv(rup, dx=1) - vv(rup)) * inv_dx_c
+                 + (wy_hi * vv(rvp, dy=1) - wy_lo * vv(rvp)) * inv_dy_c)
         # θ^L-weighted horizontal flux divergence for ρθ
         thp = _hpad(th_c, g, fl.CCC)
         th_xf = 0.5 * (vv(thp) + vv(thp, dx=-1))
@@ -556,8 +588,8 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         fy = th_yf * rv_new
         fxp = _hpad(fx, g, fl.CCF)
         fyp = _hpad(fy, g, fl.CFC)
-        div_h_theta = ((vv(fxp, dx=1) - vv(fxp)) / g.dx
-                       + (vv(fyp, dy=1) - vv(fyp)) / g.dy)
+        div_h_theta = ((vv(fxp, dx=1) - vv(fxp)) * inv_dx_c
+                       + (wy_hi * vv(fyp, dy=1) - wy_lo * vv(fyp)) * inv_dy_c)
 
         rho_star = (rho_p + dtau * (G.rho - div_h)
                     - dtau * (1.0 - omega) * dz_fc_div(rw_p))
@@ -594,10 +626,14 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         if alpha:
             D = (rt_new - rt_p) / th_c
             Dp = _hpad(D, g, fl.CCC)
-            gx = alpha * g.dx * g.dx / dtau
-            gy = alpha * g.dy * g.dy / dtau
-            ru_new = ru_new - gx * (vv(Dp) - vv(Dp, dx=-1)) / g.dx
-            rv_new = rv_new - gy * (vv(Dp) - vv(Dp, dy=-1)) / g.dy
+            # γ = α Δx²_local/Δτ; combined with 1/Δx_local the correction is
+            # α Δx_local/Δτ · δx(D) (local spacing on lat-lon grids)
+            fac_x = alpha * g.dx / dtau * (
+                (g.coslat_c[None, :, None] if g.is_latlon else 1.0))
+            gy = alpha * g.dy / dtau
+            ru_new = ru_new - fac_x * (vv(Dp) - vv(Dp, dx=-1))
+            rv_new = rv_new - gy * (vv(Dp) - vv(Dp, dy=-1))
+            ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
 
         return Perturbations(
             rho=rho_new, rho_u=ru_new, rho_v=rv_new, rho_w=rw_new,
@@ -655,7 +691,9 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
                                      gate_first=(n_tau > 1))
 
         # Recovery: U^(k) = U^L + perturbation (reference :1235-1257).
-        new_rho_w = fl.enforce_impenetrability(state.rho_w + pert.rho_w, g)
+        new_rho_u, new_rho_v, new_rho_w = fl.enforce_wall_normals(
+            g, state.rho_u + pert.rho_u, state.rho_v + pert.rho_v,
+            state.rho_w + pert.rho_w)
         # Time-averaged momentum for scalar transport (reference :1169-1217).
         inv_n = 1.0 / n_tau
         avg_ru = state.rho_u + pert.sum_rho_u * inv_n
@@ -664,8 +702,8 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
 
         new_state = state.replace(
             rho=state.rho + pert.rho,
-            rho_u=state.rho_u + pert.rho_u,
-            rho_v=state.rho_v + pert.rho_v,
+            rho_u=new_rho_u,
+            rho_v=new_rho_v,
             rho_w=new_rho_w,
             rho_theta=state.rho_theta + pert.rho_theta,
         )

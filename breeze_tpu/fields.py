@@ -122,3 +122,27 @@ def enforce_impenetrability(w: jax.Array, grid: Grid) -> jax.Array:
     if grid.z_topology != Topology.BOUNDED:
         return w
     return w.at[0].set(0.0)
+
+
+def enforce_wall_normals(grid: Grid, rho_u=None, rho_v=None, rho_w=None):
+    """Zero wall-normal momenta on every bounded axis's stored wall face.
+
+    TPU analogue of the reference's ``enforce_wall_impenetrability!``
+    (``acoustic_substepping.jl:1423-1428``): face 0 of each bounded axis is
+    a wall (the opposite wall face is implicit in the halo rule).  Returns
+    the tuple in the same order, skipping None entries.
+    """
+    out = []
+    if rho_u is not None:
+        if grid.x_topology == Topology.BOUNDED:
+            rho_u = rho_u.at[:, :, 0].set(0.0)
+        out.append(rho_u)
+    if rho_v is not None:
+        if grid.y_topology == Topology.BOUNDED:
+            rho_v = rho_v.at[:, 0, :].set(0.0)
+        out.append(rho_v)
+    if rho_w is not None:
+        if grid.z_topology == Topology.BOUNDED:
+            rho_w = rho_w.at[0].set(0.0)
+        out.append(rho_w)
+    return tuple(out)

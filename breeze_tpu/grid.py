@@ -54,12 +54,14 @@ def _uniform_spacing(extent: float, n: int) -> float:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["z_c", "z_f", "dz_c", "dz_f"],
+    data_fields=["z_c", "z_f", "dz_c", "dz_f",
+                 "coslat_c", "coslat_f", "tanlat_c", "tanlat_f"],
     meta_fields=[
         "nx", "ny", "nz",
         "x_topology", "y_topology", "z_topology",
         "x0", "y0", "z0", "Lx", "Ly", "Lz",
         "dx", "dy", "halo", "dtype_name", "uniform_z", "dz_min",
+        "radius",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -98,8 +100,21 @@ class Grid:
     z_f: jax.Array
     dz_c: jax.Array
     dz_f: jax.Array
+    # Lat-lon metric (None on Cartesian grids).  On a LatitudeLongitudeGrid
+    # (reference re-export, src/Breeze.jl:202): x = longitude λ [rad spacing
+    # dx/radius], y = latitude φ; the cos/tan factors carry the spherical
+    # metric (shallow-atmosphere approximation, metric frozen at radius).
+    radius: float | None = None
+    coslat_c: jax.Array | None = None   # (ny,) at y-centers
+    coslat_f: jax.Array | None = None   # (ny+1,) at y-faces
+    tanlat_c: jax.Array | None = None   # (ny,)
+    tanlat_f: jax.Array | None = None   # (ny+1,)
 
     # ------------------------------------------------------------------
+    @property
+    def is_latlon(self) -> bool:
+        return self.radius is not None
+
     @property
     def dtype(self):
         return jnp.dtype(self.dtype_name)
@@ -140,9 +155,14 @@ class Grid:
         return self.y0 + np.arange(self.ny) * self.dy
 
     # Meshes broadcastable to (nz, ny, nx), useful for initial conditions.
+    # On lat-lon grids the horizontal coordinates are (longitude, latitude)
+    # in RADIANS; on Cartesian grids they are meters.
     def xyz_c(self):
         x = jnp.asarray(self.x_c(), self.dtype)[None, None, :]
         y = jnp.asarray(self.y_c(), self.dtype)[None, :, None]
+        if self.is_latlon:
+            x = x / self.radius
+            y = y / self.radius
         z = self.z_c[:, None, None]
         return x, y, z
 
@@ -220,6 +240,54 @@ def make_grid(
         z_f=jnp.asarray(z_f, fdtype),
         dz_c=jnp.asarray(dz_c, fdtype),
         dz_f=jnp.asarray(dz_f, fdtype),
+    )
+
+
+def make_latlon_grid(
+    size: tuple[int, int, int],
+    longitude: tuple[float, float] = (0.0, 360.0),
+    latitude: tuple[float, float] = (-80.0, 80.0),
+    z: tuple[float, float] | np.ndarray = (0.0, 10_000.0),
+    radius: float = 6.371e6,
+    halo: int = 3,
+    dtype=jnp.float32,
+) -> Grid:
+    """Latitude-longitude grid on a sphere of ``radius`` (shallow atmosphere).
+
+    TPU-native analogue of the reference's ``LatitudeLongitudeGrid``
+    (re-export ``src/Breeze.jl:202``; used by the baroclinic-wave and
+    DCMIP configs): x is longitude (periodic when spanning 360°), y is
+    latitude (bounded), z is height.  ``dx``/``dy`` store the *equatorial*
+    arc spacings R·Δλ and R·Δφ; the stored cos/tan latitude factors carry
+    the metric so that operators compute
+
+        ∂x = δx / (R cosφ Δλ),   div_y-term = δy(cosφ_f F) / (R cosφ_c Δφ).
+    """
+    nx, ny, nz = size
+    lon0, lon1 = np.deg2rad(longitude[0]), np.deg2rad(longitude[1])
+    lat0, lat1 = np.deg2rad(latitude[0]), np.deg2rad(latitude[1])
+    x_periodic = abs((longitude[1] - longitude[0]) - 360.0) < 1e-10
+
+    dlam = (lon1 - lon0) / nx
+    dphi = (lat1 - lat0) / ny
+    lat_c = lat0 + (np.arange(ny) + 0.5) * dphi
+    lat_f = lat0 + np.arange(ny + 1) * dphi
+
+    base = make_grid((nx, ny, nz),
+                     x=(radius * lon0, radius * lon1),
+                     y=(radius * lat0, radius * lat1),
+                     z=z,
+                     topology=(PERIODIC if x_periodic else BOUNDED,
+                               BOUNDED, BOUNDED),
+                     halo=halo, dtype=dtype)
+    fdtype = jnp.dtype(dtype)
+    return dataclasses.replace(
+        base,
+        radius=float(radius),
+        coslat_c=jnp.asarray(np.cos(lat_c), fdtype),
+        coslat_f=jnp.asarray(np.cos(lat_f), fdtype),
+        tanlat_c=jnp.asarray(np.tan(lat_c), fdtype),
+        tanlat_f=jnp.asarray(np.tan(lat_f), fdtype),
     )
 
 

@@ -239,10 +239,8 @@ def initial_state(model: AtmosphereModel,
     if model.has_moisture:
         rho_qt = _field(qt, 0.0, rho_c) if qt is not None else jnp.zeros(g.shape, dt)
 
-    rho_u = _field(u, 0.0, rho_c)
-    rho_v = _field(v, 0.0, rho_c)
-    rho_w = _field(w, 0.0, rho_f)
-    rho_w = fl.enforce_impenetrability(rho_w, g)
+    rho_u, rho_v, rho_w = fl.enforce_wall_normals(
+        g, _field(u, 0.0, rho_c), _field(v, 0.0, rho_c), _field(w, 0.0, rho_f))
 
     tracers = dict(tracers or {})
     # Microphysics schemes with prognostic condensate allocate their tracers.
@@ -497,7 +495,7 @@ def pressure_projection(model: AtmosphereModel, rho_u, rho_v, rho_w, dt):
     g = model.grid
     so = model.stencil_ops()
 
-    rho_w = fl.enforce_impenetrability(rho_w, g)
+    rho_u, rho_v, rho_w = fl.enforce_wall_normals(g, rho_u, rho_v, rho_w)
 
     # δ = ∇·(ρu) at centers (1-wide halos suffice).
     ru_pad = fl.pad(rho_u, g, fl.CCF)
@@ -513,5 +511,5 @@ def pressure_projection(model: AtmosphereModel, rho_u, rho_v, rho_w, dt):
     rho_u = rho_u - dt * rho_c * so.dx_cf(phi_pad)
     rho_v = rho_v - dt * rho_c * so.dy_cf(phi_pad)
     rho_w = rho_w - dt * rho_f * so.dz_cf(phi_pad)
-    rho_w = fl.enforce_impenetrability(rho_w, g)
+    rho_u, rho_v, rho_w = fl.enforce_wall_normals(g, rho_u, rho_v, rho_w)
     return rho_u, rho_v, rho_w, phi

@@ -51,7 +51,17 @@ class StencilOps:
         # z spacing columns, broadcastable to (nz, ny, nx)
         self.dz_c = grid.dz_c_col                    # Δz of cell k
         self.dz_f = grid.dz_f_col                    # Δz between centers k-1,k (face k)
-        self.inv_dx = 1.0 / grid.dx
+        if grid.is_latlon:
+            # spherical metric: ∂x = δx/(R cosφ Δλ); grid.dx stores R·Δλ.
+            self.cosc_row = grid.coslat_c[None, :, None]
+            self.cosf_row = grid.coslat_f[: grid.ny][None, :, None]
+            self.inv_dx = 1.0 / (grid.dx * self.cosc_row)   # at y-center rows
+            self.inv_dx_yface = 1.0 / (grid.dx * self.cosf_row)
+        else:
+            self.cosc_row = 1.0
+            self.cosf_row = 1.0
+            self.inv_dx = 1.0 / grid.dx
+            self.inv_dx_yface = self.inv_dx
         self.inv_dy = 1.0 / grid.dy
 
     # -- shifted views -------------------------------------------------
@@ -105,8 +115,18 @@ class StencilOps:
         """Cell-centered divergence of face fluxes (padded inputs).
 
         ``fx`` on x-faces, ``fy`` on y-faces, ``fz`` on z-faces; the
-        z-derivative uses the stretched spacing.
+        z-derivative uses the stretched spacing.  On lat-lon grids the
+        y-flux is cos-weighted (spherical FV form):
+        div = δx(Fx)/(RcosφΔλ) + δy(cosφ_f Fy)/(Rcosφ_cΔφ) + δz(Fz)/Δz.
         """
+        if self.grid.is_latlon:
+            ny = self.grid.ny
+            cosf_full = self.grid.coslat_f[None, :, None]   # (1, ny+1, 1)
+            fy_w_lo = self.v(fy) * cosf_full[:, :ny]
+            fy_w_hi = self.v(fy, dy=1) * jnp.concatenate(
+                [cosf_full[:, 1:ny], cosf_full[:, ny:ny + 1]], axis=1)
+            ddy = (fy_w_hi - fy_w_lo) * self.inv_dy / self.cosc_row
+            return self.dx_fc(fx) + ddy + self.dz_fc(fz)
         return self.dx_fc(fx) + self.dy_fc(fy) + self.dz_fc(fz)
 
 

@@ -33,6 +33,24 @@ class BetaPlane:
 
 
 @dataclasses.dataclass(frozen=True)
+class HydrostaticSphericalCoriolis:
+    """Traditional spherical Coriolis: f(φ) = 2Ω sinφ (no 2Ωcosφ coupling).
+
+    Reference: ``HydrostaticSphericalCoriolis`` (compressible docs, spherical
+    grids section)."""
+
+    rotation_rate: float = 7.292115e-5
+
+
+@dataclasses.dataclass(frozen=True)
+class SphericalCoriolis:
+    """Spherical Coriolis with the non-traditional 2Ωcosφ zonal-vertical
+    coupling (reference ``SphericalCoriolis``)."""
+
+    rotation_rate: float = 7.292115e-5
+
+
+@dataclasses.dataclass(frozen=True)
 class ConstantCartesianCoriolis:
     """Rotation vector with all three components (non-traditional terms)."""
 
@@ -77,6 +95,32 @@ def coriolis_terms(coriolis, so: StencilOps, rho_u_pad, rho_v_pad, rho_w_pad, gr
         x_term = fy * rw_u - fz * rv_u
         y_term = fz * ru_v - fx * rw_v
         z_term = fx * rv_w - fy * ru_w
+        return x_term, y_term, z_term
+
+    if isinstance(coriolis, (HydrostaticSphericalCoriolis, SphericalCoriolis)):
+        assert grid.is_latlon, "spherical Coriolis needs a lat-lon grid"
+        two_omega = 2.0 * coriolis.rotation_rate
+        sin_c = grid.tanlat_c * grid.coslat_c            # sinφ at y-centers
+        sin_f = (grid.tanlat_f * grid.coslat_f)[: grid.ny]
+        f_c = two_omega * sin_c[None, :, None]
+        f_f = two_omega * sin_f[None, :, None]
+        rv_u = 0.25 * (so.v(rho_v_pad) + so.v(rho_v_pad, dy=1)
+                       + so.v(rho_v_pad, dx=-1) + so.v(rho_v_pad, dy=1, dx=-1))
+        ru_v = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                       + so.v(rho_u_pad, dy=-1) + so.v(rho_u_pad, dx=1, dy=-1))
+        x_term = -f_c * rv_u
+        y_term = f_f * ru_v
+        z_term = 0.0
+        if isinstance(coriolis, SphericalCoriolis):
+            # non-traditional 2Ωcosφ zonal↔vertical coupling
+            cos_c = grid.coslat_c[None, :, None]
+            e_c = two_omega * cos_c
+            rw_u = 0.25 * (so.v(rho_w_pad) + so.v(rho_w_pad, dz=1)
+                           + so.v(rho_w_pad, dx=-1) + so.v(rho_w_pad, dz=1, dx=-1))
+            ru_w = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                           + so.v(rho_u_pad, dz=-1) + so.v(rho_u_pad, dx=1, dz=-1))
+            x_term = x_term + e_c * rw_u
+            z_term = -e_c * ru_w
         return x_term, y_term, z_term
 
     # Traditional f(y) ẑ × U
