@@ -14,6 +14,7 @@ EXAMPLES = [
     "inertia_gravity_wave.py",
     "bomex.py",
     "splitting_supercell.py",
+    "baroclinic_wave.py",
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
