@@ -38,6 +38,23 @@ class SmagorinskyLilly:
 
 
 @dataclasses.dataclass(frozen=True)
+class AnisotropicMinimumDissipation:
+    """Verstappen/Rozema anisotropic minimum dissipation (AMD) closure.
+
+    TPU analogue of Oceananigans' ``AnisotropicMinimumDissipation``
+    (reference ``src/Breeze.jl:219`` re-export):
+
+        νₑ = C · max(0, −Σₖ Δₖ² (∂ₖuᵢ)(∂ₖuⱼ)Sᵢⱼ) / (∂ₗuₘ ∂ₗuₘ)
+
+    with all gradients collocated at cell centers.
+    """
+
+    coefficient: float = 1.0 / 12.0
+    prandtl: float = 1.0 / 3.0
+    vertically_implicit: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class ConstantDiffusivity:
     """Fixed kinematic viscosity/diffusivity (useful for tests)."""
 
@@ -95,6 +112,42 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> Closu
     if isinstance(closure, ConstantDiffusivity):
         nu_c = jnp.full(g.shape, closure.viscosity, g.dtype)
         kappa_c = jnp.full(g.shape, closure.diffusivity, g.dtype)
+    elif isinstance(closure, AnisotropicMinimumDissipation):
+        # all nine ∂ⱼuᵢ at cell centers
+        def corner_to_center_xy(q):
+            qp = fl.pad(q, g, (fl.C, fl.F, fl.F))
+            return _center_avg_from_xy_corner(so, qp)
+
+        def corner_to_center_xz(q):
+            qp = fl.pad(q, g, (fl.F, fl.C, fl.F))
+            return 0.25 * (so.v(qp) + so.v(qp, dx=1)
+                           + so.v(qp, dz=1) + so.v(qp, dx=1, dz=1))
+
+        def corner_to_center_yz(q):
+            qp = fl.pad(q, g, (fl.F, fl.F, fl.C))
+            return 0.25 * (so.v(qp) + so.v(qp, dy=1)
+                           + so.v(qp, dz=1) + so.v(qp, dy=1, dz=1))
+
+        du = (so.dx_fc(u_pad),
+              corner_to_center_xy(so.dy_cf(u_pad)),
+              corner_to_center_xz(so.dz_cf(u_pad)))
+        dv = (corner_to_center_xy(so.dx_cf(v_pad)),
+              so.dy_fc(v_pad),
+              corner_to_center_yz(so.dz_cf(v_pad)))
+        dw = (corner_to_center_xz(so.dx_cf(w_pad)),
+              corner_to_center_yz(so.dy_cf(w_pad)),
+              so.dz_fc(w_pad))
+        grads = (du, dv, dw)   # grads[i][k] = ∂ₖ uᵢ at centers
+
+        Sc = [[0.5 * (grads[i][j] + grads[j][i]) for j in range(3)]
+              for i in range(3)]
+        # grads index k: 0 = ∂x, 1 = ∂y, 2 = ∂z; directional Δₖ² weights
+        deltas_sq = (g.dx ** 2, g.dy ** 2, g.dz_c_col ** 2)
+        num = -sum(deltas_sq[k] * grads[i][k] * grads[j][k] * Sc[i][j]
+                   for k in range(3) for i in range(3) for j in range(3))
+        den = sum(grads[i][k] ** 2 for i in range(3) for k in range(3))
+        nu_c = closure.coefficient * jnp.maximum(0.0, num) / jnp.maximum(den, 1e-20)
+        kappa_c = nu_c / closure.prandtl
     else:
         # |S|² at centers; off-diagonal components interpolated back.
         S12_pad = fl.pad(S12, g, (fl.C, fl.F, fl.F))

@@ -195,6 +195,75 @@ class FieldWriter:
 
 
 @dataclasses.dataclass
+class HDF5Writer:
+    """Appendable HDF5 time-series output (one file, growable time axis).
+
+    TPU analogue of the reference's ``JLD2Writer`` (JLD2 is an HDF5 dialect;
+    reference re-export ``src/Breeze.jl:223``): each selected field becomes
+    a dataset ``/fields/<name>`` with shape (t, nz, ny, nx), plus ``/time``
+    and grid coordinate metadata.  Readback mirrors ``FieldTimeSeries``.
+    """
+
+    path: str
+    schedule: Any
+    fields: tuple = ("u", "v", "w", "theta")
+
+    def __post_init__(self):
+        import h5py
+
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self._h5 = h5py.File(self.path, "w")
+        self._initialized = False
+
+    def _init_datasets(self, sim, sample):
+        import h5py
+
+        g = sim.model.grid
+        self._h5.create_dataset("time", shape=(0,), maxshape=(None,), dtype="f8")
+        self._h5.create_dataset("iteration", shape=(0,), maxshape=(None,), dtype="i8")
+        coords = self._h5.create_group("grid")
+        coords["z_c"] = np.asarray(g.z_c)
+        coords["x_c"] = g.x_c()
+        coords["y_c"] = g.y_c()
+        for name, arr in sample.items():
+            self._h5.create_dataset(
+                f"fields/{name}", shape=(0,) + arr.shape,
+                maxshape=(None,) + arr.shape, dtype="f4",
+                chunks=(1,) + arr.shape)
+        self._initialized = True
+
+    def __call__(self, sim):
+        aux = model_diagnose(sim.model, sim.state)
+        sample = {}
+        for name in self.fields:
+            if hasattr(aux, name) and getattr(aux, name) is not None:
+                sample[name] = np.asarray(getattr(aux, name))
+            elif hasattr(sim.state, name) and getattr(sim.state, name) is not None:
+                sample[name] = np.asarray(getattr(sim.state, name))
+        if not self._initialized:
+            self._init_datasets(sim, sample)
+        n = self._h5["time"].shape[0]
+        self._h5["time"].resize((n + 1,))
+        self._h5["time"][n] = sim.time
+        self._h5["iteration"].resize((n + 1,))
+        self._h5["iteration"][n] = sim.iteration
+        for name, arr in sample.items():
+            ds = self._h5[f"fields/{name}"]
+            ds.resize((n + 1,) + arr.shape)
+            ds[n] = arr
+        self._h5.flush()
+
+    def close(self):
+        self._h5.close()
+
+    def load_time_series(self, field: str):
+        import h5py
+
+        with h5py.File(self.path, "r") as f:
+            return np.asarray(f["time"]), np.asarray(f[f"fields/{field}"])
+
+
+@dataclasses.dataclass
 class Checkpointer:
     """Checkpoint/restore the full prognostic state (+ clock).
 

@@ -168,3 +168,58 @@ class TestMiniBomex:
         aux = diagnose(model, state)
         # surface heating generates convective motion
         assert float(jnp.abs(aux.w).max()) > 1e-6
+
+
+class TestAMD:
+    def test_amd_positive_in_shear_zero_at_rest(self):
+        from breeze_tpu.physics.closures import (AnisotropicMinimumDissipation,
+                                                 closure_tendencies)
+        from breeze_tpu import fields as fl
+        g = les_grid()
+        model = make_model(g, potential_temperature=300.0,
+                          closure=AnisotropicMinimumDissipation())
+        state = initial_state(model, u=lambda x, y, z: 2.0 * jnp.sin(
+            2 * jnp.pi * x / 3200.0) * jnp.exp(-z / 500.0))
+        aux = diagnose(model, state)
+        so = model.stencil_ops()
+        cf = closure_tendencies(model, so, aux,
+                                fl.pad(aux.u, g, fl.CCF),
+                                fl.pad(aux.v, g, fl.CFC),
+                                fl.pad(aux.w, g, fl.FCC))
+        assert float(cf.nu_e.max()) >= 0
+        assert bool(jnp.all(jnp.isfinite(cf.G_u)))
+        # at rest: zero
+        state0 = initial_state(model)
+        G = compute_tendencies(model, state0)
+        np.testing.assert_allclose(np.asarray(G.rho_u), 0.0, atol=1e-12)
+
+    def test_amd_les_runs(self):
+        from breeze_tpu.physics.closures import AnisotropicMinimumDissipation
+        g = les_grid()
+        model = make_model(g, advection=bz.WENO(5), potential_temperature=300.0,
+                          closure=AnisotropicMinimumDissipation(),
+                          boundary_fluxes=PrescribedSurfaceFluxes(theta_flux=0.05))
+        import jax
+        noise = 0.1 * jax.random.normal(jax.random.key(2), g.shape)
+        state = initial_state(model, theta=300.0 + noise)
+        for _ in range(5):
+            state = ssp_rk3_step(model, state, 2.0)
+        assert bool(jnp.all(jnp.isfinite(state.rho_u)))
+
+
+class TestHDF5Writer:
+    def test_hdf5_time_series(self, tmp_path):
+        from breeze_tpu.simulation import HDF5Writer, IterationInterval, Simulation
+        g = les_grid(n=8, nz=8, dtype=jnp.float32)
+        model = make_model(g, potential_temperature=300.0)
+        state = initial_state(model, theta=lambda x, y, z: 300.0 + z * 1e-3)
+        sim = Simulation(model, state, dt=1.0, stop_iteration=6, verbose=False)
+        writer = HDF5Writer(str(tmp_path / "out.h5"), IterationInterval(2),
+                            fields=("theta", "w"))
+        sim.add_output_writer(writer)
+        sim.run()
+        writer.close()
+        times, thetas = writer.load_time_series("theta")
+        assert len(times) == 3
+        assert thetas.shape[1:] == g.shape
+        np.testing.assert_allclose(thetas[0].mean(), 300.0, atol=1.0)
