@@ -1,0 +1,128 @@
+"""Terrain-following coordinate tests (reference test/terrain_following_*.jl
+patterns: metrics, reference state over terrain, rest state, mountain wave)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+import breeze_tpu as bz
+from breeze_tpu.dynamics.compressible import make_compressible_model
+from breeze_tpu.dynamics.terrain import (TerrainMetrics, contravariant_rho_w,
+                                         kinematic_bottom_rho_w, make_terrain,
+                                         terrain_explicit_rk3_step,
+                                         terrain_initial_state)
+from breeze_tpu.thermo.constants import ThermodynamicConstants
+
+CONST = ThermodynamicConstants()
+
+
+def witch_of_agnesi(h0=250.0, a=2000.0, x0=10_000.0):
+    return lambda x, y: h0 / (1.0 + ((x - x0) / a) ** 2)
+
+
+def terrain_grid(nx=64, nz=24, lx=20_000.0, lz=10_000.0):
+    return bz.make_grid(size=(nx, 1, nz), extent=(lx, 1.0, lz),
+                        topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                        dtype=jnp.float64)
+
+
+class TestTerrainMetrics:
+    def test_jacobian_and_slopes(self):
+        g = terrain_grid()
+        t = make_terrain(g, CONST, witch_of_agnesi())
+        assert float(t.h_c.max()) > 200.0
+        # J < 1 over the mountain, = 1 - h/H
+        np.testing.assert_allclose(np.asarray(t.jac_c),
+                                   1.0 - np.asarray(t.h_c) / g.Lz, rtol=1e-12)
+        # slopes antisymmetric about the peak
+        sx = np.asarray(t.sx_xf)[0]
+        assert sx.max() > 0 and sx.min() < 0
+        # surface level follows the terrain
+        np.testing.assert_allclose(np.asarray(t.z_true_c[0, 0]),
+                                   np.asarray(g.z_c[0]) * np.asarray(t.jac_c[0])
+                                   + np.asarray(t.h_c[0]), rtol=1e-10)
+
+    def test_reference_hydrostatic_on_true_heights(self):
+        """Per-column discrete balance on the terrain's physical heights."""
+        g = terrain_grid()
+        t = make_terrain(g, CONST, witch_of_agnesi())
+        p = np.asarray(t.p_ref, np.float64)
+        rho = np.asarray(t.rho_ref, np.float64)
+        z = np.asarray(t.z_true_c, np.float64)
+        res = ((p[1:] - p[:-1]) / (z[1:] - z[:-1])
+               + 9.81 * 0.5 * (rho[1:] + rho[:-1]))
+        np.testing.assert_allclose(res, 0.0, atol=1e-8)
+
+    def test_flat_terrain_reduces_to_column(self):
+        g = terrain_grid()
+        t = make_terrain(g, CONST, lambda x, y: 0.0 * x)
+        model = make_compressible_model(g, reference_potential_temperature=300.0)
+        np.testing.assert_allclose(
+            np.asarray(t.p_ref[:, 0, 0]), np.asarray(model.reference.p_c),
+            rtol=1e-10)
+
+
+class TestContravariant:
+    def test_flat_terrain_w_tilde_equals_w(self):
+        from breeze_tpu import fields as fl
+        g = terrain_grid()
+        t = make_terrain(g, CONST, lambda x, y: 0.0 * x)
+        model = make_compressible_model(g, reference_potential_temperature=300.0)
+        so = model.stencil_ops()
+        rng = np.random.default_rng(0)
+        ru = jnp.asarray(rng.normal(size=g.shape))
+        rv = jnp.zeros(g.shape)
+        rw = jnp.asarray(rng.normal(size=g.shape))
+        wt = contravariant_rho_w(t, so, fl.pad(ru, g, fl.CCF),
+                                 fl.pad(rv, g, fl.CFC), rw)
+        np.testing.assert_allclose(np.asarray(wt), np.asarray(rw), atol=1e-12)
+
+    def test_kinematic_bottom_on_slope(self):
+        from breeze_tpu import fields as fl
+        g = terrain_grid()
+        t = make_terrain(g, CONST, witch_of_agnesi())
+        model = make_compressible_model(g, reference_potential_temperature=300.0)
+        so = model.stencil_ops()
+        ru = jnp.ones(g.shape)   # uniform eastward momentum
+        rv = jnp.zeros(g.shape)
+        rw0 = np.asarray(kinematic_bottom_rho_w(t, so, ru, rv))
+        sx_c = np.asarray(0.5 * (t.sx_xf + jnp.roll(t.sx_xf, -1, axis=1)))[0]
+        # windward slope (sx > 0): upward surface flux; lee: downward
+        assert rw0[0, sx_c > 1e-4].min() > 0
+        assert rw0[0, sx_c < -1e-4].max() < 0
+
+
+class TestTerrainDynamics:
+    def test_rest_state_over_terrain(self):
+        """Resting atmosphere over a mountain stays at rest (the key
+        terrain contract — reference terrain rest-state tests)."""
+        g = terrain_grid(nx=48, nz=20)
+        t = make_terrain(g, CONST, witch_of_agnesi(h0=200.0))
+        model = make_compressible_model(
+            g, advection=bz.Centered(2), reference_potential_temperature=300.0)
+        state = terrain_initial_state(model, t)
+        dt = 0.05   # explicit path: acoustic CFL limited
+        for _ in range(40):
+            state = terrain_explicit_rk3_step(model, t, state, dt)
+        w = np.asarray(state.rho_w)
+        assert np.isfinite(w).all()
+        assert np.abs(w[1:]).max() < 1e-4, (
+            f"terrain rest state: max interior |rho_w| = {np.abs(w[1:]).max()}")
+
+    def test_mountain_wave_updraft_on_windward_slope(self):
+        """Uniform flow over a hill: windward updraft at the surface (the
+        Schär/mountain-wave capability, examples/two_dimension_mountain_wave.jl)."""
+        g = terrain_grid(nx=64, nz=20)
+        t = make_terrain(g, CONST, witch_of_agnesi(h0=100.0, a=3000.0))
+        model = make_compressible_model(
+            g, advection=bz.Centered(2), reference_potential_temperature=300.0)
+        state = terrain_initial_state(model, t, u=10.0)
+        dt = 0.05
+        for _ in range(100):
+            state = terrain_explicit_rk3_step(model, t, state, dt)
+        w = np.asarray(state.rho_w)
+        assert np.isfinite(w).all()
+        sx_c = np.asarray(0.5 * (t.sx_xf + jnp.roll(t.sx_xf, -1, axis=1)))[0]
+        surf_w = w[0, 0]
+        assert surf_w[sx_c > 1e-4].mean() > 0, "windward surface flux upward"
+        # low-level w above the windward slope positive
+        assert w[2, 0, (sx_c > 1e-4)].mean() > 0
