@@ -15,6 +15,7 @@ EXAMPLES = [
     "bomex.py",
     "splitting_supercell.py",
     "baroclinic_wave.py",
+    "two_dimension_mountain_wave.py",
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
