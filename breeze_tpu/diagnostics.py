@@ -155,6 +155,18 @@ def azimuthal_mean(field, grid, x0: float, y0: float, n_bins: int | None = None)
     return r_centers, means
 
 
+def number_concentration(model, state, species: str = "cloud"):
+    """Droplet/raindrop number concentration [1/m³] from 2M prognostics.
+
+    Reference ``number_concentration_field``
+    (``microphysics_diagnostics.jl:254``); requires a two-moment scheme.
+    """
+    name = {"cloud": "rho_ncl", "rain": "rho_nr"}[species]
+    if name not in state.tracers:
+        raise ValueError(f"model has no prognostic {name} (needs a 2M scheme)")
+    return state.tracers[name]   # ρ·(n/ρ) = n [1/m³]
+
+
 def cfl_number(model, state, dt: float) -> float:
     from .simulation import cell_advection_timescale
 

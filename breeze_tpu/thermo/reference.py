@@ -338,6 +338,95 @@ def make_exner_reference_state(
     )
 
 
+def reference_state_from_profiles(grid: Grid, constants: ThermodynamicConstants,
+                                  T_profile, qv_profile=None,
+                                  surface_pressure: float = 101325.0,
+                                  standard_pressure: float = 1.0e5) -> ReferenceState:
+    """Build a hydrostatic reference from given T(z) (+ qᵛ(z)) profiles.
+
+    Mirrors reference ``compute_hydrostatic_reference!``
+    (``reference_states.jl:165-240``): integrate d(ln p)/dz = −g/(RᵐT)
+    upward with trapezoidal RᵐT averaging; ρ from the moist ideal gas law.
+    This is the engine of ``set_to_mean!`` (``set_to_mean.jl:123``): pass
+    horizontal-mean T and qᵛ to re-anchor the reference to the current state.
+    """
+    z_c = np.asarray(grid.z_c, np.float64)
+    nz = grid.nz
+    T = np.asarray(T_profile, np.float64) * np.ones(nz)
+    qv = (np.zeros(nz) if qv_profile is None
+          else np.asarray(qv_profile, np.float64) * np.ones(nz))
+    Rd, Rv = constants.Rd, constants.Rv
+    g = constants.gravitational_acceleration
+    Rm = (1.0 - qv) * Rd + qv * Rv
+    RmT = Rm * T
+
+    p = np.empty(nz)
+    z_prev, RmT_prev, p_prev = 0.0, RmT[0], float(surface_pressure)
+    for k in range(nz):
+        dz = z_c[k] - z_prev
+        p[k] = p_prev * np.exp(-g * dz / (0.5 * (RmT_prev + RmT[k])))
+        z_prev, RmT_prev, p_prev = z_c[k], RmT[k], p[k]
+
+    rho = p / RmT
+    rho0 = surface_pressure / RmT[0]
+    rho_f = np.empty(nz + 1)
+    rho_f[1:nz] = 0.5 * (rho[1:] + rho[:-1])
+    rho_f[0] = rho0
+    rho_f[nz] = rho[-1]
+
+    kappa = Rd / constants.dry_air.heat_capacity
+    theta0 = float(T[0] * (standard_pressure / surface_pressure) ** kappa)
+
+    dt = grid.dtype
+    return ReferenceState(
+        surface_pressure=float(surface_pressure),
+        potential_temperature=theta0,
+        standard_pressure=float(standard_pressure),
+        p_c=jnp.asarray(p, dt), rho_c=jnp.asarray(rho, dt),
+        T_c=jnp.asarray(T, dt), rho_f=jnp.asarray(rho_f, dt),
+        qv_c=jnp.asarray(qv, dt),
+        ql_c=jnp.zeros(nz, dt), qi_c=jnp.zeros(nz, dt),
+    )
+
+
+def set_to_mean(model, state):
+    """Rebuild the model's reference state from the current horizontal means.
+
+    TPU analogue of reference ``set_to_mean!`` (``set_to_mean.jl:123,165``):
+    the reference column re-anchors to ⟨T⟩(z), ⟨qᵛ⟩(z) of the running state
+    (a host-side, between-run operation — returns a NEW model; the state's
+    density-weighted prognostics are rescaled to the new reference density,
+    mirroring ``HydrostaticallyBalancedDensity`` :256).
+    """
+    import dataclasses as dc
+
+    from ..dynamics.poisson import build_anelastic_poisson_solver
+    from ..model import diagnose
+
+    aux = diagnose(model, state)
+    T_mean = np.asarray(jnp.mean(aux.T, axis=(1, 2)))
+    qv_mean = (np.asarray(jnp.mean(aux.q.vapor, axis=(1, 2)))
+               if model.has_moisture else None)
+    new_ref = reference_state_from_profiles(
+        model.grid, model.constants, T_mean, qv_mean,
+        surface_pressure=model.reference.surface_pressure,
+        standard_pressure=model.reference.standard_pressure)
+    solver = build_anelastic_poisson_solver(model.grid, new_ref.rho_c,
+                                            new_ref.rho_f)
+    new_model = dc.replace(model, reference=new_ref, solver=solver)
+
+    scale_c = new_ref.rho_col / model.reference.rho_col
+    scale_f = new_ref.rho_f_col / model.reference.rho_f_col
+    new_state = state.replace(
+        rho_u=state.rho_u * scale_c, rho_v=state.rho_v * scale_c,
+        rho_w=state.rho_w * scale_f,
+        rho_theta=state.rho_theta * scale_c,
+        rho_qt=None if state.rho_qt is None else state.rho_qt * scale_c,
+        tracers={k: v * scale_c for k, v in state.tracers.items()},
+    )
+    return new_model, new_state
+
+
 def with_moisture_profiles(ref: ReferenceState, qv=None, ql=None, qi=None) -> ReferenceState:
     """Return a copy of ``ref`` with moisture profiles replaced."""
     return dataclasses.replace(

@@ -20,6 +20,6 @@ jax.config.update("jax_threefry_partitionable", True)
 # f64-on-CPU verification mode (SURVEY.md §7 hard part 5): tests may build
 # float64 grids to check discrete identities to machine precision.
 jax.config.update("jax_enable_x64", True)
-# Persistent compilation cache: repeated pytest runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: the persistent compilation cache is deliberately NOT enabled —
+# cache writes segfault this jax build on some executables (observed in
+# compilation_cache.put_executable_and_time for bf16 scan programs).
