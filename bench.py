@@ -24,6 +24,10 @@ def main() -> int:
     p.add_argument("--dt", type=float, default=0.5)
     p.add_argument("--moist", action="store_true",
                    help="enable saturation-adjustment moist thermodynamics")
+    p.add_argument("--dynamics", choices=("anelastic", "compressible"),
+                   default="anelastic")
+    p.add_argument("--substep-floattype", default=None,
+                   help="compressible acoustic working-field dtype (e.g. bfloat16)")
     args = p.parse_args()
 
     import jax
@@ -41,6 +45,35 @@ def main() -> int:
                         halo=3, dtype=jnp.float32)
     microphysics = (bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium())
                     if args.moist else None)
+
+    if args.dynamics == "compressible":
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_rk3_step,
+            compressible_initial_state, make_compressible_model)
+
+        model = make_compressible_model(
+            grid, advection=bz.WENO(5), coriolis=bz.FPlane(1e-4),
+            microphysics=microphysics,
+            time_discretization=SplitExplicitTimeDiscretization(
+                acoustic_cfl=0.5, substep_floattype=args.substep_floattype))
+
+        def theta0c(x, y, z):
+            bubble = 0.5 * jnp.exp(-((x - 6400.0) ** 2 + (y - 6400.0) ** 2
+                                     + (z - 800.0) ** 2) / 500.0 ** 2)
+            return 300.0 + bubble
+
+        state = compressible_initial_state(
+            model, theta=theta0c,
+            qt=(lambda x, y, z: 0.008 * jnp.exp(-z / 1500.0)) if args.moist else None)
+
+        chunk = jax.jit(
+            lambda m, s, dt: jax.lax.fori_loop(
+                0, 10, lambda _, st: acoustic_rk3_step(m, st, float(args.dt)), s),
+            donate_argnums=(1,), static_argnums=(2,))
+        # static dt baked via closure; keep the call signature uniform
+        chunk_call = lambda m, s, dt: chunk(m, s, dt)
+        return _run_bench(args, grid, model, state, chunk_call, nx, ny, nz)
+
     model = bz.make_model(grid, advection=bz.WENO(5), potential_temperature=300.0,
                           microphysics=microphysics, coriolis=bz.FPlane(1e-4))
 
@@ -58,6 +91,12 @@ def main() -> int:
         lambda m, s, dt: jax.lax.fori_loop(
             0, 10, lambda _, st: ssp_rk3_step(m, st, dt), s),
         donate_argnums=(1,))
+    return _run_bench(args, grid, model, state, chunk, nx, ny, nz)
+
+
+def _run_bench(args, grid, model, state, chunk, nx, ny, nz) -> int:
+    import jax
+    import jax.numpy as jnp
 
     # Warmup (compile + first run).  NOTE: synchronization is via an actual
     # device→host readback — block_until_ready through the remote-execution
@@ -88,6 +127,7 @@ def main() -> int:
         "vs_baseline": round(gps / 1.0e9, 4),
         "config": {
             "size": args.size, "advection": "WENO5",
+            "dynamics": args.dynamics,
             "dtype": "float32", "moist": bool(args.moist),
             "steps": steps, "time_per_step_seconds": round(time_per_step, 6),
             "device": str(jax.devices()[0]).replace(" ", "_"),

@@ -38,9 +38,14 @@ class BulkSurfaceFluxes:
     """Bulk aerodynamic fluxes against prescribed surface values.
 
     F_θ = -Cθ |U| (θ₁ − θ_s),  F_q = -Cq |U| (q₁ − q_s(T_s)),
-    τ = -Cd |U| u₁  (reference ``bulk_scalar_fluxes.jl``, COARE-style
-    constant coefficients; stability-dependent coefficients are a planned
-    extension of ``polynomial_bulk_coefficient.jl``).
+    τ = -Cd |U| u₁  (reference ``bulk_scalar_fluxes.jl:8-302``).
+
+    ``stability_correction`` multiplies the neutral coefficients by a
+    Louis (1979)-type function of the bulk Richardson number — the
+    branch-free VPU analogue of the reference's fitted Monin–Obukhov
+    stability functions (``polynomial_bulk_coefficient.jl:16-556``):
+    enhanced exchange in unstable (convective) conditions, suppressed in
+    stable stratification.
     """
 
     surface_temperature: float = 300.0
@@ -50,6 +55,18 @@ class BulkSurfaceFluxes:
     heat_transfer_coefficient: float = 1.2e-3
     vapor_transfer_coefficient: float = 1.2e-3
     gustiness: float = 0.1
+    stability_correction: bool = False
+    louis_b: float = 9.4
+    louis_c_star: float = 7.4
+
+    def stability_factor(self, Ri_b):
+        """Louis (1979) f(Ri_b): >1 unstable, <1 stable, =1 neutral."""
+        b = self.louis_b
+        c = self.louis_c_star * self.drag_coefficient * b  # convective term
+        unstable = 1.0 + b * jnp.abs(Ri_b) / (
+            1.0 + c * jnp.sqrt(jnp.abs(Ri_b)))
+        stable = 1.0 / (1.0 + 0.5 * b * jnp.maximum(Ri_b, 0.0)) ** 2
+        return jnp.where(Ri_b < 0, unstable, stable)
 
 
 def _value(v, t):
@@ -100,7 +117,14 @@ def apply_boundary_flux_tendencies(model, state, aux, G):
                 jnp.asarray(bf.surface_temperature, g.dtype), q0,
                 ref.surface_pressure, c, model.p_standard)
 
-        th_flux = -bf.heat_transfer_coefficient * speed * (theta1 - theta_s)
+        stab = 1.0
+        if bf.stability_correction:
+            z1 = g.z_c[0]
+            Ri_b = (c.gravitational_acceleration * z1 * (theta1 - theta_s)
+                    / (jnp.maximum(theta1, 1.0) * speed ** 2))
+            stab = bf.stability_factor(jnp.clip(Ri_b, -10.0, 10.0))
+
+        th_flux = -bf.heat_transfer_coefficient * stab * speed * (theta1 - theta_s)
         G = G.replace(rho_theta=G.rho_theta.at[0].add(rho0 * th_flux / dz0))
 
         if G.rho_qt is not None:
@@ -110,10 +134,10 @@ def apply_boundary_flux_tendencies(model, state, aux, G):
                 rho_surf = ref.surface_pressure / (c.Rd * bf.surface_temperature)
                 q_s = saturation_specific_humidity(
                     jnp.asarray(bf.surface_temperature, g.dtype), rho_surf, c)
-            q_flux = -bf.vapor_transfer_coefficient * speed * (qt1 - q_s)
+            q_flux = -bf.vapor_transfer_coefficient * stab * speed * (qt1 - q_s)
             G = G.replace(rho_qt=G.rho_qt.at[0].add(rho0 * q_flux / dz0))
 
-        cd = bf.drag_coefficient
+        cd = bf.drag_coefficient * stab
         G = G.replace(
             rho_u=G.rho_u.at[0].add(-rho0 * cd * speed * u1 / dz0),
             rho_v=G.rho_v.at[0].add(-rho0 * cd * speed * v1 / dz0))

@@ -223,3 +223,28 @@ class TestHDF5Writer:
         assert len(times) == 3
         assert thetas.shape[1:] == g.shape
         np.testing.assert_allclose(thetas[0].mean(), 300.0, atol=1.0)
+
+
+class TestStabilityCorrection:
+    def test_louis_factor_shape(self):
+        bf = BulkSurfaceFluxes(stability_correction=True)
+        import jax.numpy as jnp
+        f_unstable = float(bf.stability_factor(jnp.float64(-1.0)))
+        f_neutral = float(bf.stability_factor(jnp.float64(0.0)))
+        f_stable = float(bf.stability_factor(jnp.float64(1.0)))
+        assert f_unstable > 1.0 > f_stable
+        np.testing.assert_allclose(f_neutral, 1.0)
+
+    def test_warm_surface_enhances_fluxes(self):
+        g = les_grid()
+        kw = dict(surface_temperature=305.0)
+        m_neutral = make_model(g, potential_temperature=300.0,
+                              boundary_fluxes=BulkSurfaceFluxes(**kw))
+        m_stab = make_model(g, potential_temperature=300.0,
+                            boundary_fluxes=BulkSurfaceFluxes(
+                                stability_correction=True, **kw))
+        state = initial_state(m_neutral, u=2.0 * jnp.ones(g.shape))
+        G_n = compute_tendencies(m_neutral, state)
+        G_s = compute_tendencies(m_stab, state)
+        # unstable (warm surface): corrected fluxes exceed neutral
+        assert float(G_s.rho_theta[0].mean()) > float(G_n.rho_theta[0].mean())
