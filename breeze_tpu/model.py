@@ -86,7 +86,7 @@ class Aux(NamedTuple):
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["grid", "reference", "solver", "forcing_data"],
+    data_fields=["grid", "reference", "solver", "forcing_data", "immersed"],
     meta_fields=[
         "constants", "momentum_advection", "scalar_advection",
         "microphysics", "coriolis", "closure", "forcings",
@@ -117,6 +117,7 @@ class AtmosphereModel:
     boundary_fluxes: Any           # None | physics.surface.BoundaryFluxes
     p_standard: float
     formulation: str = "theta_li"  # "theta_li" (ρθˡⁱ) | "static_energy" (ρe)
+    immersed: Any = None           # None | dynamics.immersed.GridFittedBottom
 
     @property
     def has_moisture(self) -> bool:
@@ -139,6 +140,7 @@ def make_model(
     forcings=(),
     forcing_data=None,
     boundary_fluxes=None,
+    immersed=None,
     surface_pressure: float = 101325.0,
     potential_temperature=288.0,
     p_standard: float = 1.0e5,
@@ -180,6 +182,7 @@ def make_model(
         boundary_fluxes=boundary_fluxes,
         p_standard=p_standard,
         formulation=formulation,
+        immersed=immersed,
     )
 
 
@@ -476,6 +479,12 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     for forcing in model.forcings:
         G = forcing(model, state, aux, G)
 
+    # Immersed boundary: no evolution inside the solid (reference
+    # inactive_cell masking in every tendency kernel).
+    if model.immersed is not None:
+        from .dynamics.immersed import mask_tendencies
+        G = mask_tendencies(model.immersed, G)
+
     return G
 
 
@@ -496,6 +505,13 @@ def pressure_projection(model: AtmosphereModel, rho_u, rho_v, rho_w, dt):
     so = model.stencil_ops()
 
     rho_u, rho_v, rho_w = fl.enforce_wall_normals(g, rho_u, rho_v, rho_w)
+    if model.immersed is not None:
+        # mask momenta on solid faces before the divergence (reference
+        # compute_pressure_correction!: mask_immersed + fill halos first)
+        ib = model.immersed
+        rho_u = rho_u * ib.mask_u
+        rho_v = rho_v * ib.mask_v
+        rho_w = rho_w * ib.mask_w
 
     # δ = ∇·(ρu) at centers (1-wide halos suffice).
     ru_pad = fl.pad(rho_u, g, fl.CCF)
@@ -512,4 +528,9 @@ def pressure_projection(model: AtmosphereModel, rho_u, rho_v, rho_w, dt):
     rho_v = rho_v - dt * rho_c * so.dy_cf(phi_pad)
     rho_w = rho_w - dt * rho_f * so.dz_cf(phi_pad)
     rho_u, rho_v, rho_w = fl.enforce_wall_normals(g, rho_u, rho_v, rho_w)
+    if model.immersed is not None:
+        ib = model.immersed
+        rho_u = rho_u * ib.mask_u
+        rho_v = rho_v * ib.mask_v
+        rho_w = rho_w * ib.mask_w
     return rho_u, rho_v, rho_w, phi
