@@ -17,6 +17,14 @@ import jax.numpy as jnp
 from .. import fields as fl
 
 
+def _rep(G, **kw):
+    """Replace fields on either a dataclass (anelastic G) or NamedTuple
+    (compressible SlowTendencies) tendency container."""
+    if hasattr(G, "replace"):
+        return G.replace(**kw)
+    return G._replace(**kw)
+
+
 @dataclasses.dataclass(frozen=True)
 class GeostrophicForcing:
     """Coriolis-consistent large-scale pressure gradient.
@@ -36,7 +44,7 @@ class GeostrophicForcing:
         ug = self.u_g(z) if callable(self.u_g) else self.u_g
         vg = self.v_g(z) if callable(self.v_g) else self.v_g
         rho = model.reference.rho_col
-        G = G.replace(
+        G = _rep(G,
             rho_u=G.rho_u - rho * self.f * vg,
             rho_v=G.rho_v + rho * self.f * ug,
         )
@@ -68,9 +76,9 @@ class SubsidenceForcing:
             # interp to centers (top face extrapolated)
             return 0.5 * (ddz_f + jnp.concatenate([ddz_f[1:], ddz_f[-1:]], 0))
 
-        G = G.replace(rho_theta=G.rho_theta - rho * w_s * dz_mean(aux.theta))
-        if G.rho_qt is not None:
-            G = G.replace(rho_qt=G.rho_qt - rho * w_s * dz_mean(aux.qt))
+        G = _rep(G, rho_theta=G.rho_theta - rho * w_s * dz_mean(aux.theta))
+        if getattr(G, "rho_qt", None) is not None:
+            G = _rep(G, rho_qt=G.rho_qt - rho * w_s * dz_mean(aux.qt))
         return G
 
 
@@ -81,11 +89,11 @@ class DrySubsidenceTendency:
     tendency_profile: Callable  # dqt/dt(z)
 
     def __call__(self, model, state, aux, G):
-        if G.rho_qt is None:
+        if getattr(G, "rho_qt", None) is None:
             return G
         g = model.grid
         rho = model.reference.rho_col
-        return G.replace(rho_qt=G.rho_qt + rho * self.tendency_profile(g.z_c_col))
+        return _rep(G, rho_qt=G.rho_qt + rho * self.tendency_profile(g.z_c_col))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,15 +124,71 @@ class UpperSponge:
         sig_c, sig_f = self._sigma(model)
         mean_u = jnp.mean(state.rho_u, axis=(1, 2), keepdims=True)
         mean_v = jnp.mean(state.rho_v, axis=(1, 2), keepdims=True)
-        G = G.replace(
+        G = _rep(G,
             rho_u=G.rho_u - sig_c * (state.rho_u - mean_u),
             rho_v=G.rho_v - sig_c * (state.rho_v - mean_v),
             rho_w=G.rho_w - sig_f * state.rho_w,
         )
         if self.damp_scalars:
             mean_t = jnp.mean(state.rho_theta, axis=(1, 2), keepdims=True)
-            G = G.replace(rho_theta=G.rho_theta - sig_c * (state.rho_theta - mean_t))
+            G = _rep(G,rho_theta=G.rho_theta - sig_c * (state.rho_theta - mean_t))
         return G
+
+
+@dataclasses.dataclass(frozen=True)
+class OpenBoundaryRelaxation:
+    """Flow-relaxation (Davies 1976) open lateral boundaries.
+
+    TPU analogue of the reference's open-boundary relaxation
+    (``acoustic_substepping.jl:1279-1356`` open-BC handling;
+    ``test/open_boundary_momentum.jl``): prognostic fields in edge zones of
+    a bounded horizontal axis relax toward an exterior (typically the
+    initial/large-scale) state with a smoothly ramped rate, absorbing
+    outgoing waves instead of reflecting them off the wall.
+
+    ``axis``: "x" or "y"; ``width``: zone width in cells; ``rate``: peak
+    inverse timescale at the outermost cell.  ``exterior``: a State-like
+    pytree of target fields (None entries relax toward zero momentum).
+    """
+
+    axis: str = "x"
+    width: int = 8
+    rate: float = 0.05
+    exterior: object = None
+
+    def _ramp(self, grid):
+        ax = 2 if self.axis == "x" else 1
+        n = grid.shape[ax]
+        idx = jnp.arange(n)
+        d = jnp.minimum(idx, n - 1 - idx).astype(grid.dtype)
+        w = jnp.maximum(0.0, 1.0 - d / self.width)
+        sig = self.rate * jnp.sin(0.5 * jnp.pi * w) ** 2
+        shape = [1, 1, 1]
+        shape[ax] = n
+        return sig.reshape(shape)
+
+    def __call__(self, model, state, aux, G):
+        sig = self._ramp(model.grid)
+        G = _rep(G,
+            rho_u=G.rho_u - sig * (state.rho_u - self._target("rho_u", 0.0)),
+            rho_v=G.rho_v - sig * (state.rho_v - self._target("rho_v", 0.0)),
+            rho_w=G.rho_w - sig * state.rho_w,
+        )
+        # θ (and moisture) relax only when an exterior state is provided.
+        if self.exterior is not None:
+            ext_t = getattr(self.exterior, "rho_theta", None)
+            if ext_t is not None:
+                G = _rep(G,rho_theta=G.rho_theta - sig * (state.rho_theta - ext_t))
+            ext_q = getattr(self.exterior, "rho_qt", None)
+            if ext_q is not None and getattr(G, "rho_qt", None) is not None:
+                G = _rep(G, rho_qt=G.rho_qt - sig * (state.rho_qt - ext_q))
+        return G
+
+    def _target(self, name, default):
+        if self.exterior is None:
+            return default
+        val = getattr(self.exterior, name, None)
+        return default if val is None else val
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,4 +208,4 @@ class SpecificForcing:
         rho = (model.reference.rho_f_col if self.field == "rho_w"
                else model.reference.rho_col)
         incr = rho * self.func(x, y, z, state.time)
-        return G.replace(**{self.field: getattr(G, self.field) + incr})
+        return _rep(G,**{self.field: getattr(G, self.field) + incr})

@@ -248,3 +248,42 @@ class TestStabilityCorrection:
         G_s = compute_tendencies(m_stab, state)
         # unstable (warm surface): corrected fluxes exceed neutral
         assert float(G_s.rho_theta[0].mean()) > float(G_n.rho_theta[0].mean())
+
+
+class TestOpenBoundary:
+    def test_edge_zones_relax_momentum(self):
+        """Open-boundary relaxation damps momentum in the edge zones while
+        leaving the interior untouched (reference
+        test/open_boundary_momentum.jl capability)."""
+        from breeze_tpu.physics.forcings import OpenBoundaryRelaxation
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_rk3_step,
+            compressible_initial_state, make_compressible_model)
+
+        g = bz.make_grid(size=(64, 1, 12), x=(0.0, 32000.0), y=(0.0, 1.0),
+                         z=(0.0, 6000.0),
+                         topology=(bz.BOUNDED, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_compressible_model(
+            g, advection=bz.Centered(2),
+            forcings=(OpenBoundaryRelaxation(axis="x", width=8, rate=0.1),),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        state = compressible_initial_state(model, u=5.0 * jnp.ones(g.shape))
+        u0_interior = float((state.rho_u[:, :, 24:40]).mean())
+        u0_edge = float((state.rho_u[:, :, 1:5]).mean())
+        for _ in range(10):
+            state = acoustic_rk3_step(model, state, 2.0)
+        u1_interior = float((state.rho_u[:, :, 24:40]).mean())
+        u1_edge = float((state.rho_u[:, :, 1:5]).mean())
+        assert u1_edge < 0.7 * u0_edge, "edge momentum must relax toward zero"
+        assert abs(u1_interior - u0_interior) < 0.15 * u0_interior, (
+            "interior momentum nearly unchanged over this horizon")
+
+    def test_ramp_shape(self):
+        from breeze_tpu.physics.forcings import OpenBoundaryRelaxation
+        g = bz.make_grid(size=(32, 1, 8), extent=(1.0, 1.0, 1.0),
+                         topology=(bz.BOUNDED, bz.FLAT, bz.BOUNDED))
+        ob = OpenBoundaryRelaxation(axis="x", width=4, rate=0.1)
+        sig = np.asarray(ob._ramp(g)).ravel()
+        assert sig[0] == sig[-1] == np.max(sig)
+        np.testing.assert_allclose(sig[10:22], 0.0)
