@@ -16,6 +16,7 @@ EXAMPLES = [
     "splitting_supercell.py",
     "baroclinic_wave.py",
     "two_dimension_mountain_wave.py",
+    "tropical_cyclone.py",
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
