@@ -17,6 +17,7 @@ EXAMPLES = [
     "baroclinic_wave.py",
     "two_dimension_mountain_wave.py",
     "tropical_cyclone.py",
+    "rico.py",
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
