@@ -73,10 +73,14 @@ class WENO:
 # ---------------------------------------------------------------------------
 
 def _interior_except(a: jax.Array, axis: int, h: int, shape) -> jax.Array:
-    """Restrict the two non-flux axes to the interior window."""
+    """Restrict the two non-flux axes to the interior window.
+
+    Size-1 (broadcast/column) axes are left untouched — this lets z-profile
+    reference columns flow through the flux machinery without
+    materialization."""
     idx = []
     for ax in range(3):
-        if ax == axis:
+        if ax == axis or a.shape[ax] == 1:
             idx.append(slice(None))
         else:
             idx.append(slice(h, h + shape[ax]))
@@ -84,7 +88,11 @@ def _interior_except(a: jax.Array, axis: int, h: int, shape) -> jax.Array:
 
 
 def _slide(b: jax.Array, axis: int, h: int, n_out: int, off: int) -> jax.Array:
-    """Slice ``n_out`` entries along ``axis`` starting at padded index h+off."""
+    """Slice ``n_out`` entries along ``axis`` starting at padded index h+off.
+
+    A size-1 (broadcast) axis returns unchanged."""
+    if b.shape[axis] == 1:
+        return b
     return jax.lax.slice_in_dim(b, h + off, h + off + n_out, axis=axis)
 
 

@@ -366,6 +366,33 @@ def _diagnose_static_energy(model: AtmosphereModel, state: State, u, v, w) -> Au
                buoyancy_force=buoyancy_force)
 
 
+def _padded_reference_columns(model: AtmosphereModel):
+    """z-halo-padded reference-density columns, broadcastable to padded fields.
+
+    The center column pads with the even mirror (matching the CCC halo
+    rule); the face column pads evenly about the wall faces so that the
+    product ``ρᶠ_pad × w_pad`` reproduces the odd-reflected pad of ρw.
+    Horizontal pads are trivial for a z-profile (wrap/mirror of a constant).
+    """
+    g = model.grid
+    h = g.halo
+    ref = model.reference
+    rc = ref.rho_c
+    rf = ref.rho_f            # faces 0..nz (nz+1 values)
+
+    from .grid import Topology
+    if g.z_topology == Topology.BOUNDED:
+        c_pad = jnp.concatenate([rc[:h][::-1], rc, rc[-h:][::-1]])
+        # stored w faces are 0..nz-1; ghosts mirror about faces 0 and nz
+        f_low = rf[1:h + 1][::-1]
+        f_high = jnp.concatenate([rf[g.nz:g.nz + 1], rf[g.nz - h + 1:g.nz][::-1]])
+        f_pad = jnp.concatenate([f_low, rf[:g.nz], f_high])
+    else:
+        c_pad = jnp.concatenate([rc[-h:], rc, rc[:h]])
+        f_pad = jnp.concatenate([rf[:g.nz][-h:], rf[:g.nz], rf[:g.nz][:h]])
+    return c_pad[:, None, None], f_pad[:, None, None]
+
+
 # ---------------------------------------------------------------------------
 # Tendencies
 # ---------------------------------------------------------------------------
@@ -385,12 +412,16 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     so = model.stencil_ops()
     ref = model.reference
 
-    rho_u_pad = fl.pad(state.rho_u, g, fl.CCF)
-    rho_v_pad = fl.pad(state.rho_v, g, fl.CFC)
-    rho_w_pad = fl.pad(state.rho_w, g, fl.FCC)
     u_pad = fl.pad(aux.u, g, fl.CCF)
     v_pad = fl.pad(aux.v, g, fl.CFC)
     w_pad = fl.pad(aux.w, g, fl.FCC)
+    # Anelastic: ρu = ρᵣ(z)·u with a z-only profile, so the padded momentum
+    # is the padded velocity times a z-padded COLUMN — a fused broadcast
+    # multiply instead of three full-field halo materializations.
+    rho_c_padcol, rho_f_padcol = _padded_reference_columns(model)
+    rho_u_pad = u_pad * rho_c_padcol
+    rho_v_pad = v_pad * rho_c_padcol
+    rho_w_pad = w_pad * rho_f_padcol
 
     # Momentum advection: ∇·(ρU ⊗ u)
     adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
@@ -419,9 +450,11 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
 
     # Scalars: θ and qᵗ advected as specific quantities against ρᵣ
     # (potential_temperature_tendency.jl:100-105; scalar_tendency
-    # dynamics_kernel_functions.jl:132-159).
+    # dynamics_kernel_functions.jl:132-159).  The density is the z-padded
+    # reference COLUMN — broadcasting through the flux machinery without a
+    # full-field halo materialization.
     rho_r_field = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
-    rho_r_pad = fl.pad(rho_r_field, g, fl.CCC)
+    rho_r_pad = rho_c_padcol
 
     # Fused Pallas scalar-advection path (opt-in; see pallas_kernels.advection)
     from .pallas_kernels import advection as padv
@@ -429,7 +462,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     if use_pallas:
         pz = lambda a, loc: padv.pad_zy(a, g, loc)
         pz_args = (pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC),
-                   pz(rho_r_field, fl.CCC))
+                   pz(rho_r_field, fl.CCC))  # kernel needs the full field
 
         def scalar_div(c_spec):
             return -padv.div_rho_u_c_pallas(g, pz(c_spec, fl.CCC), *pz_args)
