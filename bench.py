@@ -26,6 +26,10 @@ def main() -> int:
                    help="enable saturation-adjustment moist thermodynamics")
     p.add_argument("--dynamics", choices=("anelastic", "compressible"),
                    default="anelastic")
+    p.add_argument("--svp", choices=("clausius_clapeyron", "flatau", "tetens"),
+                   default="clausius_clapeyron",
+                   help="saturation vapor pressure closure (flatau = the "
+                        "reference's fast polynomial fit)")
     p.add_argument("--substep-floattype", default=None,
                    help="compressible acoustic working-field dtype (e.g. bfloat16)")
     args = p.parse_args()
@@ -45,6 +49,7 @@ def main() -> int:
                         halo=3, dtype=jnp.float32)
     microphysics = (bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium())
                     if args.moist else None)
+    constants = bz.ThermodynamicConstants(saturation_formulation=args.svp)
 
     if args.dynamics == "compressible":
         from breeze_tpu.dynamics.compressible import (
@@ -53,7 +58,7 @@ def main() -> int:
 
         model = make_compressible_model(
             grid, advection=bz.WENO(5), coriolis=bz.FPlane(1e-4),
-            microphysics=microphysics,
+            microphysics=microphysics, constants=constants,
             time_discretization=SplitExplicitTimeDiscretization(
                 acoustic_cfl=0.5, substep_floattype=args.substep_floattype))
 
@@ -75,7 +80,8 @@ def main() -> int:
         return _run_bench(args, grid, model, state, chunk_call, nx, ny, nz)
 
     model = bz.make_model(grid, advection=bz.WENO(5), potential_temperature=300.0,
-                          microphysics=microphysics, coriolis=bz.FPlane(1e-4))
+                          microphysics=microphysics, coriolis=bz.FPlane(1e-4),
+                          constants=constants)
 
     def theta0(x, y, z):
         bubble = 0.5 * jnp.exp(-((x - 6400.0) ** 2 + (y - 6400.0) ** 2
