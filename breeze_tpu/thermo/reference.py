@@ -338,6 +338,54 @@ def make_exner_reference_state(
     )
 
 
+def make_boussinesq_reference(grid: Grid, constants: ThermodynamicConstants,
+                              surface_pressure: float = 101325.0,
+                              potential_temperature: float = 288.0,
+                              standard_pressure: float = 1.0e5) -> ReferenceState:
+    """Constant-density (Boussinesq) reference state.
+
+    TPU analogue of the reference's ``MoistAirBuoyancy`` use case
+    (``src/MoistAirBuoyancies.jl:39-269``: Breeze moist thermodynamics inside
+    a constant-density Oceananigans ``NonhydrostaticModel``, exercised by
+    ``examples/boussinesq_bomex.jl``): ρᵣ = ρ₀ everywhere, hydrostatic
+    pᵣ(z) = p₀ − ρ₀gz, Tᵣ from the moist-air EOS at (pᵣ, θ₀).  Plugging
+    this reference into the anelastic model makes its projection the
+    classical constant-coefficient Boussinesq pressure solve and its
+    buoyancy the moist-air perturbation buoyancy.
+    """
+    from .states import temperature_from_theta_li
+    from .constants import MoistureMassFractions
+
+    p0 = float(surface_pressure)
+    p_st = float(standard_pressure)
+    theta0 = float(potential_temperature)
+    Rd = constants.Rd
+    cpd = constants.dry_air.heat_capacity
+    kappa = Rd / cpd
+    g_acc = constants.gravitational_acceleration
+
+    T0 = theta0 * (p0 / p_st) ** kappa
+    rho0 = p0 / (Rd * T0)
+
+    z_c = np.asarray(grid.z_c, np.float64)
+    p_c = p0 - rho0 * g_acc * z_c
+    T_c = theta0 * (np.maximum(p_c, 1.0) / p_st) ** kappa
+    nz = grid.nz
+
+    dt = grid.dtype
+    zeros = jnp.zeros(nz, dt)
+    return ReferenceState(
+        surface_pressure=p0,
+        potential_temperature=theta0,
+        standard_pressure=p_st,
+        p_c=jnp.asarray(p_c, dt),
+        rho_c=jnp.full(nz, rho0, dt),
+        T_c=jnp.asarray(T_c, dt),
+        rho_f=jnp.full(nz + 1, rho0, dt),
+        qv_c=zeros, ql_c=zeros, qi_c=zeros,
+    )
+
+
 def reference_state_from_profiles(grid: Grid, constants: ThermodynamicConstants,
                                   T_profile, qv_profile=None,
                                   surface_pressure: float = 101325.0,

@@ -88,3 +88,45 @@ class TestNumberConcentrationDiag:
         state = model.microphysics.model_update(model, state, 10.0)
         n_cl = diag.number_concentration(model, state, "cloud")
         assert float(n_cl.max()) > 0
+
+
+class TestBoussinesq:
+    def test_boussinesq_reference_constant_density(self):
+        from breeze_tpu.thermo.constants import ThermodynamicConstants
+        from breeze_tpu.thermo.reference import make_boussinesq_reference
+        g = bz.make_grid(size=(16, 1, 16), extent=(2000.0, 1.0, 1000.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        ref = make_boussinesq_reference(g, ThermodynamicConstants(),
+                                        potential_temperature=300.0)
+        rho = np.asarray(ref.rho_c)
+        np.testing.assert_allclose(rho, rho[0])
+        p = np.asarray(ref.p_c)
+        # hydrostatic with constant density
+        np.testing.assert_allclose(np.diff(p), -rho[0] * 9.81 * float(g.dz_c[0]),
+                                   rtol=1e-12)
+
+    def test_boussinesq_moist_bubble(self):
+        """MoistAirBuoyancy capability (reference examples/boussinesq_bomex.jl):
+        moist thermodynamics + buoyancy inside a constant-density model."""
+        from breeze_tpu.thermo.constants import ThermodynamicConstants
+        from breeze_tpu.thermo.reference import make_boussinesq_reference
+        from breeze_tpu.timesteppers import ssp_rk3_step
+        g = bz.make_grid(size=(24, 1, 24), extent=(4000.0, 1.0, 2000.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        c = ThermodynamicConstants()
+        ref = make_boussinesq_reference(g, c, potential_temperature=300.0)
+        model = make_model(g, constants=c, reference=ref, advection=bz.WENO(5),
+                          microphysics=bz.SaturationAdjustment(
+                              equilibrium=bz.WarmPhaseEquilibrium()))
+        state = initial_state(
+            model,
+            theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                -((x - 2000.0) ** 2 + (z - 500.0) ** 2) / 200.0 ** 2),
+            qt=lambda x, y, z: 0.014 * jnp.ones_like(z * x))
+        for _ in range(10):
+            state = ssp_rk3_step(model, state, 2.0)
+        aux = diagnose(model, state)
+        assert bool(jnp.all(jnp.isfinite(aux.w)))
+        assert float(aux.w.max()) > 0.05, "warm moist bubble rises (Boussinesq)"
