@@ -8,18 +8,21 @@ flux-divergence computation into one loop.  Both upwind branches are computed
 and selected with ``jnp.where`` — on the VPU this is cheaper than divergent
 control flow, and the Pallas WENO kernel can specialize later.
 
-Interface/staggering conventions follow :mod:`breeze_tpu.ops`:
+Interface/staggering conventions follow :mod:`breeze_tpu.ops`.  All flux and
+reconstruction arrays are **interior-sized** (``n`` entries along the flux
+axis, lane/sublane aligned — the earlier ``n+1`` layout paid a large
+misalignment tax):
 
-- target ``"cf"``: reconstruct a center-located quantity at faces; face ``i``
-  separates cells ``i-1`` (left) and ``i`` (right).  Output has ``n+1``
-  entries along the flux axis (faces ``0..n``).
-- target ``"fc"``: reconstruct a face-located quantity at centers; center
-  ``i`` separates faces ``i`` (left) and ``i+1`` (right).  Output has
-  ``n+1`` entries (centers ``-1..n-1``).
+- target ``"cf"``: reconstruct a center-located quantity at faces
+  ``0..n-1`` (each face ``i`` separates cells ``i-1`` and ``i``); the
+  missing face ``n`` is recovered by the divergence helper via ``roll``
+  (periodic) or an implicit zero (bounded wall).
+- target ``"fc"``: reconstruct a face-located quantity at centers
+  ``0..n-1`` (center ``i`` sits between faces ``i`` and ``i+1``).
 
-Either way the caller forms ``flux = massflux * reconstructed`` and takes
-``(flux[1:] - flux[:-1]) / spacing`` to land on the natural divergence
-location.
+The caller forms ``flux = massflux * reconstructed`` and applies
+``_div_cf`` / ``_div_fc`` (roll-based wraparound or shift-in-zero walls) to
+land on the natural divergence location.
 """
 
 from __future__ import annotations

@@ -57,6 +57,9 @@ class KesslerMicrophysics:
     prognostic_tracer_names = ("rho_qcl", "rho_qr")
     liquid_tracer_names = ("rho_qcl", "rho_qr")
     ice_tracer_names = ()
+    # reference correction_moisture_fields (one_moment_microphysics.jl:536):
+    # rain borrows from cloud, cloud from vapor
+    correction_tracer_chain = ("rho_qr", "rho_qcl")
 
     # -- process rates (mixing-ratio space) ----------------------------
     def terminal_velocity(self, r_r, rho, rho_surf):

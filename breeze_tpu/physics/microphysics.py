@@ -209,29 +209,105 @@ class InstantaneousPrecipitation:
         )
 
 
-def fix_negative_moisture(rho_q):
-    """Vertical-borrowing repair of negative moisture after advection.
+def fix_negative_moisture(rho_q, dz_col=None):
+    """Δz-weighted vertical-borrowing repair of negative moisture.
 
     TPU analogue of reference ``negative_moisture_correction.jl``
-    (`VerticalBorrowing` :50, column kernel :199): a downward z-scan carries
-    each cell's deficit into the cell below (conserving the column
-    integral), then a final clip removes any residual negative at the
-    bottom.  Vectorized over all columns via ``lax.scan``.
+    (`VerticalBorrowing` :50, ``vertical_borrow!`` :244-286): works in
+    column mass-per-area units ``m = ρq·Δz`` so that the column integral
+    ∫ρq dz is conserved exactly on stretched grids.  A top→bottom ``scan``
+    pushes each level's deficit into the level below; if the bottom level is
+    still negative it borrows ``min(needed, available)`` from the level
+    above.  A residual negative (the column integral itself is negative)
+    stays in place — exactly the reference's conservative behavior.
+
+    ``dz_col`` is the cell-thickness column, shape ``(nz, 1, 1)``;
+    pass ``None`` for uniform spacing (weights cancel).
     """
     import jax
 
+    nz = rho_q.shape[0]
+    m = rho_q if dz_col is None else rho_q * dz_col
+    if nz == 1:
+        return rho_q
+
     def sweep(carry, layer):
         new = layer + carry
-        clipped = jnp.maximum(new, 0.0)
-        deficit = jnp.minimum(new, 0.0)
-        return deficit, clipped
+        return jnp.minimum(new, 0.0), jnp.maximum(new, 0.0)
 
-    # scan from top (index nz-1) downward
-    _residual, fixed_rev = jax.lax.scan(sweep, jnp.zeros_like(rho_q[0]),
-                                        rho_q[::-1])
-    # Any residual deficit at the bottom is clamped away (tiny mass loss,
-    # matching the reference's final clamp of orphaned negatives).
-    return fixed_rev[::-1]
+    # scan levels nz-1 .. 1 downward; carry lands in level 0
+    carry, out_rev = jax.lax.scan(sweep, jnp.zeros_like(m[0]), m[:0:-1])
+    m_upper = out_rev[::-1]          # levels 1..nz-1, now nonnegative
+    m0 = m[0] + carry
+    # bottom-to-top borrow: bottom takes what level 1 can spare
+    take = jnp.where(m0 < 0, jnp.minimum(-m0, jnp.maximum(m_upper[0], 0.0)), 0.0)
+    m0 = m0 + take
+    m_upper = m_upper.at[0].add(-take)
+    out = jnp.concatenate([m0[None], m_upper], axis=0)
+    return out if dz_col is None else out / dz_col
+
+
+def species_borrow(chain, rho_qve):
+    """Same-level species borrowing (reference ``SpeciesBorrowing``,
+    ``negative_moisture_correction.jl:290-318``).
+
+    ``chain`` is a sequence of ρq arrays ordered heaviest→lightest
+    hydrometeor; each negative entry borrows from the next lighter species,
+    the lightest borrows from the vapor/equilibrium-moisture prognostic
+    ``rho_qve``.  Same-level transfers cancel the density factor, so the
+    chain operates directly on ρq.  Returns ``(new_chain, new_rho_qve)``.
+    """
+    chain = list(chain)
+    for i, heavy in enumerate(chain):
+        light = chain[i + 1] if i + 1 < len(chain) else rho_qve
+        sink = jnp.where(heavy < 0.0,
+                         jnp.minimum(-heavy, jnp.maximum(light, 0.0)), 0.0)
+        chain[i] = heavy + sink
+        if i + 1 < len(chain):
+            chain[i + 1] = light - sink
+        else:
+            rho_qve = light - sink
+    return chain, rho_qve
+
+
+def apply_negative_moisture_correction(model, state):
+    """Full negative-moisture repair pass (reference
+    ``fix_negative_moisture!``, ``negative_moisture_correction.jl:172-221``):
+
+    1. same-level species borrowing heavy→light into the moisture prognostic,
+    2. orphaned number-concentration zeroing + negative-number clamping,
+    3. Δz-weighted vertical borrowing of the moisture prognostic.
+    """
+    if state.rho_qt is None:
+        return state
+    dz_col = model.grid.dz_c_col
+    tracers = dict(state.tracers)
+    rho_qt = state.rho_qt
+
+    scheme = model.microphysics
+    chain_names = [n for n in getattr(scheme, "correction_tracer_chain", ())
+                   if n in tracers]
+    if chain_names:
+        chain, rho_qt = species_borrow([tracers[n] for n in chain_names], rho_qt)
+        for n, v in zip(chain_names, chain):
+            tracers[n] = v
+
+    # number-concentration consistency (reference :327-347)
+    for n_name, q_name in getattr(scheme, "correction_number_mass_pairs", ()):
+        if n_name in tracers and q_name in tracers:
+            tracers[n_name] = jnp.where(tracers[q_name] <= 0.0, 0.0,
+                                        tracers[n_name])
+    for n_name in getattr(scheme, "correction_number_fields", ()):
+        if n_name in tracers:
+            tracers[n_name] = jnp.maximum(tracers[n_name], 0.0)
+
+    rho_qt = fix_negative_moisture(rho_qt, dz_col)
+    # hydrometeor masses not on the borrowing chain still get the
+    # conservative vertical sweep (pre-round-2 behavior, now Δz-weighted)
+    for k in list(tracers):
+        if k.startswith("rho_q") and k not in chain_names:
+            tracers[k] = fix_negative_moisture(tracers[k], dz_col)
+    return state.replace(rho_qt=rho_qt, tracers=tracers)
 
 
 def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,

@@ -60,6 +60,10 @@ class OneMomentMicrophysics:
     prognostic_tracer_names = ("rho_qcl", "rho_qci", "rho_qr", "rho_qs")
     liquid_tracer_names = ("rho_qcl", "rho_qr")
     ice_tracer_names = ("rho_qci", "rho_qs")
+    # heavy→light borrowing chain into vapor (reference
+    # correction_moisture_fields, one_moment_microphysics.jl:535-536,
+    # extended to the ice categories: precipitating before suspended)
+    correction_tracer_chain = ("rho_qs", "rho_qr", "rho_qci", "rho_qcl")
 
     def model_update(self, model, state, dt: float):
         return one_moment_update(self, model, state, float(dt))

@@ -61,6 +61,10 @@ class TwoMomentMicrophysics:
     prognostic_tracer_names = ("rho_qcl", "rho_qr", "rho_ncl", "rho_nr")
     liquid_tracer_names = ("rho_qcl", "rho_qr")
     ice_tracer_names = ()
+    # reference two_moment_microphysics.jl:348-354
+    correction_tracer_chain = ("rho_qr", "rho_qcl")
+    correction_number_mass_pairs = (("rho_nr", "rho_qr"), ("rho_ncl", "rho_qcl"))
+    correction_number_fields = ("rho_ncl", "rho_nr")
 
     def model_update(self, model, state, dt: float):
         return two_moment_update(self, model, state, float(dt))

@@ -90,12 +90,14 @@ def cell_advection_timescale(model, state) -> float:
     ``cell_advection_timescale.jl:36``)."""
     aux = model_diagnose(model, state)
     g = model.grid
-    terms = [jnp.abs(aux.u) / g.dx]
+    # Per-cell sum of |u_i|/Δx_i, then ONE global max — the min over cells of
+    # the per-cell timescale (reference form).  Summing per-axis global
+    # maxima taken at different cells would be up to ~3x over-conservative.
+    inv_t = jnp.abs(aux.u) / g.dx
     if g.y_topology != Topology.FLAT:
-        terms.append(jnp.abs(aux.v) / g.dy)
-    terms.append(jnp.abs(aux.w) / g.dz_f_col)
-    inv_t = sum(jnp.max(t) for t in terms)
-    return float(1.0 / jnp.maximum(inv_t, 1e-12))
+        inv_t = inv_t + jnp.abs(aux.v) / g.dy
+    inv_t = inv_t + jnp.abs(aux.w) / g.dz_f_col
+    return float(1.0 / jnp.maximum(jnp.max(inv_t), 1e-12))
 
 
 @dataclasses.dataclass

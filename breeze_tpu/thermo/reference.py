@@ -409,7 +409,9 @@ def reference_state_from_profiles(grid: Grid, constants: ThermodynamicConstants,
     RmT = Rm * T
 
     p = np.empty(nz)
-    z_prev, RmT_prev, p_prev = 0.0, RmT[0], float(surface_pressure)
+    # anchor the hydrostatic integration at the domain bottom (grid.z0, not
+    # 0.0 — grids need not start at z = 0)
+    z_prev, RmT_prev, p_prev = float(grid.z0), RmT[0], float(surface_pressure)
     for k in range(nz):
         dz = z_c[k] - z_prev
         p[k] = p_prev * np.exp(-g * dz / (0.5 * (RmT_prev + RmT[k])))

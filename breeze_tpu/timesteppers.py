@@ -34,14 +34,11 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
     microphysics (`microphysics_model_update!`) runs once after stage 3.
     """
     # Negative-moisture repair at step start (reference fix_negative_moisture!,
-    # update_atmosphere_model_state.jl:42).
+    # update_atmosphere_model_state.jl:42): species borrowing + Δz-weighted
+    # vertical borrowing + number-concentration cleanup.
     if state.rho_qt is not None:
-        from .physics.microphysics import fix_negative_moisture
-        state = state.replace(rho_qt=fix_negative_moisture(state.rho_qt))
-        if state.tracers:
-            fixed = {k: fix_negative_moisture(v) if k.startswith("rho_q") else v
-                     for k, v in state.tracers.items()}
-            state = state.replace(tracers=fixed)
+        from .physics.microphysics import apply_negative_moisture_correction
+        state = apply_negative_moisture_correction(model, state)
 
     state0 = state
     for alpha in SSP_RK3_ALPHAS:

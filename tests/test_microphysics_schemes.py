@@ -28,15 +28,53 @@ class TestNegativeMoisture:
         assert float(fixed.min()) >= 0
         np.testing.assert_allclose(float(fixed.sum()), float(col.sum()), rtol=1e-12)
 
-    def test_all_negative_clamped(self):
+    def test_all_negative_stays_conservative(self):
+        # a column that cannot be repaired keeps its (negative) integral
+        # exactly — the reference never destroys mass (vertical_borrow!)
         col = jnp.array([-1.0, -0.5])[:, None, None]
         fixed = fix_negative_moisture(col)
-        np.testing.assert_allclose(np.asarray(fixed), 0.0)
+        np.testing.assert_allclose(float(fixed.sum()), float(col.sum()), rtol=1e-12)
+        assert float(fixed[1].sum()) == 0.0  # deficit pushed to the bottom
 
     def test_positive_untouched(self):
         col = jnp.array([0.5, 1.0, 0.2])[:, None, None]
         np.testing.assert_allclose(np.asarray(fix_negative_moisture(col)),
                                    np.asarray(col))
+
+    def test_stretched_grid_conserves_column_integral(self):
+        # Δz-weighted borrowing: ∫ρq dz conserved on a stretched column
+        rng = np.random.default_rng(7)
+        dz = jnp.array([10.0, 20.0, 40.0, 80.0, 160.0])[:, None, None]
+        col = jnp.array(rng.normal(0.5, 1.0, size=(5, 3, 4)))
+        fixed = fix_negative_moisture(col, dz)
+        mass0 = float((col * dz).sum(axis=0).sum())
+        mass1 = float((fixed * dz).sum(axis=0).sum())
+        np.testing.assert_allclose(mass1, mass0, rtol=1e-12)
+        # interior levels are repaired; any residual deficit is at the bottom
+        assert float(fixed[1:].min()) >= 0.0
+
+    def test_bottom_borrows_from_above(self):
+        dz = jnp.array([100.0, 10.0, 10.0])[:, None, None]
+        col = jnp.array([-0.1, 5.0, 0.0])[:, None, None]
+        fixed = fix_negative_moisture(col, dz)
+        # bottom deficit 0.1*100 = 10 mass units, level-1 has 50 available
+        np.testing.assert_allclose(float(fixed[0].sum()), 0.0, atol=1e-14)
+        np.testing.assert_allclose(float(fixed[1].sum()), 4.0, rtol=1e-12)
+
+    def test_species_borrowing_chain(self):
+        from breeze_tpu.physics.microphysics import species_borrow
+        rain = jnp.full((3, 1, 1), -0.2)
+        cloud = jnp.full((3, 1, 1), 0.15)
+        vapor = jnp.full((3, 1, 1), 1.0)
+        (rain2, cloud2), vapor2 = species_borrow([rain, cloud], vapor)
+        # rain takes all of cloud (0.15), remains -0.05; then borrows nothing
+        # more (chain is one-pass heavy->light); cloud at 0 borrows 0 from vapor
+        np.testing.assert_allclose(np.asarray(rain2), -0.05, rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(cloud2), 0.0, atol=1e-14)
+        np.testing.assert_allclose(np.asarray(vapor2), 1.0, rtol=1e-12)
+        total0 = float((rain + cloud + vapor).sum())
+        total1 = float((rain2 + cloud2 + vapor2).sum())
+        np.testing.assert_allclose(total1, total0, rtol=1e-12)
 
 
 class TestKessler:
