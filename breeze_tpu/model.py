@@ -366,16 +366,17 @@ def _diagnose_static_energy(model: AtmosphereModel, state: State, u, v, w) -> Au
                buoyancy_force=buoyancy_force)
 
 
-def _padded_reference_columns(model: AtmosphereModel):
+def _padded_reference_columns(model: AtmosphereModel, halo: int | None = None):
     """z-halo-padded reference-density columns, broadcastable to padded fields.
 
     The center column pads with the even mirror (matching the CCC halo
     rule); the face column pads evenly about the wall faces so that the
     product ``ρᶠ_pad × w_pad`` reproduces the odd-reflected pad of ρw.
     Horizontal pads are trivial for a z-profile (wrap/mirror of a constant).
+    ``halo`` overrides the grid halo (the Pallas kernels pad z by exactly 3).
     """
     g = model.grid
-    h = g.halo
+    h = g.halo if halo is None else halo
     ref = model.reference
     rc = ref.rho_c
     rf = ref.rho_f            # faces 0..nz (nz+1 values)
@@ -412,21 +413,45 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     so = model.stencil_ops()
     ref = model.reference
 
-    u_pad = fl.pad(aux.u, g, fl.CCF)
-    v_pad = fl.pad(aux.v, g, fl.CFC)
-    w_pad = fl.pad(aux.w, g, fl.FCC)
+    # Fused Pallas kernels (default on TPU; see pallas_kernels/)
+    from .pallas_kernels import advection as padv
+    from .pallas_kernels import momentum as pmom
+    use_pallas_mom = padv.enabled() and pmom.supported(g, model.momentum_advection)
+    use_pallas_scalar = padv.available(g, model.scalar_advection)
+    pz = lambda a, loc: padv.pad_zy(a, g, loc)
+    pzu = pzv = pzw = None
+    if use_pallas_mom or use_pallas_scalar:
+        pzu, pzv, pzw = pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC)
+
     # Anelastic: ρu = ρᵣ(z)·u with a z-only profile, so the padded momentum
     # is the padded velocity times a z-padded COLUMN — a fused broadcast
     # multiply instead of three full-field halo materializations.
     rho_c_padcol, rho_f_padcol = _padded_reference_columns(model)
-    rho_u_pad = u_pad * rho_c_padcol
-    rho_v_pad = v_pad * rho_c_padcol
-    rho_w_pad = w_pad * rho_f_padcol
+
+    # The full halo pads are only needed by the jnp advection fallback,
+    # Coriolis, and the SGS closure — skip them entirely otherwise.
+    need_full_pads = ((not use_pallas_mom) or (not use_pallas_scalar)
+                      or model.coriolis is not None
+                      or model.closure is not None)
+    u_pad = v_pad = w_pad = rho_u_pad = rho_v_pad = rho_w_pad = None
+    if need_full_pads:
+        u_pad = fl.pad(aux.u, g, fl.CCF)
+        v_pad = fl.pad(aux.v, g, fl.CFC)
+        w_pad = fl.pad(aux.w, g, fl.FCC)
+        rho_u_pad = u_pad * rho_c_padcol
+        rho_v_pad = v_pad * rho_c_padcol
+        rho_w_pad = w_pad * rho_f_padcol
 
     # Momentum advection: ∇·(ρU ⊗ u)
-    adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
-        so, model.momentum_advection,
-        rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad)
+    if use_pallas_mom:
+        from .pallas_kernels.momentum import H as _PH
+        col_c, col_f = _padded_reference_columns(model, halo=_PH)
+        adv_u, adv_v, adv_w = pmom.momentum_div_pallas(
+            g, pzu * col_c, pzv * col_c, pzw * col_f, pzu, pzv, pzw)
+    else:
+        adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
+            so, model.momentum_advection,
+            rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad)
 
     cor_x, cor_y, cor_z = coriolis_terms(
         model.coriolis, so, rho_u_pad, rho_v_pad, rho_w_pad, g)
@@ -456,13 +481,9 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     rho_r_field = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
     rho_r_pad = rho_c_padcol
 
-    # Fused Pallas scalar-advection path (opt-in; see pallas_kernels.advection)
-    from .pallas_kernels import advection as padv
-    use_pallas = padv.available(g, model.scalar_advection)
-    if use_pallas:
-        pz = lambda a, loc: padv.pad_zy(a, g, loc)
-        pz_args = (pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC),
-                   pz(rho_r_field, fl.CCC))  # kernel needs the full field
+    # Fused Pallas scalar-advection path (see pallas_kernels.advection)
+    if use_pallas_scalar:
+        pz_args = (pzu, pzv, pzw, pz(rho_r_field, fl.CCC))
 
         def scalar_div(c_spec):
             return -padv.div_rho_u_c_pallas(g, pz(c_spec, fl.CCC), *pz_args)

@@ -51,10 +51,12 @@ def _weno5_plus(g):
 
 def _weno_face(cell, sign):
     """Upwind WENO5 interface value; ``cell(o)`` = cell at offset o from the
-    interface's LEFT cell; ``sign`` = advecting velocity at the interface."""
-    q_plus = _weno5_plus(lambda o: cell(o))
-    q_minus = _weno5_plus(lambda o: cell(1 - o))
-    return jnp.where(sign >= 0, q_plus, q_minus)
+    interface's LEFT cell; ``sign`` = advecting velocity at the interface.
+
+    Stencil-select: pick the upwind cells with 5 selects and evaluate the
+    WENO formula ONCE — half the arithmetic of compute-both-branches."""
+    up = sign >= 0
+    return _weno5_plus(lambda o: jnp.where(up, cell(o), cell(1 - o)))
 
 
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
@@ -191,15 +193,16 @@ def pad_zy(a, grid, loc):
     return fl.pad(out, grid, loc, halo=HY, axes=(1,))
 
 
-def available(grid, scheme) -> bool:
-    """Use the fused kernel? Currently opt-in via BREEZE_TPU_ENABLE_PALLAS:
-    the kernel is verified in interpret mode, but Mosaic compilation through
-    the remote-compile tunnel of this environment stalls — to be promoted to
-    the default once compiled on directly-attached hardware."""
+def enabled() -> bool:
+    """Pallas kernels are the DEFAULT on TPU backends (verified compiled +
+    bitwise-equal on v5e through the axon tunnel); set
+    ``BREEZE_TPU_DISABLE_PALLAS=1`` to force the jnp fallback."""
     import os
 
-    if not os.environ.get("BREEZE_TPU_ENABLE_PALLAS"):
+    if os.environ.get("BREEZE_TPU_DISABLE_PALLAS"):
         return False
-    if jax.default_backend() not in ("tpu", "axon"):
-        return False
-    return supported(grid, scheme)
+    return jax.default_backend() in ("tpu", "axon")
+
+
+def available(grid, scheme) -> bool:
+    return enabled() and supported(grid, scheme)

@@ -1,0 +1,218 @@
+"""Fused Pallas WENO5 momentum flux-divergence kernel.
+
+Computes all three components of ∇·(ρU ⊗ u) — nine WENO5 reconstructions,
+nine interface mass-flux interpolations, and nine flux divergences — in ONE
+VMEM pass over the six input fields (ρu, ρv, ρw, u, v, w).  This is the
+hottest kernel of the framework (the jnp path spends ≈10 ms/stage here at
+256×256×128 on v5e, ~20× the HBM roofline, ~3× the VPU compute roofline).
+
+TPU analogue of the reference's momentum advection kernels
+(``div_𝐯u/v/w`` usage in ``dynamics_kernel_functions.jl:54-62`` over
+Oceananigans WENO); numerics identical to the jnp path in
+:func:`breeze_tpu.advection.momentum_flux_divergence` (validated in
+interpret mode).
+
+Performance notes:
+- stencil-select upwinding (pick upwind cells with 5 selects, evaluate the
+  WENO formula once) — half the arithmetic of compute-both-branches;
+- every reconstruction operates on block-sized slices of the VMEM windows
+  (no wasted halo-row arithmetic);
+- grid over (z, y) blocks; x fully lane-resident, periodic via lane rolls;
+- inputs pre-padded in z (H=3) and y (HY=4) host-side so each block DMAs a
+  contiguous ``(bz+2H, by+2HY, nx)`` window.
+
+Restrictions (jnp fallback otherwise): periodic x/y, bounded or periodic z
+via the host-side pad, uniform Δz, WENO5, float32, rectilinear (non-latlon).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H = 3   # WENO5 z-halo
+HY = 4  # y-halo: one extra row so VMEM window sublane count is 8-aligned
+
+
+def _weno5(g):
+    """WENO5-JS given the (already upwind-selected) cell getter ``g``."""
+    qm2, qm1, q0, q1, q2 = g(-2), g(-1), g(0), g(1), g(2)
+    p0 = (2.0 * qm2 - 7.0 * qm1 + 11.0 * q0) * (1.0 / 6.0)
+    p1 = (-qm1 + 5.0 * q0 + 2.0 * q1) * (1.0 / 6.0)
+    p2 = (2.0 * q0 + 5.0 * q1 - q2) * (1.0 / 6.0)
+    b0 = (13.0 / 12.0) * (qm2 - 2.0 * qm1 + q0) ** 2 + 0.25 * (qm2 - 4.0 * qm1 + 3.0 * q0) ** 2
+    b1 = (13.0 / 12.0) * (qm1 - 2.0 * q0 + q1) ** 2 + 0.25 * (qm1 - q1) ** 2
+    b2 = (13.0 / 12.0) * (q0 - 2.0 * q1 + q2) ** 2 + 0.25 * (3.0 * q0 - 4.0 * q1 + q2) ** 2
+    eps = 1e-6
+    a0 = 0.1 / (b0 + eps) ** 2
+    a1 = 0.6 / (b1 + eps) ** 2
+    a2 = 0.3 / (b2 + eps) ** 2
+    return (a0 * p0 + a1 * p1 + a2 * p2) / (a0 + a1 + a2)
+
+
+def _weno_sel(cell, sign):
+    """Stencil-select upwind WENO5: ``cell(o)`` is the cell at offset ``o``
+    from the interface's LEFT cell; ``sign`` selects the upwind branch."""
+    up = sign >= 0
+    return _weno5(lambda o: jnp.where(up, cell(o), cell(1 - o)))
+
+
+def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
+                 inv_dz_c: float, inv_dz_f: float):
+    wz, wy = bz + 2 * H, by + 2 * HY
+
+    def kernel(ru_hbm, rv_hbm, rw_hbm, u_hbm, v_hbm, w_hbm,
+               du_ref, dv_ref, dw_ref,
+               ru_w, rv_w, rw_w, u_w, v_w, w_w, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        srcs = (ru_hbm, rv_hbm, rw_hbm, u_hbm, v_hbm, w_hbm)
+        dsts = (ru_w, rv_w, rw_w, u_w, v_w, w_w)
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).start()
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).wait()
+
+        ru, rv, rw = ru_w[:], rv_w[:], rw_w[:]
+        u, v, w = u_w[:], v_w[:], w_w[:]
+
+        # periodic x shift: xs(a, o)[..., i] = a[..., (i+o) mod nx]
+        def xs(a, o):
+            return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
+
+        # block-sized window slices at (z, y) offsets from the interior
+        def s(a, zo, yo):                      # (bz, by, nx)
+            return a[H + zo: H + zo + bz, HY + yo: HY + yo + by, :]
+
+        def sy(a, zo, y0):                     # (bz, by+1, nx) — y faces/centers
+            return a[H + zo: H + zo + bz, HY + y0: HY + y0 + by + 1, :]
+
+        def sz(a, z0, yo):                     # (bz+1, by, nx) — z faces/centers
+            return a[H + z0: H + z0 + bz + 1, HY + yo: HY + yo + by, :]
+
+        dify = lambda F: F[:, 1:, :] - F[:, :-1, :]
+        difz = lambda F: F[1:, :, :] - F[:-1, :, :]
+
+        # ============ x momentum: u at (zc, yc, xf) ====================
+        rus, us = s(ru, 0, 0), s(u, 0, 0)
+        mf = 0.5 * (rus + xs(rus, 1))          # mass flux at x-centers ("fc")
+        F = mf * _weno_sel(lambda o: xs(us, o), mf)
+        du = (F - xs(F, -1)) * inv_dx          # div at x-faces
+
+        rvc = sy(rv, 0, 0)                     # ρv at (yf, xf) corners
+        mf = 0.5 * (rvc + xs(rvc, -1))
+        F = mf * _weno_sel(lambda o: sy(u, 0, o - 1), mf)
+        du = du + dify(F) * inv_dy
+
+        rwc = sz(rw, 0, 0)                     # ρw at (zf, xf)
+        mf = 0.5 * (rwc + xs(rwc, -1))
+        F = mf * _weno_sel(lambda o: sz(u, o - 1, 0), mf)
+        du_ref[:] = du + difz(F) * inv_dz_c
+
+        # ============ y momentum: v at (zc, yf, xc) ====================
+        mf = 0.5 * (s(ru, 0, 0) + s(ru, 0, -1))   # ρu at (yf, xf) corners
+        vs = s(v, 0, 0)
+        F = mf * _weno_sel(lambda o: xs(vs, o - 1), mf)
+        dv = (xs(F, 1) - F) * inv_dx           # div at x-centers
+
+        mf = 0.5 * (sy(rv, 0, -1) + sy(rv, 0, 0))  # mass flux at y-centers
+        F = mf * _weno_sel(lambda o: sy(v, 0, o - 1), mf)
+        dv = dv + dify(F) * inv_dy             # div at y-faces
+
+        mf = 0.5 * (sz(rw, 0, 0) + sz(rw, 0, -1))  # ρw at (zf, yf)
+        F = mf * _weno_sel(lambda o: sz(v, o - 1, 0), mf)
+        dv_ref[:] = dv + difz(F) * inv_dz_c
+
+        # ============ z momentum: w at (zf, yc, xc) ====================
+        mf = 0.5 * (s(ru, 0, 0) + s(ru, -1, 0))    # ρu at (zf, xf)
+        ws = s(w, 0, 0)
+        F = mf * _weno_sel(lambda o: xs(ws, o - 1), mf)
+        dw = (xs(F, 1) - F) * inv_dx
+
+        mf = 0.5 * (sy(rv, 0, 0) + sy(rv, -1, 0))  # ρv at (zf, yf)
+        F = mf * _weno_sel(lambda o: sy(w, 0, o - 1), mf)
+        dw = dw + dify(F) * inv_dy
+
+        # mass flux at z-centers; div at z-faces — the bottom row k=0
+        # references below-wall data (overwritten by the wall condition,
+        # same contract as the jnp path)
+        mf = 0.5 * (sz(rw, -1, 0) + sz(rw, 0, 0))
+        F = mf * _weno_sel(lambda o: sz(w, o - 1, 0), mf)
+        dw_ref[:] = dw + difz(F) * inv_dz_f
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "inv_dx", "inv_dy", "inv_dz_c", "inv_dz_f", "nz", "ny", "nx", "bz", "by",
+    "interpret"))
+def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad,
+         inv_dx, inv_dy, inv_dz_c, inv_dz_f, nz, ny, nx, bz, by,
+         interpret=False):
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, inv_dz_c, inv_dz_f)
+    wz, wy = bz + 2 * H, by + 2 * HY
+    grid = (nz // bz, ny // by)
+    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=[pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)] * 3,
+        out_shape=[out, out, out],
+        scratch_shapes=[win() for _ in range(6)]
+        + [pltpu.SemaphoreType.DMA((6,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad)
+
+
+def _pick_block(n, candidates):
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return None
+
+
+def supported(grid, scheme) -> bool:
+    from ..advection import WENO
+    from ..grid import Topology
+
+    return (isinstance(scheme, WENO) and scheme.order == 5
+            and not scheme.bounds_preserving
+            and grid.x_topology == Topology.PERIODIC
+            and grid.y_topology == Topology.PERIODIC
+            and grid.uniform_z
+            and not grid.is_latlon
+            and grid.dtype == jnp.float32
+            and grid.halo >= H
+            and grid.nx >= 128 and grid.ny >= 8 and grid.nz >= 8
+            and _pick_block(grid.nz, (8, 16, 4)) is not None
+            and _pick_block(grid.ny, (32, 16, 8, 64)) is not None)
+
+
+def momentum_div_pallas(grid, ru_pad_zy, rv_pad_zy, rw_pad_zy,
+                        u_pad_zy, v_pad_zy, w_pad_zy, interpret=False):
+    """Fused ∇·(ρU⊗u); inputs pre-padded by H=3 in z and HY=4 in y (not x).
+
+    Returns ``(du, dv, dw)`` with the same sign convention as
+    :func:`breeze_tpu.advection.momentum_flux_divergence`.
+    """
+    nz, ny, nx = grid.shape
+    bz = _pick_block(nz, (8, 16, 4))
+    by = _pick_block(ny, (32, 16, 8, 64))
+    inv_dz = float(grid.nz / grid.Lz)   # uniform z (checked by `supported`)
+    return _run(ru_pad_zy, rv_pad_zy, rw_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
+                float(1.0 / grid.dx), float(1.0 / grid.dy), inv_dz, inv_dz,
+                nz, ny, nx, bz, by, interpret=interpret)

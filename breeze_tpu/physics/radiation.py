@@ -177,9 +177,10 @@ class GrayRadiation:
         """Heating in θ-units: −∇·ℐ / (cᵖᵐ Π) added to Gρθ
         (reference potential_temperature_tendency.jl:100-105)."""
         from ..thermo.states import exner_function
+        from .forcings import _rep
 
         c = model.constants
         div_I = self.flux_divergence(model, aux, state.time)
         cpm = c.mixture_heat_capacity(aux.q)
         Pi = exner_function(model.reference.p_col, aux.q, c, model.p_standard)
-        return G.replace(rho_theta=G.rho_theta - div_I / (cpm * Pi))
+        return _rep(G, rho_theta=G.rho_theta - div_I / (cpm * Pi))

@@ -52,3 +52,46 @@ class TestFusedWENO:
         g2 = bz.make_grid(size=(64, 17, 8), extent=(1.0, 1.0, 1.0),
                           topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED))
         assert not padv.supported(g2, adv.WENO(5))  # ny=17 unblockable
+
+
+class TestFusedMomentum:
+    def _check(self, nz=8, ny=32, nx=128, ztopo=None):
+        from breeze_tpu.pallas_kernels import momentum as pmom
+        g, c, u, v, w, rho = make_inputs(nz=nz, ny=ny, nx=nx)
+        so = StencilOps(g)
+        scheme = adv.WENO(5)
+        rng = np.random.default_rng(3)
+        ru = jnp.asarray(rng.normal(0.0, 1.0, g.shape).astype(np.float32))
+        rv = jnp.asarray(rng.normal(0.0, 1.0, g.shape).astype(np.float32))
+        rw = fl.enforce_impenetrability(
+            jnp.asarray(rng.normal(0.0, 1.0, g.shape).astype(np.float32)), g)
+
+        ref = adv.momentum_flux_divergence(
+            so, scheme,
+            fl.pad(ru, g, fl.CCF), fl.pad(rv, g, fl.CFC), fl.pad(rw, g, fl.FCC),
+            fl.pad(u, g, fl.CCF), fl.pad(v, g, fl.CFC), fl.pad(w, g, fl.FCC))
+
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        got = pmom.momentum_div_pallas(
+            g, pz(ru, fl.CCF), pz(rv, fl.CFC), pz(rw, fl.FCC),
+            pz(u, fl.CCF), pz(v, fl.CFC), pz(w, fl.FCC), interpret=True)
+
+        for name, a, b in zip("uvw", got, ref):
+            a, b = np.asarray(a), np.asarray(b)
+            if name == "w":
+                a, b = a[1:], b[1:]   # wall row k=0 overwritten by stepper
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4,
+                                       err_msg=f"momentum component {name}")
+
+    def test_matches_jnp_path(self):
+        self._check()
+
+    def test_matches_jnp_path_larger(self):
+        self._check(nz=16, ny=64, nx=128)
+
+    def test_supported_predicate(self):
+        from breeze_tpu.pallas_kernels import momentum as pmom
+        g, *_ = make_inputs()
+        assert pmom.supported(g, adv.WENO(5))
+        assert not pmom.supported(g, adv.WENO(5, bounds_preserving=True))
+        assert not pmom.supported(g, adv.Centered(2))
