@@ -49,6 +49,64 @@ from .tridiagonal import thomas_solve
 # ---------------------------------------------------------------------------
 
 @dataclasses.dataclass(frozen=True)
+class NoDivergenceDamping:
+    """No acoustic divergence damping (reference
+    ``time_discretizations.jl:229-240``)."""
+
+
+@dataclasses.dataclass(frozen=True)
+class ThermalDivergenceDamping:
+    """Klemp, Skamarock & Ha (2018) divergence damping via the discrete
+    δτ(ρθ) substep tendency as a divergence proxy (reference
+    ``time_discretizations.jl:241-274``).  ``damp_vertical`` folds a
+    vertical damping into the column tridiagonal (reference default off —
+    the CN off-centering ω>0.5 is algebraically equivalent, KSH18 eq. 32).
+    """
+
+    coefficient: float = 0.1
+    damp_vertical: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
+class DirectDivergenceDamping:
+    """Divergence damping from the horizontal θ-flux divergence formed
+    DIRECTLY from the perturbation momentum (KSH18 eq. 36; MPAS
+    ``config_smdiv``) — no 1/Δτ in the diffusivity, avoiding the thermal
+    proxy's cold-start spurious force (reference
+    ``time_discretizations.jl:276-300``).
+    """
+
+    coefficient: float = 0.1
+
+
+def _ramp_profile(kind: str, z, top, depth):
+    """Sponge ramp value in [0,1] (reference ``AbstractRamp`` family,
+    ``time_discretizations.jl:387-437``)."""
+    s = jnp.clip((z - (top - depth)) / depth, 0.0, 1.0)
+    if kind == "linear":
+        return s
+    if kind == "sin2":
+        return jnp.sin(0.5 * jnp.pi * s) ** 2
+    if kind == "cubic":
+        return s * s * (3.0 - 2.0 * s)
+    raise ValueError(f"unknown ramp {kind!r}")
+
+
+@dataclasses.dataclass(frozen=True)
+class UpperSponge:
+    """Implicit upper Rayleigh sponge on (ρw)′ inside the substep loop's
+    column tridiagonal (reference ``UpperSponge``,
+    ``time_discretizations.jl:439-507``; Klemp, Dudhia & Hassiotis 2008):
+    CN-weighted — ωΔτ·rate·ramp on the diagonal, (1−ω)Δτ·rate·ramp·(ρw)′
+    on the explicit RHS.  Unconditionally stable for any positive rate.
+    """
+
+    damping_rate: float = 0.2
+    depth: float = 5.0e3
+    ramp: str = "cubic"     # "cubic" | "sin2" | "linear"
+
+
+@dataclasses.dataclass(frozen=True)
 class SplitExplicitTimeDiscretization:
     """Split-explicit (HEVI) time discretization controls.
 
@@ -57,6 +115,14 @@ class SplitExplicitTimeDiscretization:
     ``forward_weight`` is the CN off-centering ω; ``damping_coefficient``
     the Klemp α (0 disables); ``acoustic_cfl`` sizes N when ``substeps``
     is None (computed host-side from a static Δt).
+
+    ``damping`` selects the divergence-damping strategy (None → legacy
+    :class:`ThermalDivergenceDamping` with ``damping_coefficient``);
+    ``sponge`` an optional :class:`UpperSponge`; ``substep_distribution``
+    one of ``"proportional"`` (Nτ=⌈βN⌉, Δτ fitted to tile βΔt exactly),
+    ``"constant"`` (N rounded to a multiple of 6, uniform Δτ=Δt/N), or
+    ``"monolithic_first"`` (stage 1 = one Δt/3 substep) — reference
+    ``AcousticSubstepDistribution`` (``time_discretizations.jl:60-117``).
     """
 
     substeps: int | None = None
@@ -68,6 +134,16 @@ class SplitExplicitTimeDiscretization:
     # ``substep_floattype``, acoustic_substepping.jl:165-187): halves the HBM
     # traffic of the inner loop; compute stays in the grid dtype.
     substep_floattype: str | None = None    # e.g. "bfloat16"
+    damping: Any = None
+    sponge: UpperSponge | None = None
+    substep_distribution: str = "proportional"
+
+    def damping_strategy(self):
+        if self.damping is not None:
+            return self.damping
+        if self.damping_coefficient:
+            return ThermalDivergenceDamping(self.damping_coefficient)
+        return NoDivergenceDamping()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,7 +154,7 @@ class ExplicitTimeStepping:
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["rho", "rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt",
-                 "tracers", "time"],
+                 "tracers", "time", "diagnostics"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -97,6 +173,7 @@ class CompressibleState:
     rho_qt: jax.Array | None
     tracers: dict[str, jax.Array]
     time: jax.Array
+    diagnostics: dict[str, jax.Array] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -197,7 +274,7 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
         if callable(val):
             x, y, z = g.xyz_c()
             return (jnp.asarray(val(x, y, z), dt) * jnp.ones(g.shape, dt))
-        return jnp.asarray(val, dt)
+        return jnp.broadcast_to(jnp.asarray(val, dt), g.shape).astype(dt)
 
     theta_arr = materialize(theta, ref.theta_col * jnp.ones(g.shape, dt))
     if rho is None:
@@ -217,9 +294,15 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
         g, rho_arr * u_arr, rho_arr * v_arr, rho_f * w_arr)
 
     rho_qt = None
+    tracers = {}
     if model.has_moisture:
         qt_arr = materialize(qt, 0.0) if qt is not None else jnp.zeros(g.shape, dt)
         rho_qt = rho_arr * qt_arr
+        for name in getattr(model.microphysics, "prognostic_tracer_names", ()):
+            tracers.setdefault(name, jnp.zeros(g.shape, dt))
+    diagnostics = {
+        name: jnp.zeros(g.shape[1:], dt)
+        for name in getattr(model.microphysics, "surface_diagnostic_names", ())}
 
     return CompressibleState(
         rho=rho_arr,
@@ -227,8 +310,9 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
         rho_v=rho_v_arr,
         rho_w=rho_w,
         rho_theta=rho_arr * theta_arr,
-        rho_qt=rho_qt, tracers={},
+        rho_qt=rho_qt, tracers=tracers,
         time=jnp.zeros((), dt),
+        diagnostics=diagnostics,
     )
 
 
@@ -283,12 +367,34 @@ def compressible_diagnose(model: CompressibleModel, state: CompressibleState) ->
     theta = state.rho_theta / state.rho
 
     if model.has_moisture:
-        from ..physics.microphysics import density_saturation_adjust
+        from ..physics.microphysics import (SaturationAdjustment,
+                                            density_saturation_adjust,
+                                            density_temperature_inversion)
+        from ..thermo.constants import MoistureMassFractions
 
         qt = state.rho_qt / state.rho
-        T, q, p = density_saturation_adjust(theta, state.rho, qt,
-                                            model.constants, model.microphysics,
-                                            model.p_standard)
+        mp = model.microphysics
+        if isinstance(mp, SaturationAdjustment):
+            T, q, p = density_saturation_adjust(theta, state.rho, qt,
+                                                model.constants, mp,
+                                                model.p_standard)
+        else:
+            # Prognostic-condensate schemes (Kessler, 1M/2M): the moisture
+            # slot is vapor, condensate comes from tracers; T from the
+            # fixed-partition density inversion (reference grid moisture
+            # fractions, microphysics_interface.jl:611).
+            zero = jnp.zeros_like(theta)
+            ql = zero
+            qi = zero
+            for name in getattr(mp, "liquid_tracer_names",
+                                getattr(mp, "prognostic_tracer_names", ())):
+                ql = ql + state.tracers.get(name, zero) / state.rho
+            for name in getattr(mp, "ice_tracer_names", ()):
+                qi = qi + state.tracers.get(name, zero) / state.rho
+            q = MoistureMassFractions(qt, ql, qi)
+            T, p = density_temperature_inversion(
+                theta, state.rho, q, model.constants, model.p_standard,
+                getattr(mp, "iterations", 5))
         return CompAux(u=u, v=v, w=w, theta=theta, p=p, T=T, q=q, qt=qt)
 
     p = eos_pressure(model, state.rho_theta)
@@ -306,6 +412,14 @@ class SlowTendencies(NamedTuple):
     rho_v: jax.Array
     rho_w: jax.Array
     rho_theta: jax.Array
+    # Slow NON-advective moisture sources (closure diffusion, surface
+    # fluxes, forcings); advection is applied separately over βΔt with the
+    # substep time-averaged momentum (``_advance_scalars``).
+    rho_qt: jax.Array | None = None
+    # Eddy coefficients at the stage-entry state, carried to the
+    # vertically-implicit stage solve (``implicit_substep!``).
+    nu_e: jax.Array | None = None
+    kappa_e: jax.Array | None = None
 
 
 def slow_tendencies(model: CompressibleModel, state: CompressibleState,
@@ -374,26 +488,36 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     imbalance = -so.dz_cf(pp_pad) - g_acc * so.iz_cf(rp_pad)
     G_rho_w = -adv_w - cor_z + imbalance
 
+    G_rho_qt = (jnp.zeros_like(G_rho) if state.rho_qt is not None else None)
+
+    nu_e = kappa_e = None
     if model.closure is not None:
-        from ..physics.closures import closure_tendencies
+        from ..physics.closures import ConstantDiffusivity, closure_tendencies
 
         class _AuxShim(NamedTuple):
             theta: Any
             qt: Any
 
-        # Closure needs ρ at momentum locations; current closures use the
-        # anelastic reference column — acceptable O(ρ'/ρ) approximation for
-        # the SGS term; exact ρ-weighting is a planned refinement.
+        # True-ρ SGS weighting: stresses are −2ρνₑSᵢⱼ with the state's 3-D
+        # density (reference TurbulenceClosures.jl:52-101).
         cf = closure_tendencies(
-            _RefShim(model), so, _AuxShim(theta=aux.theta, qt=None),
-            u_pad, v_pad, w_pad)
+            _RefShim(model), so, _AuxShim(theta=aux.theta, qt=aux.qt),
+            u_pad, v_pad, w_pad, rho=state.rho)
         G_rho_u = G_rho_u + cf.G_u
         G_rho_v = G_rho_v + cf.G_v
         G_rho_w = G_rho_w + cf.G_w
         G_rho_theta = G_rho_theta + cf.G_theta
+        if G_rho_qt is not None and cf.G_qt is not None:
+            G_rho_qt = G_rho_qt + cf.G_qt
+        if getattr(model.closure, "vertically_implicit", False):
+            nu_e = cf.nu_e
+            kappa_e = (jnp.full(g.shape, model.closure.diffusivity, g.dtype)
+                       if isinstance(model.closure, ConstantDiffusivity)
+                       else nu_e / model.closure.prandtl)
 
     G = SlowTendencies(rho=G_rho, rho_u=G_rho_u, rho_v=G_rho_v,
-                       rho_w=G_rho_w, rho_theta=G_rho_theta)
+                       rho_w=G_rho_w, rho_theta=G_rho_theta,
+                       rho_qt=G_rho_qt, nu_e=nu_e, kappa_e=kappa_e)
 
     for forcing in model.forcings:
         G = forcing(model, state, aux, G) if _accepts_slow(forcing) else G
@@ -549,6 +673,17 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     c_coef = (-0.5 * g_acc * od2 / dz_c_above
               - od2 / dz_f * C_above * thf_above / dz_c_above)
 
+    # Implicit upper Rayleigh sponge on (ρw)′ (reference ``UpperSponge``,
+    # acoustic_substepping.jl:545-563): CN-weighted — ωΔτ·r·ramp joins the
+    # diagonal, (1−ω)Δτ·r·ramp·(ρw)′ the explicit RHS below.
+    sponge = getattr(td, "sponge", None)
+    sponge_col = None
+    if sponge is not None:
+        z_face_col = jnp.asarray(g.z_f)[: g.nz, None, None].astype(g.dtype)
+        sponge_col = sponge.damping_rate * _ramp_profile(
+            sponge.ramp, z_face_col, g.z0 + g.Lz, sponge.depth)
+        b_coef = b_coef + omega * abs(dtau) * sponge_col
+
     # Dirichlet walls: row 0 (bottom face) pinned to w = 0; the top wall
     # face nz is not stored (its coupling is dropped by the Thomas solver).
     a_coef = a_coef.at[0].set(0.0)
@@ -626,6 +761,8 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
                  - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
                                    + omega * rho_star_zf)
                  - dtau * ((1.0 - omega) * dz_Crt_tau + omega * dz_Crt_star))
+        if sponge_col is not None:
+            d_rhs = d_rhs - (1.0 - omega) * abs(dtau) * sponge_col * rw_p
         d_rhs = d_rhs.at[0].set(0.0)    # bottom wall
 
         rw_new = thomas_solve(a_coef, b_coef, c_coef, d_rhs)
@@ -635,18 +772,37 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         rho_new = rho_star - omega * dtau * dz_fc_div(rw_new)
         rt_new = rt_star - omega * dtau * dz_fc_div(th_zf * rw_new)
 
-        # ---- E: Klemp horizontal divergence damping -----------------
-        alpha = td.damping_coefficient
-        if alpha:
+        # ---- E: horizontal divergence damping (strategy dispatch,
+        # reference time_discretizations.jl:229-300) -------------------
+        strategy = td.damping_strategy()
+        if isinstance(strategy, ThermalDivergenceDamping) and strategy.coefficient:
+            # KSH18: δτ(ρθ)/θᴸ as the divergence proxy; γ = α Δx²/Δτ.
+            alpha = strategy.coefficient
             D = (rt_new - rt_p) / th_c
             Dp = _hpad(D, g, fl.CCC)
-            # γ = α Δx²_local/Δτ; combined with 1/Δx_local the correction is
+            # combined with 1/Δx_local the correction is
             # α Δx_local/Δτ · δx(D) (local spacing on lat-lon grids)
             fac_x = alpha * g.dx / dtau * (
                 (g.coslat_c[None, :, None] if g.is_latlon else 1.0))
             gy = alpha * g.dy / dtau
             ru_new = ru_new - fac_x * (vv(Dp) - vv(Dp, dx=-1))
             rv_new = rv_new - gy * (vv(Dp) - vv(Dp, dy=-1))
+            ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
+        elif isinstance(strategy, DirectDivergenceDamping) and strategy.coefficient:
+            # KSH18 eq. 36: δ = ∂ₓ(θᴸ(ρu)′) + ∂ᵧ(θᴸ(ρv)′) formed directly
+            # from the updated perturbation momentum (div_h_theta above);
+            # Δ(ρu)′ = α Δx² ∂ₓδ / θᴸ — no 1/Δτ (no cold-start force).
+            alpha = strategy.coefficient
+            # refresh δ with the post-tridiag horizontal momenta
+            fx2 = _hpad(th_xf * ru_new, g, fl.CCF)
+            fy2 = _hpad(th_yf * rv_new, g, fl.CFC)
+            delta = ((vv(fx2, dx=1) - vv(fx2)) * inv_dx_c
+                     + (wy_hi * vv(fy2, dy=1) - wy_lo * vv(fy2)) * inv_dy_c)
+            Dp = _hpad(delta, g, fl.CCC)
+            fac_x = alpha * g.dx * (
+                (g.coslat_c[None, :, None] if g.is_latlon else 1.0))
+            ru_new = ru_new + fac_x * (vv(Dp) - vv(Dp, dx=-1)) / th_xf
+            rv_new = rv_new + alpha * g.dy * (vv(Dp) - vv(Dp, dy=-1)) / th_yf
             ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
 
         if store_dt is not None:
@@ -688,6 +844,30 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
 WS_RK3_BETAS = (1.0 / 3.0, 1.0 / 2.0, 1.0)
 
 
+def stage_substep_plan(distribution: str, N: int, dt: float):
+    """Per-stage ``(n_tau, dtau)`` for the WS-RK3 stages (reference
+    ``AcousticSubstepDistribution``, ``time_discretizations.jl:60-117``):
+
+    - ``proportional`` (default): Nτ = ⌈βN⌉, Δτ = βΔt/Nτ — exact coverage
+      at the minimum count (Δτ may differ slightly by stage);
+    - ``constant``: N rounded up to a multiple of 6, uniform Δτ = Δt/N;
+    - ``monolithic_first``: stage 1 = one Δt/3 substep, stages 2-3 as
+      ``constant``.
+    """
+    if distribution == "proportional":
+        plan = []
+        for beta in WS_RK3_BETAS:
+            n_tau = max(1, math.ceil(beta * N - 1e-9))
+            plan.append((n_tau, beta * dt / n_tau))
+        return tuple(plan)
+    N6 = 6 * max(1, math.ceil(N / 6))
+    if distribution == "constant":
+        return ((N6 // 3, dt / N6), (N6 // 2, dt / N6), (N6, dt / N6))
+    if distribution == "monolithic_first":
+        return ((1, dt / 3.0), (N6 // 2, dt / N6), (N6, dt / N6))
+    raise ValueError(f"unknown substep_distribution {distribution!r}")
+
+
 def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
                       dt: float, substeps: int | None = None) -> CompressibleState:
     """One Δt of WS-RK3 + acoustic substepping (reference ``time_step!``,
@@ -699,14 +879,21 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
     """
     dt = float(dt)
     N = substeps if substeps is not None else substep_count(model, dt)
-    dtau = dt / N
     g = model.grid
+    td = model.time_discretization
+    plan = stage_substep_plan(
+        getattr(td, "substep_distribution", "proportional"), N, dt)
+
+    # Negative-moisture repair at step start (reference
+    # fix_negative_moisture!, update_atmosphere_model_state.jl:42).
+    if state.rho_qt is not None:
+        from ..physics.microphysics import apply_negative_moisture_correction
+        state = apply_negative_moisture_correction(model, state)
 
     state_n = state
     zero = jnp.zeros(g.shape, g.dtype)
 
-    for beta in WS_RK3_BETAS:
-        n_tau = max(1, round(beta * N))
+    for beta, (n_tau, dtau) in zip(WS_RK3_BETAS, plan):
         aux_L = compressible_diagnose(model, state)
         caches = stage_caches(model, state, aux_L)
         G = slow_tendencies(model, state, aux_L)
@@ -747,15 +934,38 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
         # (reference ``scalar_rk3_substep!``, acoustic_runge_kutta_3.jl:154-163).
         if state.rho_qt is not None or state.tracers:
             new_state = _advance_scalars(model, state_n, state, new_state,
-                                         avg_ru, avg_rv, avg_rw, beta * dt)
+                                         avg_ru, avg_rv, avg_rw, beta * dt,
+                                         G_qt_slow=G.rho_qt)
+
+        # implicit_substep!: vertically-implicit closure diffusion over the
+        # stage interval βΔt with TRUE densities (reference
+        # acoustic_runge_kutta_3.jl:151); the explicit tendencies above
+        # excluded the vertical diffusive fluxes (closures `vi` flag).
+        if G.nu_e is not None:
+            from ..physics.closures import implicit_vertical_diffusion_core
+
+            rho_new = new_state.rho
+            rho_new_f = 0.5 * (rho_new + jnp.concatenate(
+                [rho_new[:1], rho_new[:-1]], axis=0))
+            ru2, rv2, rt2, rq2, tr2 = implicit_vertical_diffusion_core(
+                g, rho_new, rho_new_f, G.nu_e, G.kappa_e, beta * dt,
+                new_state.rho_u, new_state.rho_v, new_state.rho_theta,
+                new_state.rho_qt, new_state.tracers)
+            new_state = new_state.replace(
+                rho_u=ru2, rho_v=rv2, rho_theta=rt2, rho_qt=rq2, tracers=tr2)
 
         state = new_state
+
+    # Operator-split microphysics once per step (mirrors the anelastic
+    # stepper; reference ``microphysics_model_update!`` after stage 3).
+    if model.microphysics is not None and hasattr(model.microphysics, "model_update"):
+        state = model.microphysics.model_update(model, state, dt)
 
     return state.replace(time=state.time + dt)
 
 
 def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
-                     avg_rw, beta_dt):
+                     avg_rw, beta_dt, G_qt_slow=None):
     g = model.grid
     so = model.stencil_ops()
     rho_pad = fl.pad(state_L.rho, g, fl.CCC)
@@ -769,6 +979,8 @@ def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
         q_pad = fl.pad(state_L.rho_qt / state_L.rho, g, fl.CCC)
         Gq = -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
                               u_pad, v_pad, w_pad, q_pad)
+        if G_qt_slow is not None:
+            Gq = Gq + G_qt_slow
         updates["rho_qt"] = state_n.rho_qt + beta_dt * Gq
     tr = {}
     for name, val in state_L.tracers.items():
@@ -782,18 +994,28 @@ def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
 
 
 def _apply_compressible_boundary_fluxes(model, state, aux, G):
-    from ..physics.surface import PrescribedSurfaceFluxes
+    """Surface fluxes (prescribed or bulk) as bottom-cell tendencies against
+    the TRUE surface-layer density (reference ``compute_flux_bc_tendencies!``
+    on the compressible model, ``update_atmosphere_model_state.jl:418-434``)."""
+    from ..physics.surface import surface_flux_values
 
     bf = model.boundary_fluxes
-    if not isinstance(bf, PrescribedSurfaceFluxes):
-        raise NotImplementedError("compressible path supports PrescribedSurfaceFluxes")
     g = model.grid
     dz0 = g.dz_c[0]
     rho0 = state.rho[0]
-    out = dict(G._asdict())
-    th_flux = bf.theta_flux(state.time) if callable(bf.theta_flux) else bf.theta_flux
-    out["rho_theta"] = G.rho_theta.at[0].add(rho0 * th_flux / dz0)
-    return SlowTendencies(**out)
+
+    th_flux, qt_flux, F_u, F_v = surface_flux_values(
+        bf, model, state, aux, want_moisture=G.rho_qt is not None)
+
+    out = {}
+    if th_flux is not None:
+        out["rho_theta"] = G.rho_theta.at[0].add(rho0 * th_flux / dz0)
+    if qt_flux is not None and G.rho_qt is not None:
+        out["rho_qt"] = G.rho_qt.at[0].add(rho0 * qt_flux / dz0)
+    if F_u is not None:
+        out["rho_u"] = G.rho_u.at[0].add(rho0 * F_u / dz0)
+        out["rho_v"] = G.rho_v.at[0].add(rho0 * F_v / dz0)
+    return G._replace(**out)
 
 
 # ---------------------------------------------------------------------------
@@ -816,10 +1038,16 @@ def explicit_rk3_step(model: CompressibleModel, state: CompressibleState,
     Note: here the 'slow' tendencies are the complete right-hand side —
     the frozen PGF/buoyancy terms are exact at each stage state.
     """
+    if state.rho_qt is not None:
+        from ..physics.microphysics import apply_negative_moisture_correction
+        state = apply_negative_moisture_correction(model, state)
+
+    g = model.grid
+    so = model.stencil_ops()
     alphas = (1.0, 0.25, 2.0 / 3.0)
     s0 = state
     for alpha in alphas:
-        G, _ = explicit_tendencies(model, state)
+        G, aux = explicit_tendencies(model, state)
         new = {}
         for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta"):
             u0 = getattr(s0, name)
@@ -827,5 +1055,32 @@ def explicit_rk3_step(model: CompressibleModel, state: CompressibleState,
             Gn = getattr(G, name)
             new[name] = (1 - alpha) * u0 + alpha * (u + dt * Gn)
         new["rho_w"] = fl.enforce_impenetrability(new["rho_w"], model.grid)
+
+        if state.rho_qt is not None or state.tracers:
+            rho_pad = fl.pad(state.rho, g, fl.CCC)
+            u_pad = fl.pad(aux.u, g, fl.CCF)
+            v_pad = fl.pad(aux.v, g, fl.CFC)
+            w_pad = fl.pad(aux.w, g, fl.FCC)
+            if state.rho_qt is not None:
+                q_pad = fl.pad(state.rho_qt / state.rho, g, fl.CCC)
+                Gq = -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
+                                      u_pad, v_pad, w_pad, q_pad)
+                if G.rho_qt is not None:
+                    Gq = Gq + G.rho_qt
+                new["rho_qt"] = ((1 - alpha) * s0.rho_qt
+                                 + alpha * (state.rho_qt + dt * Gq))
+            tr = {}
+            for name, val in state.tracers.items():
+                c_pad = fl.pad(val / state.rho, g, fl.CCC)
+                Gc = -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
+                                      u_pad, v_pad, w_pad, c_pad)
+                tr[name] = ((1 - alpha) * s0.tracers[name]
+                            + alpha * (val + dt * Gc))
+            if tr:
+                new["tracers"] = tr
         state = state.replace(**new)
+
+    if model.microphysics is not None and hasattr(model.microphysics, "model_update"):
+        state = model.microphysics.model_update(model, state, dt)
+
     return state.replace(time=state.time + dt)

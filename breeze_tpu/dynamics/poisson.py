@@ -37,11 +37,58 @@ def _periodic_eigenvalues(n: int, delta: float, rfft: bool) -> np.ndarray:
     return (2.0 * np.sin(np.pi * m / n) / delta) ** 2
 
 
+def _axis_real_basis(n: int, delta: float, topology) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Real eigenbasis (F, F⁻¹, λ) of the 1-D second-difference operator.
+
+    - PERIODIC: the real Fourier basis {1, cos(2πm i/n), sin(2πm i/n), ...}
+      (circulant eigenvectors), λ = (2 sin(πm/n)/Δ)².
+    - BOUNDED: DCT-II cosines cos(πm(i+½)/n) — eigenvectors of the Neumann
+      (staggered wall) Laplacian — λ = (2 sin(πm/2n)/Δ)².  This is the
+      reference's Bounded-direction ``FourierTridiagonalPoissonSolver``
+      eigenvalue set (``anelastic_pressure_solver.jl:5-78`` via
+      Oceananigans ``poisson_eigenvalues``).
+    - FLAT / n == 1: identity, λ = 0.
+
+    All matrices are real (n, n): forward rows are basis functionals, so the
+    whole horizontal transform runs as MXU matmuls (no complex arithmetic).
+    """
+    from ..grid import Topology
+
+    if n == 1 or topology == Topology.FLAT:
+        return np.ones((1, 1)), np.ones((1, 1)), np.zeros(1)
+
+    i = np.arange(n)
+    rows = []
+    lam = []
+    if topology == Topology.PERIODIC:
+        rows.append(np.ones(n))
+        lam.append(0.0)
+        for m in range(1, (n - 1) // 2 + 1):
+            ang = 2.0 * np.pi * m * i / n
+            rows.append(np.cos(ang))
+            lam.append((2.0 * np.sin(np.pi * m / n) / delta) ** 2)
+            rows.append(np.sin(ang))
+            lam.append((2.0 * np.sin(np.pi * m / n) / delta) ** 2)
+        if n % 2 == 0:
+            rows.append(np.cos(np.pi * i))
+            lam.append((2.0 / delta) ** 2)
+    elif topology == Topology.BOUNDED:
+        for m in range(n):
+            rows.append(np.cos(np.pi * m * (i + 0.5) / n))
+            lam.append((2.0 * np.sin(np.pi * m / (2 * n)) / delta) ** 2)
+    else:
+        raise NotImplementedError(f"axis topology {topology}")
+
+    F = np.stack(rows)                       # (n, n): modes × points
+    Finv = np.linalg.inv(F)
+    return F, Finv, np.asarray(lam)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["lower", "c_prime", "inv_den", "zero_mode_mask", "dz_c",
                  "dft_mats"],
-    meta_fields=["nz", "ny", "nxr", "use_matmul_dft"],
+    meta_fields=["nz", "ny", "nxr", "use_matmul_dft", "transform"],
 )
 @dataclasses.dataclass(frozen=True)
 class AnelasticPoissonSolver:
@@ -55,9 +102,13 @@ class AnelasticPoissonSolver:
     dz_c: jax.Array            # (nz,) cell heights (volume weighting of rows)
     dft_mats: dict             # matmul-DFT matrices (empty when unused)
     use_matmul_dft: bool
+    transform: str = "fourier"  # "fourier" (rfft2/matmul-DFT) | "real"
 
     # -- transforms ----------------------------------------------------
     def _forward(self, rhs):
+        if self.transform == "real":
+            m = self.dft_mats
+            return jnp.einsum("jy,zyx,xk->zjk", m["fy"], rhs, m["fxT"])
         if not self.use_matmul_dft:
             return jnp.fft.rfft2(rhs, axes=(1, 2))
         m = self.dft_mats

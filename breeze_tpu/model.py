@@ -38,7 +38,8 @@ from .thermo.states import temperature_from_theta_li, theta_li_from_temperature
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt", "tracers", "time"],
+    data_fields=["rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt", "tracers",
+                 "time", "diagnostics"],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +49,11 @@ class State:
     Mirrors the reference's prognostic set for anelastic dynamics
     (``atmosphere_model.jl:379-386``): ρu, ρv, ρw on staggered faces, ρθ,
     optionally ρqᵗ and user tracers.  ``time`` is a traced scalar.
+
+    ``diagnostics`` carries non-advected stepwise outputs (e.g. Kessler's
+    surface precipitation, reference ``dcmip2016_kessler.jl:355-394``);
+    keys are seeded at :func:`initial_state` so the pytree structure is
+    stable under ``lax.fori_loop``.
     """
 
     rho_u: jax.Array
@@ -57,6 +63,7 @@ class State:
     rho_qt: jax.Array | None
     tracers: dict[str, jax.Array]
     time: jax.Array
+    diagnostics: dict[str, jax.Array] = dataclasses.field(default_factory=dict)
 
     def replace(self, **kw) -> "State":
         return dataclasses.replace(self, **kw)
@@ -249,12 +256,16 @@ def initial_state(model: AtmosphereModel,
     # Microphysics schemes with prognostic condensate allocate their tracers.
     for name in getattr(model.microphysics, "prognostic_tracer_names", ()):
         tracers.setdefault(name, jnp.zeros(g.shape, dt))
+    diagnostics = {
+        name: jnp.zeros(g.shape[1:], dt)
+        for name in getattr(model.microphysics, "surface_diagnostic_names", ())}
 
     return State(
         rho_u=rho_u, rho_v=rho_v, rho_w=rho_w,
         rho_theta=rho_theta, rho_qt=rho_qt,
         tracers=tracers,
         time=jnp.zeros((), dt),
+        diagnostics=diagnostics,
     )
 
 

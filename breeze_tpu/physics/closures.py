@@ -93,8 +93,14 @@ def _center_avg_from_xy_corner(so, q_pad):
                    + so.v(q_pad, dy=1) + so.v(q_pad, dx=1, dy=1))
 
 
-def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> ClosureFluxes:
-    """Stress/flux divergences for the configured closure."""
+def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
+                       rho=None) -> ClosureFluxes:
+    """Stress/flux divergences for the configured closure.
+
+    ``rho``: optional TRUE 3-D density at centers (compressible path);
+    when ``None`` the anelastic reference columns weight the stresses
+    (reference ``TurbulenceClosures.jl:52-101`` ρ-weighting).
+    """
     g = model.grid
     closure = model.closure
     ref = model.reference
@@ -183,11 +189,19 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> Closu
         kappa_c = nu_c / closure.prandtl
 
     # --- dynamic stresses 𝒯ᵢⱼ = −2 ρ νₑ Sᵢⱼ --------------------------
-    nu_pad = fl.pad(nu_c, g, fl.CCC)
-    rho_nu_c = rho_c * nu_c
-    rho_nu_xy = _corner_avg_xy(so, nu_pad) * rho_c        # ρ is z-only
-    rho_nu_xz = _corner_avg_xz(so, nu_pad) * rho_f
-    rho_nu_yz = _corner_avg_yz(so, nu_pad) * rho_f
+    if rho is None:
+        nu_pad = fl.pad(nu_c, g, fl.CCC)
+        rho_nu_c = rho_c * nu_c
+        rho_nu_xy = _corner_avg_xy(so, nu_pad) * rho_c    # ρ is z-only
+        rho_nu_xz = _corner_avg_xz(so, nu_pad) * rho_f
+        rho_nu_yz = _corner_avg_yz(so, nu_pad) * rho_f
+    else:
+        # true density: interpolate the PRODUCT ρνₑ to the stress locations
+        rho_nu_c = rho * nu_c
+        rnu_pad = fl.pad(rho_nu_c, g, fl.CCC)
+        rho_nu_xy = _corner_avg_xy(so, rnu_pad)
+        rho_nu_xz = _corner_avg_xz(so, rnu_pad)
+        rho_nu_yz = _corner_avg_yz(so, rnu_pad)
 
     T11 = -2.0 * rho_nu_c * S11
     T22 = -2.0 * rho_nu_c * S22
@@ -214,14 +228,20 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad) -> Closu
     G_w = -(so.dx_fc(T13p) + so.dy_fc(T23p) + so.dz_cf(T33p))
 
     # --- scalar diffusive flux divergences ---------------------------
-    kappa_pad = fl.pad(kappa_c, g, fl.CCC)
+    if rho is None:
+        kappa_pad = fl.pad(kappa_c, g, fl.CCC)
+        kw_x = kw_y = rho_c
+        kw_z = rho_f
+    else:
+        kappa_pad = fl.pad(rho * kappa_c, g, fl.CCC)   # ρκ product
+        kw_x = kw_y = kw_z = 1.0
 
     def scalar_diffusion(c):
         c_pad = fl.pad(c, g, fl.CCC)
         # J = -ρ κ ∇c at faces; G += −∇·J = ∇·(ρκ∇c)
-        kx = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dx=-1)) * rho_c
-        ky = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dy=-1)) * rho_c
-        kz = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dz=-1)) * rho_f
+        kx = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dx=-1)) * kw_x
+        ky = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dy=-1)) * kw_y
+        kz = 0.5 * (so.v(kappa_pad) + so.v(kappa_pad, dz=-1)) * kw_z
         Fx = kx * so.dx_cf(c_pad)
         Fy = ky * so.dy_cf(c_pad)
         Fz = kz * so.dz_cf(c_pad)
@@ -260,26 +280,22 @@ def eddy_coefficients(model, state):
     return cf.nu_e, cf.nu_e / closure.prandtl
 
 
-def implicit_vertical_diffusion_step(model, state, new_ru, new_rv, new_rt,
-                                     new_rq, new_tr, dt_eff):
+def implicit_vertical_diffusion_core(g, rho_c, rho_f, nu_c, kappa_c, dt_eff,
+                                     new_ru, new_rv, new_rt, new_rq, new_tr):
     """Backward-Euler vertical diffusion via batched tridiagonal solve.
 
     TPU analogue of the reference's per-field ``implicit_step!`` with
     ``VerticallyImplicitTimeDiscretization`` (``ssp_runge_kutta_3.jl:139-160``):
     solve (ρc − Δt ∂z(ρ κ ∂z c))_new = (ρc)_rhs per column, z-walls
     zero-flux.  Removes the vertical diffusive CFL limit on stretched grids.
+    ``rho_c``/``rho_f`` may be reference columns (anelastic) or true 3-D
+    density fields (compressible ``implicit_substep!``,
+    ``acoustic_runge_kutta_3.jl:151``).
     """
     from ..dynamics.tridiagonal import thomas_solve
 
-    g = model.grid
-    ref = model.reference
-    rho_c = ref.rho_col
-    rho_f = ref.rho_f_col
     dz_c = g.dz_c_col
     dz_f = g.dz_f_col
-    nz = g.nz
-
-    nu_c, kappa_c = eddy_coefficients(model, state)
 
     def solve(rho_field, coeff_c):
         # face coefficients: ρᶠ κᶠ at faces 1..nz-1 (0 at walls)
@@ -305,3 +321,14 @@ def implicit_vertical_diffusion_step(model, state, new_ru, new_rv, new_rt,
         new_rq = solve(new_rq, kappa_c)
     new_tr = {k: solve(v, kappa_c) for k, v in new_tr.items()}
     return new_ru, new_rv, new_rt, new_rq, new_tr
+
+
+def implicit_vertical_diffusion_step(model, state, new_ru, new_rv, new_rt,
+                                     new_rq, new_tr, dt_eff):
+    """Anelastic wrapper: reference-column densities + eddy coefficients
+    from the pre-stage state."""
+    ref = model.reference
+    nu_c, kappa_c = eddy_coefficients(model, state)
+    return implicit_vertical_diffusion_core(
+        model.grid, ref.rho_col, ref.rho_f_col, nu_c, kappa_c, dt_eff,
+        new_ru, new_rv, new_rt, new_rq, new_tr)

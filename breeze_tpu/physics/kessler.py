@@ -60,6 +60,8 @@ class KesslerMicrophysics:
     # reference correction_moisture_fields (one_moment_microphysics.jl:536):
     # rain borrows from cloud, cloud from vapor
     correction_tracer_chain = ("rho_qr", "rho_qcl")
+    # surface-precipitation diagnostics (reference dcmip2016_kessler.jl:355-394)
+    surface_diagnostic_names = ("surface_precip_rate", "accumulated_precip")
 
     # -- process rates (mixing-ratio space) ----------------------------
     def terminal_velocity(self, r_r, rho, rho_surf):
@@ -77,7 +79,16 @@ class KesslerMicrophysics:
         return r_cl - (r_cl - dt * A) / denom
 
     def model_update(self, model, state, dt: float):
-        new_state, _precip = kessler_update(self, model, state, float(dt))
+        new_state, precip = kessler_update(self, model, state, float(dt))
+        # Surface precipitation diagnostics (kinematic rate [m/s of
+        # mass-fraction flux] and its time integral), when the state carries
+        # the seeded diagnostics slots (reference dcmip2016_kessler.jl:355-394).
+        diag = dict(new_state.diagnostics)
+        if "surface_precip_rate" in diag:
+            diag["surface_precip_rate"] = precip
+            diag["accumulated_precip"] = (
+                diag["accumulated_precip"] + float(dt) * precip)
+            new_state = new_state.replace(diagnostics=diag)
         return new_state
 
 
@@ -107,17 +118,34 @@ def _temperature_from_theta(theta_li, rv, rl, p, p_st, c):
 def kessler_update(scheme: KesslerMicrophysics, model, state, dt: float):
     """Operator-split Kessler update on the model state (whole grid at once).
 
-    Works against the anelastic model's reference column (ρ = ρᵣ(z),
-    p = pᵣ(z)); the moisture prognostic is vapor density ρqᵛ.
+    Anelastic: reference column (ρ = ρᵣ(z), p = pᵣ(z)).  Compressible
+    states (``state.rho`` present): the TRUE density and the EOS pressure
+    diagnosed by a fixed-partition θˡⁱ inversion at step entry (reference
+    grid moisture fractions through ``LiquidIceDensityState``).  The
+    moisture prognostic is vapor density ρqᵛ.
     """
     g = model.grid
     c = model.constants
     ref = model.reference
-    rho = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
-    p = jnp.broadcast_to(ref.p_col, g.shape).astype(g.dtype)
     p_st = model.p_standard
     dz = g.dz_c_col
     rho_surf = ref.rho_c[0]
+
+    rho_state = getattr(state, "rho", None)
+    if rho_state is not None:
+        from .microphysics import density_temperature_inversion
+
+        rho = rho_state
+        zero = jnp.zeros(g.shape, g.dtype)
+        qv0 = state.rho_qt / rho
+        ql0 = (state.tracers.get("rho_qcl", zero)
+               + state.tracers.get("rho_qr", zero)) / rho
+        q0 = MoistureMassFractions(qv0, ql0, jnp.zeros_like(ql0))
+        _T0, p = density_temperature_inversion(
+            state.rho_theta / rho, rho, q0, c, p_st)
+    else:
+        rho = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
+        p = jnp.broadcast_to(ref.p_col, g.shape).astype(g.dtype)
 
     Ll = c.liquid.reference_latent_heat
     cpd = c.dry_air.heat_capacity

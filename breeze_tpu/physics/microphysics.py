@@ -177,6 +177,43 @@ def density_saturation_adjust(theta_li, rho, qt, constants: ThermodynamicConstan
     return T, q, p
 
 
+def density_temperature_inversion(theta_li, rho, q, constants,
+                                  p_standard: float = 1.0e5,
+                                  iterations: int = 5):
+    """Invert θˡⁱ(T) = θ₀ at FIXED moisture partition q and density ρ.
+
+    The compressible-path analogue of ``temperature_from_theta_li`` for
+    prognostic-condensate schemes (Kessler, 1M/2M): pressure is the true
+    EOS pressure p = ρRᵐT rather than a reference column (reference
+    ``LiquidIceDensityState`` with grid moisture fractions,
+    ``compressible_time_stepping.jl:161-244``).  Returns ``(T, p)``.
+    """
+    Rm = constants.mixture_gas_constant(q)
+    cpm = constants.mixture_heat_capacity(q)
+    Ll = constants.liquid.reference_latent_heat
+    Li = constants.ice.reference_latent_heat
+    kappa = Rm / cpm
+    lheat = (Ll * q.liquid + Li * q.ice) / cpm
+
+    def residual(T):
+        p = rho * Rm * T
+        return (T - lheat) * (p_standard / p) ** kappa - theta_li
+
+    # dry-ish closed-form seed: T = θ (ρRmθ/pst)^(Rm/cvm)
+    cvm = cpm - Rm
+    T1 = theta_li * (rho * Rm * theta_li / p_standard) ** (Rm / cvm)
+    Ta, Tb = T1, T1 + 1.0
+    ra = residual(Ta)
+    for _ in range(iterations + 1):
+        rb = residual(Tb)
+        dr = rb - ra
+        safe = jnp.where(jnp.abs(dr) > 1e-30, dr, jnp.ones_like(dr))
+        Tc = jnp.where(jnp.abs(dr) > 1e-30, Tb - rb * (Tb - Ta) / safe, Tb)
+        Ta, ra, Tb = Tb, rb, Tc
+    T = Tb
+    return T, rho * Rm * T
+
+
 @dataclasses.dataclass(frozen=True)
 class InstantaneousPrecipitation:
     """Saturation adjustment + instant removal of condensate.

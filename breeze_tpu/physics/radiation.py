@@ -176,11 +176,13 @@ class GrayRadiation:
     def __call__(self, model, state, aux, G):
         """Heating in θ-units: −∇·ℐ / (cᵖᵐ Π) added to Gρθ
         (reference potential_temperature_tendency.jl:100-105)."""
+        from ..thermo.constants import MoistureMassFractions
         from ..thermo.states import exner_function
         from .forcings import _rep
 
         c = model.constants
         div_I = self.flux_divergence(model, aux, state.time)
-        cpm = c.mixture_heat_capacity(aux.q)
-        Pi = exner_function(model.reference.p_col, aux.q, c, model.p_standard)
+        q = aux.q if aux.q is not None else MoistureMassFractions(0.0, 0.0, 0.0)
+        cpm = c.mixture_heat_capacity(q)
+        Pi = exner_function(model.reference.p_col, q, c, model.p_standard)
         return _rep(G, rho_theta=G.rho_theta - div_I / (cpm * Pi))

@@ -73,35 +73,35 @@ def _value(v, t):
     return v(t) if callable(v) else v
 
 
-def apply_boundary_flux_tendencies(model, state, aux, G):
-    """Add surface-flux tendencies to the bottom-cell rows of G."""
-    bf = model.boundary_fluxes
+def surface_flux_values(bf, model, state, aux, want_moisture: bool):
+    """Kinematic surface fluxes through the bottom wall (shared by the
+    anelastic and compressible paths).
+
+    Returns ``(F_theta, F_qt, F_u, F_v)``: w'θ' [K m/s], w'qᵗ' [m/s], and
+    the kinematic momentum fluxes −τₓ/ρ, −τᵧ/ρ [m²/s²] (``None`` entries
+    mean no flux of that quantity).  Tendencies follow as ``+ρ₀F/Δz₀`` on
+    the wall-adjacent cells (reference ``compute_flux_bc_tendencies!``,
+    ``update_atmosphere_model_state.jl:418-434``).
+    """
     g = model.grid
     ref = model.reference
-    dz0 = g.dz_c[0]
-    rho0 = ref.rho_c[0]
-
     u1 = aux.u[0]
     v1 = aux.v[0]
     speed = jnp.sqrt(u1 * u1 + v1 * v1 + getattr(bf, "gustiness", 0.1) ** 2)
 
     if isinstance(bf, PrescribedSurfaceFluxes):
         th_flux = _value(bf.theta_flux, state.time)
-        qt_flux = _value(bf.qt_flux, state.time)
-        G = G.replace(rho_theta=G.rho_theta.at[0].add(rho0 * th_flux / dz0))
-        if G.rho_qt is not None and qt_flux:
-            G = G.replace(rho_qt=G.rho_qt.at[0].add(rho0 * qt_flux / dz0))
+        qt_flux = _value(bf.qt_flux, state.time) if want_moisture else None
+        F_u = F_v = None
         if bf.friction_velocity is not None:
             ustar2 = bf.friction_velocity ** 2
-            G = G.replace(
-                rho_u=G.rho_u.at[0].add(-rho0 * ustar2 * u1 / speed / dz0),
-                rho_v=G.rho_v.at[0].add(-rho0 * ustar2 * v1 / speed / dz0))
+            F_u = -ustar2 * u1 / speed
+            F_v = -ustar2 * v1 / speed
         elif bf.momentum_drag_coefficient is not None:
             cd = bf.momentum_drag_coefficient
-            G = G.replace(
-                rho_u=G.rho_u.at[0].add(-rho0 * cd * speed * u1 / dz0),
-                rho_v=G.rho_v.at[0].add(-rho0 * cd * speed * v1 / dz0))
-        return G
+            F_u = -cd * speed * u1
+            F_v = -cd * speed * v1
+        return th_flux, qt_flux, F_u, F_v
 
     if isinstance(bf, BulkSurfaceFluxes):
         from ..thermo.saturation import saturation_specific_humidity
@@ -125,22 +125,39 @@ def apply_boundary_flux_tendencies(model, state, aux, G):
             stab = bf.stability_factor(jnp.clip(Ri_b, -10.0, 10.0))
 
         th_flux = -bf.heat_transfer_coefficient * stab * speed * (theta1 - theta_s)
-        G = G.replace(rho_theta=G.rho_theta.at[0].add(rho0 * th_flux / dz0))
 
-        if G.rho_qt is not None:
+        qt_flux = None
+        if want_moisture and aux.qt is not None:
             qt1 = aux.qt[0]
             q_s = bf.surface_qt
             if q_s is None:
                 rho_surf = ref.surface_pressure / (c.Rd * bf.surface_temperature)
                 q_s = saturation_specific_humidity(
                     jnp.asarray(bf.surface_temperature, g.dtype), rho_surf, c)
-            q_flux = -bf.vapor_transfer_coefficient * stab * speed * (qt1 - q_s)
-            G = G.replace(rho_qt=G.rho_qt.at[0].add(rho0 * q_flux / dz0))
+            qt_flux = -bf.vapor_transfer_coefficient * stab * speed * (qt1 - q_s)
 
         cd = bf.drag_coefficient * stab
-        G = G.replace(
-            rho_u=G.rho_u.at[0].add(-rho0 * cd * speed * u1 / dz0),
-            rho_v=G.rho_v.at[0].add(-rho0 * cd * speed * v1 / dz0))
-        return G
+        return th_flux, qt_flux, -cd * speed * u1, -cd * speed * v1
 
     raise TypeError(f"unknown boundary flux config {bf!r}")
+
+
+def apply_boundary_flux_tendencies(model, state, aux, G):
+    """Add surface-flux tendencies to the bottom-cell rows of G (anelastic)."""
+    bf = model.boundary_fluxes
+    g = model.grid
+    dz0 = g.dz_c[0]
+    rho0 = model.reference.rho_c[0]
+
+    th_flux, qt_flux, F_u, F_v = surface_flux_values(
+        bf, model, state, aux, want_moisture=G.rho_qt is not None)
+
+    if th_flux is not None:
+        G = G.replace(rho_theta=G.rho_theta.at[0].add(rho0 * th_flux / dz0))
+    if qt_flux is not None and G.rho_qt is not None:
+        G = G.replace(rho_qt=G.rho_qt.at[0].add(rho0 * qt_flux / dz0))
+    if F_u is not None:
+        G = G.replace(
+            rho_u=G.rho_u.at[0].add(rho0 * F_u / dz0),
+            rho_v=G.rho_v.at[0].add(rho0 * F_v / dz0))
+    return G
