@@ -11,12 +11,19 @@ Solves, for each horizontal Fourier mode with eigenvalue λ = λx + λy ≥ 0,
 with homogeneous Neumann ends (wall couplings dropped), where
 δ = ∇·(ρu~) is the predictor mass-flux divergence.
 
-TPU design: x and y are the FFT axes (lanes/sublanes); z is the tridiagonal
-axis.  The Thomas forward-elimination factors depend only on (ρᵣ, grid, λ)
-— all time-independent — so they are precomputed once in float64 on the host
-and the per-step solve is a single complex forward/backward ``lax.scan``
-over z, vectorized across every mode on the VPU.  The singular (0,0) mode
-(Neumann nullspace) is pinned by replacing its top-level row with φ = 0.
+TPU design: x and y are the transform axes (lanes/sublanes); z is the
+tridiagonal axis.  The Thomas forward-elimination factors depend only on
+(ρᵣ, grid, λ) — all time-independent — so they are precomputed once in
+float64 on the host and the per-step solve is a single forward/backward
+``lax.scan`` over z, vectorized across every mode on the VPU.  The singular
+(0,0) mode (Neumann nullspace) is pinned by replacing its top-level row
+with φ = 0.
+
+Horizontal topologies: PERIODIC axes use rfft2 (CPU) or a matmul-DFT (MXU,
+default on TPU); when any horizontal axis is BOUNDED the whole transform
+switches to a real eigenbasis — DCT-II cosines on bounded axes, the real
+Fourier pairs on periodic ones — applied as real MXU matmuls (reference
+Bounded-direction eigenvalues, ``anelastic_pressure_solver.jl:5-78``).
 """
 
 from __future__ import annotations
@@ -125,6 +132,9 @@ class AnelasticPoissonSolver:
         return yre + 1j * yim
 
     def _inverse(self, x_hat, out_shape):
+        if self.transform == "real":
+            m = self.dft_mats
+            return jnp.einsum("yj,zjk,kx->zyx", m["ify"], x_hat, m["ifxT"])
         if not self.use_matmul_dft:
             return jnp.fft.irfft2(x_hat, s=out_shape, axes=(1, 2))
         m = self.dft_mats
@@ -213,21 +223,31 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
     plan); the stored factors are cast to the solve dtype at use sites via
     the complex rhs dtype promotion.
     """
-    ok = (Topology.PERIODIC, Topology.FLAT)
-    if grid.x_topology not in ok or grid.y_topology not in ok:
-        raise NotImplementedError(
-            "anelastic Poisson solver currently requires periodic (or flat) "
-            "x and y (the reference's FFT path; DCT for bounded directions "
-            "is a planned extension)")
-
     nz, ny, nx = grid.nz, grid.ny, grid.nx
-    nxr = nx // 2 + 1
-    # FLAT axes contribute a single zero eigenvalue (size-1 FFT is trivial).
-    lam_x = (_periodic_eigenvalues(nx, grid.dx, rfft=True)
-             if grid.x_topology == Topology.PERIODIC else np.zeros(nxr))
-    lam_y = (_periodic_eigenvalues(ny, grid.dy, rfft=False)
-             if grid.y_topology == Topology.PERIODIC else np.zeros(ny))
-    lam = lam_y[:, None] + lam_x[None, :]                       # (ny, nxr)
+    bounded = (grid.x_topology == Topology.BOUNDED
+               or grid.y_topology == Topology.BOUNDED)
+    dft_mats = {}
+    if bounded:
+        # Bounded horizontal directions: real cosine/Fourier eigenbasis as
+        # MXU matmuls — reference Bounded-topology
+        # FourierTridiagonalPoissonSolver (anelastic_pressure_solver.jl:5-78).
+        transform = "real"
+        Fx, iFx, lam_x = _axis_real_basis(nx, grid.dx, grid.x_topology)
+        Fy, iFy, lam_y = _axis_real_basis(ny, grid.dy, grid.y_topology)
+        nxr = nx
+        lam = lam_y[:, None] + lam_x[None, :]                   # (ny, nx)
+        cast = lambda a: jnp.asarray(a, grid.dtype)
+        dft_mats = {"fy": cast(Fy), "fxT": cast(Fx.T),
+                    "ify": cast(iFy), "ifxT": cast(iFx.T)}
+    else:
+        transform = "fourier"
+        nxr = nx // 2 + 1
+        # FLAT axes contribute a single zero eigenvalue (size-1 FFT trivial).
+        lam_x = (_periodic_eigenvalues(nx, grid.dx, rfft=True)
+                 if grid.x_topology == Topology.PERIODIC else np.zeros(nxr))
+        lam_y = (_periodic_eigenvalues(ny, grid.dy, rfft=False)
+                 if grid.y_topology == Topology.PERIODIC else np.zeros(ny))
+        lam = lam_y[:, None] + lam_x[None, :]                   # (ny, nxr)
 
     rho_c = np.asarray(rho_c, np.float64)
     rho_f = np.asarray(rho_f, np.float64)
@@ -272,6 +292,10 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
         # The MXU DFT path is the default on TPU backends; CPU keeps the
         # library FFT (pocketfft is fast there and f64-exact for tests).
         use_matmul_dft = jax.default_backend() in ("tpu", "axon")
+    if transform == "real":
+        use_matmul_dft = True
+    elif use_matmul_dft:
+        dft_mats = _build_dft_matrices(nx, ny, grid.dtype)
 
     dt = grid.dtype
     return AnelasticPoissonSolver(
@@ -281,6 +305,7 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
         inv_den=jnp.asarray(inv_den, dt),
         zero_mode_mask=jnp.asarray(zero_mode),
         dz_c=jnp.asarray(dz_c, dt),
-        dft_mats=(_build_dft_matrices(nx, ny, dt) if use_matmul_dft else {}),
+        dft_mats=dft_mats,
         use_matmul_dft=bool(use_matmul_dft),
+        transform=transform,
     )
