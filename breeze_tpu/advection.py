@@ -71,6 +71,32 @@ class WENO:
         return (self.order + 1) // 2
 
 
+@dataclasses.dataclass(frozen=True)
+class AdaptiveImplicitVerticalAdvection:
+    """Adaptive explicit/implicit vertical-advection split (AIVA).
+
+    TPU analogue of reference ``implicit_vertical_advection.jl:78-230``
+    (Oceananigans ``AdaptiveImplicitVerticalAdvection``): wherever the local
+    vertical advective CFL α = |w̄|Δt/Δz exceeds ``cfl``, the explicit
+    vertical flux is scaled by s = cfl/α and the remainder velocity
+    w̄ⁱ = w̄(1 − s) is applied as a first-order-upwind IMPLICIT tridiagonal
+    step — removing the vertical advective Δt limit (stretched-grid LES,
+    deep convective updrafts).  ``scheme`` is the underlying reconstruction
+    used for the explicit fluxes.
+    """
+
+    scheme: object
+    cfl: float = 0.7
+
+    @property
+    def required_halo(self):
+        return self.scheme.required_halo
+
+    @property
+    def order(self):
+        return getattr(self.scheme, "order", 2)
+
+
 # ---------------------------------------------------------------------------
 # Window helpers
 # ---------------------------------------------------------------------------
@@ -220,6 +246,10 @@ def reconstruct(scheme, q_pad: jax.Array, upwind_sign: jax.Array | None,
     output) whose sign selects the upwind branch; pass ``None`` for purely
     centered schemes.  See module docstring for the output layout.
     """
+    if isinstance(scheme, AdaptiveImplicitVerticalAdvection):
+        # Paths without AIVA support (compressible, terrain, kinematic) fall
+        # back to the inner scheme, fully explicit.
+        scheme = scheme.scheme
     n = shape[axis]
     n_out = n
     # "cf": output m is face m, between cells m-1 (left) and m (right).
@@ -339,12 +369,15 @@ def _div_fc(F, axis, spacing, periodic: bool):
     return (F - prv) / spacing
 
 
-def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad):
+def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad,
+                z_flux_scale=None):
     """∇·(ρ u c) at cell centers — the density-weighted tracer flux divergence.
 
     TPU analogue of reference ``div_ρUc`` (``src/Advection.jl:30-37``):
     ``ℑ(ρ)`` at the face times the advective tracer flux, differenced.
-    ``c`` is the *specific* (per-mass) quantity.
+    ``c`` is the *specific* (per-mass) quantity.  ``z_flux_scale``
+    (interior z-face shape) multiplies the vertical flux — the AIVA
+    explicit-flux CFL scaling (``implicit_vertical_advection.jl``).
     """
     g, h, shape = so.grid, so.h, so.shape
     topo = g.topologies()
@@ -360,13 +393,17 @@ def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad):
 
     mfz = _iface_cf(rho_pad, 0, h, shape) * _iview(w_pad, 0, h, shape)
     cz = reconstruct(scheme, c_pad, mfz, 0, h, shape, "cf")
-    out = out + _div_cf(mfz * cz, 0, g.dz_c_col, per[0])
+    Fz = mfz * cz
+    if z_flux_scale is not None:
+        Fz = Fz * z_flux_scale
+    out = out + _div_cf(Fz, 0, g.dz_c_col, per[0])
     return out
 
 
 def momentum_flux_divergence(so: StencilOps, scheme,
                              rho_u_pad, rho_v_pad, rho_w_pad,
-                             u_pad, v_pad, w_pad):
+                             u_pad, v_pad, w_pad,
+                             z_scales=None):
     """Flux-form ∇·(ρU ⊗ u) for all three momentum components.
 
     TPU analogue of reference ``div_𝐯u/v/w`` usage in
@@ -377,8 +414,14 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     reconstructed with ``scheme``.
 
     Returns ``(div_u, div_v, div_w)`` at the (x-face, y-face, z-face)
-    momentum locations respectively.
+    momentum locations respectively.  ``z_scales`` is an optional
+    ``(s_u, s_v, s_w)`` triple of AIVA explicit-flux scalings for the
+    vertical flux of each component (``implicit_vertical_advection.jl``):
+    s_u/s_v at the (zf, xf)/(zf, yf) flux locations, s_w at z-centers.
     """
+    s_u = s_v = s_w = None
+    if z_scales is not None:
+        s_u, s_v, s_w = z_scales
     g, h, shape = so.grid, so.h, so.shape
     dzc, dzf = g.dz_c_col, g.dz_f_col
     per = [t == _Topo.PERIODIC for t in g.topologies()]
@@ -392,7 +435,10 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     du = du + _ydiv_cf(so, mf * q, per[1])
     mf = _iview(_pad_interp_cf_x(rho_w_pad), 0, h, shape)   # (zf, xf)
     q = reconstruct(scheme, u_pad, mf, 0, h, shape, "cf")
-    du = du + _div_cf(mf * q, 0, dzc, per[0])
+    Fzu = mf * q
+    if s_u is not None:
+        Fzu = Fzu * s_u
+    du = du + _div_cf(Fzu, 0, dzc, per[0])
 
     # ---- y momentum: v at (zc, yf, xc) ------------------------------
     mf = _iview(_pad_interp_cf_y(rho_u_pad), 2, h, shape)
@@ -403,7 +449,10 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     dv = dv + _ydiv_fc(so, mf * q, per[1])
     mf = _iview(_pad_interp_cf_y(rho_w_pad), 0, h, shape)
     q = reconstruct(scheme, v_pad, mf, 0, h, shape, "cf")
-    dv = dv + _div_cf(mf * q, 0, dzc, per[0])
+    Fzv = mf * q
+    if s_v is not None:
+        Fzv = Fzv * s_v
+    dv = dv + _div_cf(Fzv, 0, dzc, per[0])
 
     # ---- z momentum: w at (zf, yc, xc) ------------------------------
     mf = _iview(_pad_interp_cf_z(rho_u_pad), 2, h, shape)
@@ -414,9 +463,12 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     dw = dw + _ydiv_cf(so, mf * q, per[1])
     mf = _iface_fc(rho_w_pad, 0, h, shape)
     q = reconstruct(scheme, w_pad, mf, 0, h, shape, "fc")
+    Fzw = mf * q
+    if s_w is not None:
+        Fzw = Fzw * s_w
     # Bounded z: the face-0 row of _div_fc references below-wall data; the
     # wall condition (ρw = 0, enforced by the stepper) overwrites it.
-    dw = dw + _div_fc(mf * q, 0, dzf, per[0])
+    dw = dw + _div_fc(Fzw, 0, dzf, per[0])
 
     return du, dv, dw
 

@@ -409,7 +409,8 @@ def _padded_reference_columns(model: AtmosphereModel, halo: int | None = None):
 # Tendencies
 # ---------------------------------------------------------------------------
 
-def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = None):
+def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = None,
+                       dt=None):
     """Right-hand sides for every prognostic field.
 
     Mirrors ``compute_tendencies!`` (``update_atmosphere_model_state.jl:
@@ -417,6 +418,13 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     flux-form advection, Coriolis, closure stress divergence, buoyancy
     (z-faces), scalar flux divergences, forcings, and surface-flux BC
     contributions.  Anelastic: no PGF here — pressure enters via projection.
+
+    ``dt`` (float or traced scalar) activates the AIVA explicit-flux CFL scaling when
+    an advection scheme is wrapped in
+    :class:`~breeze_tpu.advection.AdaptiveImplicitVerticalAdvection`; the
+    implicit remainder is applied by the stepper
+    (``dynamics/vertical_implicit.py``).  With ``dt=None`` AIVA schemes run
+    fully explicit.
     """
     if aux is None:
         aux = diagnose(model, state)
@@ -424,11 +432,34 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     so = model.stencil_ops()
     ref = model.reference
 
+    # AIVA unwrap: explicit fluxes use the inner scheme with the CFL-scaled
+    # vertical flux (reference implicit_vertical_advection.jl:120-165).
+    mom_scheme = model.momentum_advection
+    scal_scheme = model.scalar_advection
+    z_scales_mom = None
+    z_scale_scal = None
+    if isinstance(mom_scheme, adv.AdaptiveImplicitVerticalAdvection):
+        if dt is not None:
+            from .dynamics.vertical_implicit import aiva_split
+            sp = aiva_split(g, aux.w, dt, mom_scheme.cfl)
+            z_scales_mom = (sp.s_u, sp.s_v, sp.s_w)
+            if scal_scheme is mom_scheme:
+                z_scale_scal = sp.s_scal
+        mom_scheme = mom_scheme.scheme
+    if isinstance(scal_scheme, adv.AdaptiveImplicitVerticalAdvection):
+        if dt is not None and z_scale_scal is None:
+            from .dynamics.vertical_implicit import aiva_split
+            z_scale_scal = aiva_split(g, aux.w, dt,
+                                      scal_scheme.cfl).s_scal
+        scal_scheme = scal_scheme.scheme
+
     # Fused Pallas kernels (default on TPU; see pallas_kernels/)
     from .pallas_kernels import advection as padv
     from .pallas_kernels import momentum as pmom
-    use_pallas_mom = padv.enabled() and pmom.supported(g, model.momentum_advection)
-    use_pallas_scalar = padv.available(g, model.scalar_advection)
+    use_pallas_mom = (padv.enabled() and z_scales_mom is None
+                      and pmom.supported(g, mom_scheme))
+    use_pallas_scalar = (padv.available(g, scal_scheme)
+                         and z_scale_scal is None)
     pz = lambda a, loc: padv.pad_zy(a, g, loc)
     pzu = pzv = pzw = None
     if use_pallas_mom or use_pallas_scalar:
@@ -461,8 +492,9 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             g, pzu * col_c, pzv * col_c, pzw * col_f, pzu, pzv, pzw)
     else:
         adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
-            so, model.momentum_advection,
-            rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad)
+            so, mom_scheme,
+            rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad,
+            z_scales=z_scales_mom)
 
     cor_x, cor_y, cor_z = coriolis_terms(
         model.coriolis, so, rho_u_pad, rho_v_pad, rho_w_pad, g)
@@ -502,7 +534,8 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         def scalar_div(c_spec):
             c_pad = fl.pad(c_spec, g, fl.CCC)
             return adv.div_rho_u_c(
-                so, model.scalar_advection, rho_r_pad, u_pad, v_pad, w_pad, c_pad)
+                so, scal_scheme, rho_r_pad, u_pad, v_pad, w_pad, c_pad,
+                z_flux_scale=z_scale_scal)
 
     # Specific thermodynamic prognostic: θˡⁱ or e (formulation dispatch,
     # reference formulation_interface.jl:22-208).

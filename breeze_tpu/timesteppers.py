@@ -40,9 +40,18 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
         from .physics.microphysics import apply_negative_moisture_correction
         state = apply_negative_moisture_correction(model, state)
 
+    from . import advection as adv
+    aiva = (isinstance(model.momentum_advection,
+                       adv.AdaptiveImplicitVerticalAdvection)
+            or isinstance(model.scalar_advection,
+                          adv.AdaptiveImplicitVerticalAdvection))
+    implicit_closure = (model.closure is not None
+                        and getattr(model.closure, "vertically_implicit", False))
+
     state0 = state
     for alpha in SSP_RK3_ALPHAS:
-        G = M.compute_tendencies(model, state)
+        aux = M.diagnose(model, state)
+        G = M.compute_tendencies(model, state, aux, dt=dt)
         new_ru = _substep(state.rho_u, state0.rho_u, G.rho_u, dt, alpha)
         new_rv = _substep(state.rho_v, state0.rho_v, G.rho_v, dt, alpha)
         new_rw = _substep(state.rho_w, state0.rho_w, G.rho_w, dt, alpha)
@@ -55,10 +64,15 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
             for k in state.tracers
         }
 
-        if model.closure is not None and getattr(model.closure, "vertically_implicit", False):
-            from .physics.closures import implicit_vertical_diffusion_step
-            new_ru, new_rv, new_rt, new_rq, new_tr = implicit_vertical_diffusion_step(
-                model, state, new_ru, new_rv, new_rt, new_rq, new_tr, alpha * dt)
+        if aiva or implicit_closure:
+            # Fused vertically-implicit stage solve: AIVA upwind remainder +
+            # closure diffusion in one tridiagonal pass per field
+            # (reference implicit_step!, ssp_runge_kutta_3.jl:139-160 +
+            # implicit_vertical_advection.jl:78-230).
+            from .dynamics.vertical_implicit import implicit_vertical_step
+            new_ru, new_rv, new_rw, new_rt, new_rq, new_tr = implicit_vertical_step(
+                model, state, aux, new_ru, new_rv, new_rw, new_rt, new_rq,
+                new_tr, alpha * dt, dt)
 
         new_ru, new_rv, new_rw, _ = M.pressure_projection(
             model, new_ru, new_rv, new_rw, alpha * dt)
