@@ -304,7 +304,7 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
         name: jnp.zeros(g.shape[1:], dt)
         for name in getattr(model.microphysics, "surface_diagnostic_names", ())}
 
-    return CompressibleState(
+    state = CompressibleState(
         rho=rho_arr,
         rho_u=rho_u_arr,
         rho_v=rho_v_arr,
@@ -314,6 +314,8 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
         time=jnp.zeros((), dt),
         diagnostics=diagnostics,
     )
+    from ..physics.surface import initialize_surface_filter
+    return initialize_surface_filter(model, state)
 
 
 # ---------------------------------------------------------------------------
@@ -890,6 +892,11 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
         from ..physics.microphysics import apply_negative_moisture_correction
         state = apply_negative_moisture_correction(model, state)
 
+    if getattr(model.boundary_fluxes, "filter", None) is not None:
+        from ..physics.surface import update_surface_filter
+        state = update_surface_filter(
+            model, state, compressible_diagnose(model, state), dt)
+
     state_n = state
     zero = jnp.zeros(g.shape, g.dtype)
 
@@ -1041,6 +1048,11 @@ def explicit_rk3_step(model: CompressibleModel, state: CompressibleState,
     if state.rho_qt is not None:
         from ..physics.microphysics import apply_negative_moisture_correction
         state = apply_negative_moisture_correction(model, state)
+
+    if getattr(model.boundary_fluxes, "filter", None) is not None:
+        from ..physics.surface import update_surface_filter
+        state = update_surface_filter(
+            model, state, compressible_diagnose(model, state), dt)
 
     g = model.grid
     so = model.stencil_ops()

@@ -61,7 +61,7 @@ def _uniform_spacing(extent: float, n: int) -> float:
         "x_topology", "y_topology", "z_topology",
         "x0", "y0", "z0", "Lx", "Ly", "Lz",
         "dx", "dy", "halo", "dtype_name", "uniform_z", "dz_min",
-        "radius",
+        "z_c_meta", "radius",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +104,9 @@ class Grid:
     # (reference re-export, src/Breeze.jl:202): x = longitude λ [rad spacing
     # dx/radius], y = latitude φ; the cos/tan factors carry the spherical
     # metric (shallow-atmosphere approximation, metric frozen at radius).
+    #: static copy of the cell-center heights (Python floats) — usable for
+    #: compile-time interpolation weights under jit, where ``z_c`` is a tracer.
+    z_c_meta: tuple = ()
     radius: float | None = None
     coslat_c: jax.Array | None = None   # (ny,) at y-centers
     coslat_f: jax.Array | None = None   # (ny+1,) at y-faces
@@ -236,6 +239,7 @@ def make_grid(
         dtype_name=str(fdtype),
         uniform_z=uniform_z,
         dz_min=float(dz_c.min()),
+        z_c_meta=tuple(float(v) for v in z_c),
         z_c=jnp.asarray(z_c, fdtype),
         z_f=jnp.asarray(z_f, fdtype),
         dz_c=jnp.asarray(dz_c, fdtype),

@@ -260,13 +260,15 @@ def initial_state(model: AtmosphereModel,
         name: jnp.zeros(g.shape[1:], dt)
         for name in getattr(model.microphysics, "surface_diagnostic_names", ())}
 
-    return State(
+    state = State(
         rho_u=rho_u, rho_v=rho_v, rho_w=rho_w,
         rho_theta=rho_theta, rho_qt=rho_qt,
         tracers=tracers,
         time=jnp.zeros((), dt),
         diagnostics=diagnostics,
     )
+    from .physics.surface import initialize_surface_filter
+    return initialize_surface_filter(model, state)
 
 
 # ---------------------------------------------------------------------------

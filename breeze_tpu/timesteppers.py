@@ -40,6 +40,13 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
         from .physics.microphysics import apply_negative_moisture_correction
         state = apply_negative_moisture_correction(model, state)
 
+    # Filtered bulk-flux matching state: one exponential-filter update per
+    # outer step (reference update_filtered_surface_state!).
+    if getattr(model.boundary_fluxes, "filter", None) is not None:
+        from .physics.surface import update_surface_filter
+        state = update_surface_filter(model, state,
+                                      M.diagnose(model, state), dt)
+
     from . import advection as adv
     aiva = (isinstance(model.momentum_advection,
                        adv.AdaptiveImplicitVerticalAdvection)
