@@ -181,7 +181,7 @@ class CompressibleState:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["grid", "reference"],
+    data_fields=["grid", "reference", "terrain"],
     meta_fields=["constants", "momentum_advection", "scalar_advection",
                  "coriolis", "closure", "forcings", "boundary_fluxes",
                  "time_discretization", "p_standard", "microphysics"],
@@ -200,6 +200,10 @@ class CompressibleModel:
     time_discretization: Any
     p_standard: float
     microphysics: Any = None   # None (dry) | SaturationAdjustment (moist)
+    # Terrain-following σ-coordinates (TerrainMetrics | None): when set, the
+    # split-explicit core runs the σ-coordinate dispatch (reference
+    # ``terrain_compressible_physics.jl:486-659``).
+    terrain: Any = None
 
     @property
     def has_moisture(self):
@@ -222,6 +226,7 @@ def make_compressible_model(
     boundary_fluxes=None,
     time_discretization=None,
     microphysics=None,
+    terrain=None,
     surface_pressure: float = 101325.0,
     reference_potential_temperature=300.0,
     reference_vapor_mass_fraction=None,
@@ -250,6 +255,7 @@ def make_compressible_model(
         time_discretization=time_discretization,
         p_standard=p_standard,
         microphysics=microphysics,
+        terrain=terrain,
     )
 
 
@@ -616,7 +622,8 @@ def _hpad(a, g, loc):
 
 def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
                           G: SlowTendencies, pert: Perturbations,
-                          dtau, n_tau: int, gate_first: bool) -> Perturbations:
+                          dtau, n_tau: int, gate_first: bool,
+                          terrain=None) -> Perturbations:
     """Advance the linearized perturbation system n_tau substeps.
 
     One substep = steps A–E of reference ``acoustic_rk3_substep_loop!``
@@ -627,6 +634,16 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
       C. Crank–Nicolson column solve for (ρw)'
       D. recovery of ρ', (ρθ)'; ⟨ρu⟩ accumulation
       E. Klemp horizontal divergence damping
+
+    Terrain dispatch (``terrain_compressible_physics.jl:486-659``): with the
+    Gal-Chen linear-decay map the Jacobian J is a 2-D field, so the
+    σ-coordinate fast system keeps the flat loop's structure with pointwise
+    reweightings — J-weighted horizontal flux divergences ×1/J, the
+    contravariant vertical flux ρw̃′ = ρw′ − (sx·ℑρu′ + sy·ℑρv′) split into
+    a CN-implicit ρw′ part and an explicit slope part, slope-corrected
+    perturbation PGF, 1/J (gravity) and 1/J² (C·θ) scalings of the
+    tridiagonal coefficients, and a kinematic-bottom Dirichlet row.
+    Assumes periodic-horizontal topologies (as the explicit terrain path).
     """
     g = model.grid
     so = model.stencil_ops()
@@ -653,6 +670,23 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     th_c = caches.theta_L
     th_zf = caches.theta_L_zf
 
+    # Terrain metric factors (all 2-D → broadcast rows; see docstring).
+    if terrain is not None:
+        invJ = (1.0 / terrain.jac_c)[None]              # (1, ny, nx)
+        jac_xf3 = terrain.jac_xf[None]
+        jac_yf3 = terrain.jac_yf[None]
+        sx_zf = terrain.slope_x(at_zface=True)          # (nz,·,·) at x-faces
+        sy_zf = terrain.slope_y(at_zface=True)
+        sx_c_zf = 0.5 * (sx_zf + jnp.roll(sx_zf, -1, axis=2))   # x-centers
+        sy_c_zf = 0.5 * (sy_zf + jnp.roll(sy_zf, -1, axis=1))
+        sx_cf = terrain.slope_x(at_zface=False)         # ζ-centers, x-faces
+        sy_cf = terrain.slope_y(at_zface=False)
+        jg = invJ          # 1/J on the gravity couplings
+        jc2 = invJ * invJ  # 1/J² on the C·θ couplings
+    else:
+        invJ = 1.0
+        jg = jc2 = 1.0
+
     # Tridiagonal coefficients (time-invariant across the stage's substeps):
     # unknown w_k = (ρw)'_new at interior faces k=1..nz-1; walls pinned 0.
     # Row k:  a w_{k-1} + b w_k + c w_{k+1} = d
@@ -666,14 +700,14 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     dz_c_above = dz_c                                     # Δzc[k]
     dz_c_below = jnp.concatenate([dz_c[:1], dz_c[:-1]], axis=0)  # Δzc[k-1]
 
-    a_coef = (0.5 * g_acc * od2 / dz_c_below
-              - od2 / dz_f * C_below * thf_below / dz_c_below)
+    a_coef = (0.5 * g_acc * od2 / dz_c_below * jg
+              - od2 / dz_f * C_below * thf_below / dz_c_below * jc2)
     b_coef = (1.0
-              - 0.5 * g_acc * od2 * (1.0 / dz_c_below - 1.0 / dz_c_above)
+              - 0.5 * g_acc * od2 * (1.0 / dz_c_below - 1.0 / dz_c_above) * jg
               + od2 / dz_f * (C_above * thf_here / dz_c_above
-                              + C_below * thf_here / dz_c_below))
-    c_coef = (-0.5 * g_acc * od2 / dz_c_above
-              - od2 / dz_f * C_above * thf_above / dz_c_above)
+                              + C_below * thf_here / dz_c_below) * jc2)
+    c_coef = (-0.5 * g_acc * od2 / dz_c_above * jg
+              - od2 / dz_f * C_above * thf_above / dz_c_above * jc2)
 
     # Implicit upper Rayleigh sponge on (ρw)′ (reference ``UpperSponge``,
     # acoustic_substepping.jl:545-563): CN-weighted — ωΔτ·r·ramp joins the
@@ -720,6 +754,14 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
 
         dpdx = (vv(pp) - vv(pp, dx=-1)) * inv_dx_c
         dpdy = (vv(pp) - vv(pp, dy=-1)) / g.dy
+        if terrain is not None:
+            # Slope-corrected perturbation PGF: (∂x p')_z = ∂x p'|_ζ − sx·∂z p'
+            # with ∂z = (1/J)∂ζ (reference slope-corrected PGFs :371-448).
+            dpz_f = (vv(pp) - vv(pp, dz=-1)) / dz_f * invJ      # ζ-faces
+            dpz_c = 0.5 * (dpz_f + jnp.concatenate(
+                [dpz_f[1:], dpz_f[-1:]], axis=0))               # ζ-centers
+            dpdx = dpdx - sx_cf * 0.5 * (dpz_c + jnp.roll(dpz_c, 1, axis=2))
+            dpdy = dpdy - sy_cf * 0.5 * (dpz_c + jnp.roll(dpz_c, 1, axis=1))
         apply_pgf = jnp.logical_or(i > 0, jnp.asarray(not gate_first))
         pgf_fac = jnp.where(apply_pgf, 1.0, 0.0).astype(ru_p.dtype)
         ru_new = ru_p + dtau * (G.rho_u - pgf_fac * dpdx)
@@ -727,25 +769,58 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
 
         # ---- B: predictors from updated horizontal divergence -------
-        rup = _hpad(ru_new, g, fl.CCF)
-        rvp = _hpad(rv_new, g, fl.CFC)
+        if terrain is not None:
+            rup = _hpad(jac_xf3 * ru_new, g, fl.CCF)
+            rvp = _hpad(jac_yf3 * rv_new, g, fl.CFC)
+        else:
+            rup = _hpad(ru_new, g, fl.CCF)
+            rvp = _hpad(rv_new, g, fl.CFC)
         div_h = ((vv(rup, dx=1) - vv(rup)) * inv_dx_c
-                 + (wy_hi * vv(rvp, dy=1) - wy_lo * vv(rvp)) * inv_dy_c)
+                 + (wy_hi * vv(rvp, dy=1) - wy_lo * vv(rvp)) * inv_dy_c) * invJ
         # θ^L-weighted horizontal flux divergence for ρθ
         thp = _hpad(th_c, g, fl.CCC)
         th_xf = 0.5 * (vv(thp) + vv(thp, dx=-1))
         th_yf = 0.5 * (vv(thp) + vv(thp, dy=-1))
-        fx = th_xf * ru_new
-        fy = th_yf * rv_new
+        if terrain is not None:
+            fx = th_xf * ru_new * jac_xf3
+            fy = th_yf * rv_new * jac_yf3
+        else:
+            fx = th_xf * ru_new
+            fy = th_yf * rv_new
         fxp = _hpad(fx, g, fl.CCF)
         fyp = _hpad(fy, g, fl.CFC)
         div_h_theta = ((vv(fxp, dx=1) - vv(fxp)) * inv_dx_c
-                       + (wy_hi * vv(fyp, dy=1) - wy_lo * vv(fyp)) * inv_dy_c)
+                       + (wy_hi * vv(fyp, dy=1) - wy_lo * vv(fyp))
+                       * inv_dy_c) * invJ
 
-        rho_star = (rho_p + dtau * (G.rho - div_h)
-                    - dtau * (1.0 - omega) * dz_fc_div(rw_p))
-        rt_star = (rt_p + dtau * (G.rho_theta - div_h_theta)
-                   - dtau * (1.0 - omega) * dz_fc_div(th_zf * rw_p))
+        if terrain is not None:
+            # Contravariant split: ρw̃' = ρw' − S'; the S' slope part is
+            # explicit (horizontal momenta already updated), ρw' is CN.
+            def slope_part(ru, rv):
+                rup_ = _hpad(ru, g, fl.CCF)
+                rvp_ = _hpad(rv, g, fl.CFC)
+                ru_czf = 0.25 * (vv(rup_) + vv(rup_, dx=1)
+                                 + vv(rup_, dz=-1) + vv(rup_, dx=1, dz=-1))
+                rv_czf = 0.25 * (vv(rvp_) + vv(rvp_, dy=1)
+                                 + vv(rvp_, dz=-1) + vv(rvp_, dy=1, dz=-1))
+                return sx_c_zf * ru_czf + sy_c_zf * rv_czf
+
+            S_old = slope_part(ru_p, rv_p)
+            S_new = slope_part(ru_new, rv_new)
+            rwt_old = rw_p - S_old
+            rho_star = (rho_p + dtau * (G.rho - div_h)
+                        - dtau * invJ * ((1.0 - omega) * dz_fc_div(rwt_old)
+                                         - omega * dz_fc_div(S_new)))
+            rt_star = (rt_p + dtau * (G.rho_theta - div_h_theta)
+                       - dtau * invJ * (
+                           (1.0 - omega) * dz_fc_div(th_zf * rwt_old)
+                           - omega * dz_fc_div(th_zf * S_new)))
+        else:
+            S_new = None
+            rho_star = (rho_p + dtau * (G.rho - div_h)
+                        - dtau * (1.0 - omega) * dz_fc_div(rw_p))
+            rt_star = (rt_p + dtau * (G.rho_theta - div_h_theta)
+                       - dtau * (1.0 - omega) * dz_fc_div(th_zf * rw_p))
 
         # ---- C: tridiagonal solve for (ρw)' -------------------------
         rho_star_zf = 0.5 * (rho_star + jnp.concatenate(
@@ -762,17 +837,24 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         d_rhs = (rw_p + dtau * G.rho_w
                  - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
                                    + omega * rho_star_zf)
-                 - dtau * ((1.0 - omega) * dz_Crt_tau + omega * dz_Crt_star))
+                 - dtau * invJ * ((1.0 - omega) * dz_Crt_tau
+                                  + omega * dz_Crt_star))
         if sponge_col is not None:
             d_rhs = d_rhs - (1.0 - omega) * abs(dtau) * sponge_col * rw_p
-        d_rhs = d_rhs.at[0].set(0.0)    # bottom wall
+        if terrain is not None:
+            # Kinematic bottom: ρw̃'(0) = 0 ⇒ (ρw)'(0) = S'_new(0)
+            # (Dirichlet row: a=c=0, b=1 — set above).
+            d_rhs = d_rhs.at[0].set(S_new[0])
+        else:
+            d_rhs = d_rhs.at[0].set(0.0)    # bottom wall
 
         rw_new = thomas_solve(a_coef, b_coef, c_coef, d_rhs)
-        rw_new = rw_new.at[0].set(0.0)
+        if terrain is None:
+            rw_new = rw_new.at[0].set(0.0)
 
         # ---- D: recovery --------------------------------------------
-        rho_new = rho_star - omega * dtau * dz_fc_div(rw_new)
-        rt_new = rt_star - omega * dtau * dz_fc_div(th_zf * rw_new)
+        rho_new = rho_star - omega * dtau * invJ * dz_fc_div(rw_new)
+        rt_new = rt_star - omega * dtau * invJ * dz_fc_div(th_zf * rw_new)
 
         # ---- E: horizontal divergence damping (strategy dispatch,
         # reference time_discretizations.jl:229-300) -------------------
@@ -899,11 +981,16 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
 
     state_n = state
     zero = jnp.zeros(g.shape, g.dtype)
+    terrain = model.terrain
 
     for beta, (n_tau, dtau) in zip(WS_RK3_BETAS, plan):
         aux_L = compressible_diagnose(model, state)
         caches = stage_caches(model, state, aux_L)
-        G = slow_tendencies(model, state, aux_L)
+        if terrain is not None:
+            from .terrain import terrain_slow_tendencies
+            G = terrain_slow_tendencies(model, terrain, state, aux_L)
+        else:
+            G = slow_tendencies(model, state, aux_L)
         if model.boundary_fluxes is not None:
             G = _apply_compressible_boundary_fluxes(model, state, aux_L, G)
 
@@ -917,12 +1004,21 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
             sum_rho_u=zero, sum_rho_v=zero, sum_rho_w=zero,
         )
         pert = acoustic_substep_loop(model, caches, G, pert, dtau, n_tau,
-                                     gate_first=(n_tau > 1))
+                                     gate_first=(n_tau > 1), terrain=terrain)
 
         # Recovery: U^(k) = U^L + perturbation (reference :1235-1257).
-        new_rho_u, new_rho_v, new_rho_w = fl.enforce_wall_normals(
-            g, state.rho_u + pert.rho_u, state.rho_v + pert.rho_v,
-            state.rho_w + pert.rho_w)
+        if terrain is not None:
+            from .terrain import kinematic_bottom_rho_w
+            so = model.stencil_ops()
+            new_rho_u = state.rho_u + pert.rho_u
+            new_rho_v = state.rho_v + pert.rho_v
+            new_rho_w = state.rho_w + pert.rho_w
+            new_rho_w = new_rho_w.at[0].set(kinematic_bottom_rho_w(
+                terrain, so, new_rho_u, new_rho_v))
+        else:
+            new_rho_u, new_rho_v, new_rho_w = fl.enforce_wall_normals(
+                g, state.rho_u + pert.rho_u, state.rho_v + pert.rho_v,
+                state.rho_w + pert.rho_w)
         # Time-averaged momentum for scalar transport (reference :1169-1217).
         inv_n = 1.0 / n_tau
         avg_ru = state.rho_u + pert.sum_rho_u * inv_n
@@ -942,7 +1038,7 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
         if state.rho_qt is not None or state.tracers:
             new_state = _advance_scalars(model, state_n, state, new_state,
                                          avg_ru, avg_rv, avg_rw, beta * dt,
-                                         G_qt_slow=G.rho_qt)
+                                         G_qt_slow=G.rho_qt, terrain=terrain)
 
         # implicit_substep!: vertically-implicit closure diffusion over the
         # stage interval βΔt with TRUE densities (reference
@@ -972,20 +1068,38 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
 
 
 def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
-                     avg_rw, beta_dt, G_qt_slow=None):
+                     avg_rw, beta_dt, G_qt_slow=None, terrain=None):
     g = model.grid
     so = model.stencil_ops()
     rho_pad = fl.pad(state_L.rho, g, fl.CCC)
-    # transport velocities from time-averaged momentum against stage density
-    u_pad = fl.pad(avg_ru / jnp.maximum(state_L.rho, 1e-30), g, fl.CCF)
-    v_pad = fl.pad(avg_rv / jnp.maximum(state_L.rho, 1e-30), g, fl.CFC)
-    w_pad = fl.pad(avg_rw / jnp.maximum(state_L.rho, 1e-30), g, fl.FCC)
+    rho_safe = jnp.maximum(state_L.rho, 1e-30)
+    if terrain is not None:
+        # σ-form scalar transport: J-weighted horizontal + contravariant
+        # vertical mass fluxes, divergence ×1/J (as the explicit terrain
+        # path; reference terrain scalar transport dispatch).
+        from .terrain import contravariant_rho_w
+        avg_rwt = contravariant_rho_w(
+            terrain, so, fl.pad(avg_ru, g, fl.CCF),
+            fl.pad(avg_rv, g, fl.CFC), avg_rw)
+        avg_rwt = avg_rwt.at[0].set(0.0)
+        jac_xf3 = terrain.jac_xf[None]
+        jac_yf3 = terrain.jac_yf[None]
+        invJ = (1.0 / terrain.jac_c)[None]
+        u_pad = fl.pad(jac_xf3 * avg_ru / rho_safe, g, fl.CCF)
+        v_pad = fl.pad(jac_yf3 * avg_rv / rho_safe, g, fl.CFC)
+        w_pad = fl.pad(avg_rwt / rho_safe, g, fl.FCC)
+    else:
+        invJ = 1.0
+        # transport velocities from time-averaged momentum against stage density
+        u_pad = fl.pad(avg_ru / rho_safe, g, fl.CCF)
+        v_pad = fl.pad(avg_rv / rho_safe, g, fl.CFC)
+        w_pad = fl.pad(avg_rw / rho_safe, g, fl.FCC)
 
     updates = {}
     if state_L.rho_qt is not None:
         q_pad = fl.pad(state_L.rho_qt / state_L.rho, g, fl.CCC)
         Gq = -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
-                              u_pad, v_pad, w_pad, q_pad)
+                              u_pad, v_pad, w_pad, q_pad) * invJ
         if G_qt_slow is not None:
             Gq = Gq + G_qt_slow
         updates["rho_qt"] = state_n.rho_qt + beta_dt * Gq
@@ -993,7 +1107,7 @@ def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
     for name, val in state_L.tracers.items():
         c_pad = fl.pad(val / state_L.rho, g, fl.CCC)
         Gc = -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
-                              u_pad, v_pad, w_pad, c_pad)
+                              u_pad, v_pad, w_pad, c_pad) * invJ
         tr[name] = state_n.tracers[name] + beta_dt * Gc
     if tr:
         updates["tracers"] = tr
@@ -1009,6 +1123,8 @@ def _apply_compressible_boundary_fluxes(model, state, aux, G):
     bf = model.boundary_fluxes
     g = model.grid
     dz0 = g.dz_c[0]
+    if model.terrain is not None:
+        dz0 = dz0 * model.terrain.jac_c   # true bottom-cell thickness JΔζ
     rho0 = state.rho[0]
 
     th_flux, qt_flux, F_u, F_v = surface_flux_values(

@@ -337,6 +337,119 @@ def terrain_explicit_rk3_step(model: CompressibleModel,
     return state.replace(time=state.time + dt)
 
 
+def terrain_slow_tendencies(model: CompressibleModel, terrain: TerrainMetrics,
+                            state: CompressibleState, aux):
+    """Stage-entry slow tendencies over terrain for the split-explicit core.
+
+    σ-coordinate counterpart of ``compressible.slow_tendencies`` (reference
+    ``terrain_compressible_physics.jl:486-659`` slow dispatch): J-weighted
+    flux-form advection with contravariant vertical transport, Coriolis,
+    the FROZEN slope-corrected horizontal PGF of the full stage pressure,
+    and the vertical stage-entry imbalance −(1/J)∂ζ(p−p_ref) − g·ℑ(ρ−ρ_ref)
+    against the terrain's 3-D hydrostatic reference.
+
+    Closures are applied through the flat-coordinate machinery (metric
+    terms in the SGS fluxes neglected — a documented small-slope
+    approximation; the resolved dynamics carry the full metric).
+    """
+    from ..dynamics.compressible import SlowTendencies, _RefShim
+    from .. import advection as adv
+    from ..physics.coriolis import coriolis_terms
+
+    g = model.grid
+    so = model.stencil_ops()
+    g_acc = model.constants.gravitational_acceleration
+
+    jac_c3 = terrain.jac_c[None]
+    jac_xf3 = terrain.jac_xf[None]
+    jac_yf3 = terrain.jac_yf[None]
+    inv_jac_c3 = 1.0 / jac_c3
+
+    rho_u_pad = fl.pad(state.rho_u, g, fl.CCF)
+    rho_v_pad = fl.pad(state.rho_v, g, fl.CFC)
+    rho_w_tilde = contravariant_rho_w(terrain, so, rho_u_pad, rho_v_pad,
+                                      state.rho_w)
+    rho_w_tilde = rho_w_tilde.at[0].set(0.0)
+    rwt_pad = fl.pad(rho_w_tilde, g, fl.FCC)
+
+    # reconstruction velocities: Cartesian horizontal, contravariant vertical
+    rho_pad1 = fl.pad(state.rho, g, fl.CCC)
+    wt = rho_w_tilde / (0.5 * (so.v(rho_pad1) + so.v(rho_pad1, dz=-1)))
+    u_pad = fl.pad(aux.u, g, fl.CCF)
+    v_pad = fl.pad(aux.v, g, fl.CFC)
+    wt_pad = fl.pad(wt, g, fl.FCC)
+    w_pad = fl.pad(aux.w, g, fl.FCC)
+
+    jru_pad = fl.pad(state.rho_u * jac_xf3, g, fl.CCF)
+    jrv_pad = fl.pad(state.rho_v * jac_yf3, g, fl.CFC)
+
+    # mass: G_ρ = −(1/J)[δx(Jρu) + δy(Jρv) + δζ(ρw̃)]
+    G_rho = -so.div_c(jru_pad, jrv_pad, rwt_pad) * inv_jac_c3
+
+    # ρθ flux-form with contravariant transport
+    theta_pad = fl.pad(aux.theta, g, fl.CCC)
+    jrho_pad = fl.pad(state.rho * jac_c3, g, fl.CCC)
+    G_rho_theta = -adv.div_rho_u_c(
+        so, model.scalar_advection, jrho_pad, u_pad, v_pad, wt_pad,
+        theta_pad) * inv_jac_c3
+
+    # momentum advection with J-weighted mass fluxes
+    adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
+        so, model.momentum_advection, jru_pad, jrv_pad, rwt_pad,
+        u_pad, v_pad, w_pad)
+    adv_u = adv_u / jac_xf3
+    adv_v = adv_v / jac_yf3
+    adv_w = adv_w * inv_jac_c3
+
+    cor_x, cor_y, cor_z = coriolis_terms(
+        model.coriolis, so, rho_u_pad, rho_v_pad,
+        fl.pad(state.rho_w, g, fl.FCC), g)
+
+    # frozen slope-corrected horizontal PGF + vertical stage-entry imbalance
+    p_pert_pad = fl.pad(aux.p - terrain.p_ref, g, fl.CCC)
+    dpdx, dpdy, dpdz_f = terrain_pressure_gradients(terrain, so, p_pert_pad)
+    rho_pert = state.rho - terrain.rho_ref
+    rp_pad = fl.pad(rho_pert, g, fl.CCC)
+    imbalance = -dpdz_f - g_acc * so.iz_cf(rp_pad)
+
+    G_rho_u = -adv_u - cor_x - dpdx
+    G_rho_v = -adv_v - cor_y - dpdy
+    G_rho_w = -adv_w - cor_z + imbalance
+
+    G_rho_qt = (jnp.zeros_like(G_rho) if state.rho_qt is not None else None)
+
+    nu_e = kappa_e = None
+    if model.closure is not None:
+        from ..physics.closures import ConstantDiffusivity, closure_tendencies
+
+        class _AuxShim:
+            def __init__(self, theta, qt):
+                self.theta = theta
+                self.qt = qt
+
+        cf = closure_tendencies(
+            _RefShim(model), so, _AuxShim(aux.theta, aux.qt),
+            u_pad, v_pad, w_pad, rho=state.rho)
+        G_rho_u = G_rho_u + cf.G_u
+        G_rho_v = G_rho_v + cf.G_v
+        G_rho_w = G_rho_w + cf.G_w
+        G_rho_theta = G_rho_theta + cf.G_theta
+        if G_rho_qt is not None and cf.G_qt is not None:
+            G_rho_qt = G_rho_qt + cf.G_qt
+        if getattr(model.closure, "vertically_implicit", False):
+            nu_e = cf.nu_e
+            kappa_e = (jnp.full(g.shape, model.closure.diffusivity, g.dtype)
+                       if isinstance(model.closure, ConstantDiffusivity)
+                       else nu_e / model.closure.prandtl)
+
+    G = SlowTendencies(rho=G_rho, rho_u=G_rho_u, rho_v=G_rho_v,
+                       rho_w=G_rho_w, rho_theta=G_rho_theta,
+                       rho_qt=G_rho_qt, nu_e=nu_e, kappa_e=kappa_e)
+    for forcing in model.forcings:
+        G = forcing(model, state, aux, G)
+    return G
+
+
 def terrain_initial_state(model: CompressibleModel, terrain: TerrainMetrics,
                           theta=None, u=None) -> CompressibleState:
     """Initialize over terrain from the 3-D reference (+ optional θ, u).

@@ -3,19 +3,25 @@ coordinates (reference examples/two_dimension_mountain_wave.jl, Schär-type
 setup).
 
 Uniform stratified flow over an isolated ridge generates vertically
-propagating gravity waves; integrates the explicit compressible core in
-Gal-Chen σ-coordinates.
+propagating gravity waves; integrates the split-explicit compressible core
+in Gal-Chen σ-coordinates (acoustic substepper terrain dispatch, reference
+``terrain_compressible_physics.jl:486-659``); ``--explicit`` selects the
+fully explicit acoustic-CFL-limited validation path instead.
 
-Run:  python examples/two_dimension_mountain_wave.py [--quick]
+Run:  python examples/two_dimension_mountain_wave.py [--quick] [--explicit]
 """
 
 import argparse
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 import breeze_tpu as bz
-from breeze_tpu.dynamics.compressible import make_compressible_model
+from breeze_tpu.dynamics.compressible import (UpperSponge,
+                                              SplitExplicitTimeDiscretization,
+                                              acoustic_rk3_step,
+                                              make_compressible_model)
 from breeze_tpu.dynamics.terrain import (make_terrain, terrain_explicit_rk3_step,
                                          terrain_initial_state)
 from breeze_tpu.thermo.constants import ThermodynamicConstants
@@ -24,6 +30,8 @@ from breeze_tpu.thermo.constants import ThermodynamicConstants
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--explicit", action="store_true",
+                   help="fully explicit compressible path (validation)")
     args = p.parse_args()
 
     nx, nz = (64, 20) if args.quick else (256, 64)
@@ -42,6 +50,9 @@ def main():
 
     model = make_compressible_model(
         grid, advection=bz.Centered(2),
+        terrain=None if args.explicit else terrain,
+        time_discretization=SplitExplicitTimeDiscretization(
+            sponge=None if args.quick else UpperSponge(depth=3_000.0)),
         reference_potential_temperature=lambda z: 288.0 * np.exp(1e-4 / 9.81 * z))
 
     state = terrain_initial_state(
@@ -49,10 +60,15 @@ def main():
         theta=lambda x, y, z: 288.0 * jnp.exp(1e-4 / 9.81 * z),
         u=10.0)
 
-    dt = 0.05  # explicit path: acoustic CFL
+    if args.explicit:
+        dt = 0.05  # explicit path: acoustic CFL
+        step = jax.jit(lambda s: terrain_explicit_rk3_step(model, terrain, s, dt))
+    else:
+        dt = 1.0 if args.quick else 2.0  # split-explicit: advective CFL
+        step = jax.jit(lambda s: acoustic_rk3_step(model, s, dt))
     n = int(T_total / dt)
     for i in range(n):
-        state = terrain_explicit_rk3_step(model, terrain, state, dt)
+        state = step(state)
         if i % max(1, n // 8) == 0:
             w = state.rho_w / model.reference.rho_col
             print(f"  t={float(state.time):7.1f}s  max|w| = "
