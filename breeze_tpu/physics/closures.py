@@ -55,6 +55,30 @@ class AnisotropicMinimumDissipation:
 
 
 @dataclasses.dataclass(frozen=True)
+class DynamicSmagorinsky:
+    """Germano-Lilly dynamic Smagorinsky (reference ``src/Breeze.jl:219``
+    re-export of Oceananigans ``DynamicSmagorinsky``).
+
+    The coefficient is computed from the resolved field via the Germano
+    identity with a horizontal trapezoidal test filter of width αΔ:
+
+        Lᵢⱼ = ⟨uᵢuⱼ⟩ₜ − ⟨uᵢ⟩ₜ⟨uⱼ⟩ₜ,
+        Mᵢⱼ = 2Δ²(⟨|S|Sᵢⱼ⟩ₜ − α²|S̃|S̃ᵢⱼ),
+        c² = ⟨LᵢⱼMᵢⱼ⟩ / ⟨MᵢⱼMᵢⱼ⟩   (averaged per level),
+        νₑ = c² Δ² |S|.
+
+    TPU redesign: everything is collocated at cell centers (one fused VPU
+    pass); the per-level averaging is a (y,x)-mean — the appropriate
+    statistical homogenization for planar-homogeneous LES, clipped at
+    c² ≥ 0.  Assumes periodic horizontal topologies for the test filter.
+    """
+
+    prandtl: float = 1.0 / 3.0
+    test_filter_ratio: float = 2.0
+    vertically_implicit: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class ConstantDiffusivity:
     """Fixed kinematic viscosity/diffusivity (useful for tests)."""
 
@@ -93,6 +117,35 @@ def _center_avg_from_xy_corner(so, q_pad):
                    + so.v(q_pad, dy=1) + so.v(q_pad, dx=1, dy=1))
 
 
+def _center_velocity_gradients(g, so, u_pad, v_pad, w_pad):
+    """All nine ∂ⱼuᵢ collocated at cell centers; ``grads[i][k] = ∂ₖuᵢ``."""
+
+    def corner_to_center_xy(q):
+        qp = fl.pad(q, g, (fl.C, fl.F, fl.F))
+        return _center_avg_from_xy_corner(so, qp)
+
+    def corner_to_center_xz(q):
+        qp = fl.pad(q, g, (fl.F, fl.C, fl.F))
+        return 0.25 * (so.v(qp) + so.v(qp, dx=1)
+                       + so.v(qp, dz=1) + so.v(qp, dx=1, dz=1))
+
+    def corner_to_center_yz(q):
+        qp = fl.pad(q, g, (fl.F, fl.F, fl.C))
+        return 0.25 * (so.v(qp) + so.v(qp, dy=1)
+                       + so.v(qp, dz=1) + so.v(qp, dy=1, dz=1))
+
+    du = (so.dx_fc(u_pad),
+          corner_to_center_xy(so.dy_cf(u_pad)),
+          corner_to_center_xz(so.dz_cf(u_pad)))
+    dv = (corner_to_center_xy(so.dx_cf(v_pad)),
+          so.dy_fc(v_pad),
+          corner_to_center_yz(so.dz_cf(v_pad)))
+    dw = (corner_to_center_xz(so.dx_cf(w_pad)),
+          corner_to_center_yz(so.dy_cf(w_pad)),
+          so.dz_fc(w_pad))
+    return (du, dv, dw)
+
+
 def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
                        rho=None) -> ClosureFluxes:
     """Stress/flux divergences for the configured closure.
@@ -119,31 +172,7 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
         nu_c = jnp.full(g.shape, closure.viscosity, g.dtype)
         kappa_c = jnp.full(g.shape, closure.diffusivity, g.dtype)
     elif isinstance(closure, AnisotropicMinimumDissipation):
-        # all nine ∂ⱼuᵢ at cell centers
-        def corner_to_center_xy(q):
-            qp = fl.pad(q, g, (fl.C, fl.F, fl.F))
-            return _center_avg_from_xy_corner(so, qp)
-
-        def corner_to_center_xz(q):
-            qp = fl.pad(q, g, (fl.F, fl.C, fl.F))
-            return 0.25 * (so.v(qp) + so.v(qp, dx=1)
-                           + so.v(qp, dz=1) + so.v(qp, dx=1, dz=1))
-
-        def corner_to_center_yz(q):
-            qp = fl.pad(q, g, (fl.F, fl.F, fl.C))
-            return 0.25 * (so.v(qp) + so.v(qp, dy=1)
-                           + so.v(qp, dz=1) + so.v(qp, dy=1, dz=1))
-
-        du = (so.dx_fc(u_pad),
-              corner_to_center_xy(so.dy_cf(u_pad)),
-              corner_to_center_xz(so.dz_cf(u_pad)))
-        dv = (corner_to_center_xy(so.dx_cf(v_pad)),
-              so.dy_fc(v_pad),
-              corner_to_center_yz(so.dz_cf(v_pad)))
-        dw = (corner_to_center_xz(so.dx_cf(w_pad)),
-              corner_to_center_yz(so.dy_cf(w_pad)),
-              so.dz_fc(w_pad))
-        grads = (du, dv, dw)   # grads[i][k] = ∂ₖ uᵢ at centers
+        grads = _center_velocity_gradients(g, so, u_pad, v_pad, w_pad)
 
         Sc = [[0.5 * (grads[i][j] + grads[j][i]) for j in range(3)]
               for i in range(3)]
@@ -153,6 +182,45 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
                    for k in range(3) for i in range(3) for j in range(3))
         den = sum(grads[i][k] ** 2 for i in range(3) for k in range(3))
         nu_c = closure.coefficient * jnp.maximum(0.0, num) / jnp.maximum(den, 1e-20)
+        kappa_c = nu_c / closure.prandtl
+    elif isinstance(closure, DynamicSmagorinsky):
+        # Germano-Lilly dynamic procedure, center-collocated (docstring).
+        grads = _center_velocity_gradients(g, so, u_pad, v_pad, w_pad)
+        Sc = [[0.5 * (grads[i][j] + grads[j][i]) for j in range(3)]
+              for i in range(3)]
+        S2c = 2.0 * sum(Sc[i][j] ** 2 for i in range(3) for j in range(3))
+        absS = jnp.sqrt(S2c)
+        uc = (so.ix_fc(u_pad), so.iy_fc(v_pad), so.iz_fc(w_pad))
+
+        def tf(f):
+            """Horizontal trapezoidal test filter (1/4, 1/2, 1/4)."""
+            out = (0.25 * jnp.roll(f, 1, axis=2) + 0.5 * f
+                   + 0.25 * jnp.roll(f, -1, axis=2))
+            if g.ny > 1:
+                out = (0.25 * jnp.roll(out, 1, axis=1) + 0.5 * out
+                       + 0.25 * jnp.roll(out, -1, axis=1))
+            return out
+
+        u_f = [tf(ui) for ui in uc]
+        S_f = [[tf(Sc[i][j]) for j in range(3)] for i in range(3)]
+        absS_f = jnp.sqrt(
+            2.0 * sum(S_f[i][j] ** 2 for i in range(3) for j in range(3)))
+        delta = (g.dx * g.dy * jnp.asarray(g.dz_c)[:, None, None]) ** (1.0 / 3.0)
+        alpha2 = closure.test_filter_ratio ** 2
+        LM = jnp.zeros(g.shape, g.dtype)
+        MM = jnp.zeros(g.shape, g.dtype)
+        for i in range(3):
+            for j in range(3):
+                L_ij = tf(uc[i] * uc[j]) - u_f[i] * u_f[j]
+                M_ij = 2.0 * delta ** 2 * (tf(absS * Sc[i][j])
+                                           - alpha2 * absS_f * S_f[i][j])
+                LM = LM + L_ij * M_ij
+                MM = MM + M_ij * M_ij
+        # per-level (y,x) statistical averaging, clipped at c² ≥ 0
+        LM_bar = jnp.mean(LM, axis=(1, 2), keepdims=True)
+        MM_bar = jnp.mean(MM, axis=(1, 2), keepdims=True)
+        c2 = jnp.maximum(LM_bar / jnp.maximum(MM_bar, 1e-30), 0.0)
+        nu_c = c2 * delta ** 2 * absS
         kappa_c = nu_c / closure.prandtl
     else:
         # |S|² at centers; off-diagonal components interpolated back.

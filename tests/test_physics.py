@@ -287,3 +287,51 @@ class TestOpenBoundary:
         sig = np.asarray(ob._ramp(g)).ravel()
         assert sig[0] == sig[-1] == np.max(sig)
         np.testing.assert_allclose(sig[10:22], 0.0)
+
+
+class TestDynamicSmagorinsky:
+    """Germano-Lilly dynamic Smagorinsky (reference src/Breeze.jl:219
+    DynamicSmagorinsky re-export)."""
+
+    def _grid(self):
+        return bz.make_grid(size=(32, 32, 16), x=(0., 3200.), y=(0., 3200.),
+                            z=(0., 1600.))
+
+    def test_linear_shear_gives_zero_coefficient(self):
+        """A fully resolved linear shear has no Leonard stress: the dynamic
+        procedure returns c2 = 0 (pure Smagorinsky would diffuse it)."""
+        from breeze_tpu.physics.closures import (DynamicSmagorinsky,
+                                                 eddy_coefficients)
+        g = self._grid()
+        model = make_model(g, potential_temperature=300.0,
+                           closure=DynamicSmagorinsky())
+        state = initial_state(model, theta=lambda x, y, z: 300.0 + 0.003 * z,
+                              u=lambda x, y, z: 0.01 * z)
+        nu, _ = eddy_coefficients(model, state)
+        assert float(jnp.max(nu)) < 1e-10
+
+    def test_turbulent_field_positive_viscosity_and_stable(self):
+        import jax
+        from breeze_tpu.physics.closures import (DynamicSmagorinsky,
+                                                 eddy_coefficients)
+        from breeze_tpu.timesteppers import ssp_rk3_step
+        g = self._grid()
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=300.0,
+                           closure=DynamicSmagorinsky())
+        state = initial_state(model, theta=lambda x, y, z: 300.0 + 0.003 * z)
+        key = jax.random.PRNGKey(0)
+        state = state.replace(
+            rho_u=state.rho_u + 0.5 * jax.random.normal(key, g.shape, g.dtype),
+            rho_v=state.rho_v + 0.5 * jax.random.normal(
+                jax.random.fold_in(key, 1), g.shape, g.dtype),
+            rho_w=(state.rho_w + 0.5 * jax.random.normal(
+                jax.random.fold_in(key, 2), g.shape, g.dtype)).at[0].set(0.0))
+        nu, kappa = eddy_coefficients(model, state)
+        assert float(jnp.max(nu)) > 0.0
+        np.testing.assert_allclose(np.asarray(kappa),
+                                   np.asarray(nu) * 3.0, rtol=1e-5)
+        step = jax.jit(lambda s: ssp_rk3_step(model, s, 2.0))
+        for _ in range(5):
+            state = step(state)
+        assert bool(jnp.all(jnp.isfinite(state.rho_u)))
