@@ -26,6 +26,10 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--virtual", type=int, default=0,
                    help="use N virtual CPU devices instead of real chips")
+    p.add_argument("--path", choices=("gspmd", "shard_map"), default="gspmd",
+                   help="execution path: GSPMD partitioner or explicit "
+                        "shard_map collectives (1-D x pencil)")
+    p.add_argument("--out", default=None, help="write the curve to this JSON file")
     args = p.parse_args()
 
     if args.virtual:
@@ -53,8 +57,18 @@ def main() -> int:
 
     base_rate = None
     for n_dev in mesh_sizes:
-        px, py = factor_mesh(n_dev)
+        if args.path == "shard_map":
+            px, py = n_dev, 1     # 1-D x pencil decomposition
+        else:
+            px, py = factor_mesh(n_dev)
         nx, ny = nx0 * px, ny0 * py
+        if args.path == "shard_map":
+            # pencil divisibility: px | nz and px | ny
+            ny = max(ny, px) if ny % px else ny
+            if nz % px or ny % px:
+                print(json.dumps({"devices": n_dev,
+                                  "skipped": f"px={px} must divide nz={nz}, ny={ny}"}))
+                continue
         grid = bz.make_grid(size=(nx, ny, nz),
                             extent=(50.0 * nx, 50.0 * ny, 3200.0),
                             topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
@@ -63,11 +77,19 @@ def main() -> int:
                               potential_temperature=300.0)
         state = bz.initial_state(model, theta=lambda x, y, z: 300.0
                                  + 0.5 * jnp.sin(2 * jnp.pi * x / grid.Lx))
-        mesh = make_mesh(devices[:n_dev], (px, py))
-        model_s = device_put_replicated_model(mesh, model)
-        state_s = device_put_sharded_state(mesh, state)
-        step = shard_step(lambda m, s, dt: ssp_rk3_step(m, s, dt), mesh,
-                          model_s, state_s, donate=False)
+        if args.path == "shard_map":
+            from breeze_tpu.parallel.shard_step import (make_shard_map_step,
+                                                        make_x_mesh)
+            mesh = make_x_mesh(n_dev)
+            sm_step = make_shard_map_step(model, mesh)
+            step = lambda _m, s, dt: sm_step(s, dt)
+            model_s, state_s = model, state
+        else:
+            mesh = make_mesh(devices[:n_dev], (px, py))
+            model_s = device_put_replicated_model(mesh, model)
+            state_s = device_put_sharded_state(mesh, state)
+            step = shard_step(lambda m, s, dt: ssp_rk3_step(m, s, dt), mesh,
+                              model_s, state_s, donate=False)
 
         out = step(model_s, state_s, 0.5)
         _ = float(jnp.sum(out.rho_theta))    # real sync (see CLAUDE.md)
@@ -83,13 +105,19 @@ def main() -> int:
         if base_rate is None:
             base_rate = per_dev
         results.append({
-            "devices": n_dev, "mesh": [px, py],
+            "devices": n_dev, "mesh": [px, py], "path": args.path,
             "global_size": f"{nx}x{ny}x{nz}",
             "points_per_second": round(rate, 1),
             "points_per_second_per_device": round(per_dev, 1),
             "weak_scaling_efficiency": round(per_dev / base_rate, 4),
         })
         print(json.dumps(results[-1]))
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"path": args.path, "virtual": args.virtual,
+                       "per_device_tile": args.per_device,
+                       "steps": args.steps, "curve": results}, f, indent=1)
 
     return 0
 

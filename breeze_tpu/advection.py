@@ -308,6 +308,12 @@ def _iview(a_pad, axis, h, shape):
     return _slide(b, axis, h, shape[axis], 0)
 
 
+def _wrap_roll(F, shift, axis):
+    """Periodic wrap roll, shard-aware under shard_map (ppermute slab)."""
+    from .parallel.halo import wrap_roll
+    return wrap_roll(F, shift, axis)
+
+
 def _shift_in_zero(F, axis, from_top: bool):
     zshape = list(F.shape)
     zshape[axis] = 1
@@ -325,7 +331,7 @@ def _div_cf(F, axis, spacing, periodic: bool):
 
     Periodic: F(n) ≡ F(0) (roll).  Bounded: F(n) = 0 (wall flux vanishes —
     valid because wall-normal mass flux is zero there)."""
-    nxt = jnp.roll(F, -1, axis) if periodic else _shift_in_zero(F, axis, True)
+    nxt = _wrap_roll(F, -1, axis) if periodic else _shift_in_zero(F, axis, True)
     return (nxt - F) / spacing
 
 
@@ -355,7 +361,7 @@ def _ydiv_fc(so, Fc, periodic: bool):
     g = so.grid
     if g.is_latlon:
         Fw = Fc * so.cosc_row
-        prv = jnp.roll(Fw, 1, 1) if periodic else _shift_in_zero(Fw, 1, False)
+        prv = _wrap_roll(Fw, 1, 1) if periodic else _shift_in_zero(Fw, 1, False)
         return (Fw - prv) / (g.dy * so.cosf_row)
     return _div_fc(Fc, 1, g.dy, periodic)
 
@@ -365,7 +371,7 @@ def _div_fc(F, axis, spacing, periodic: bool):
 
     Bounded: the i=0 row references the below-wall flux; it is garbage there
     and must be overwritten by the wall condition (impenetrability)."""
-    prv = jnp.roll(F, 1, axis) if periodic else _shift_in_zero(F, axis, False)
+    prv = _wrap_roll(F, 1, axis) if periodic else _shift_in_zero(F, axis, False)
     return (F - prv) / spacing
 
 

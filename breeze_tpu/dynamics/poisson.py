@@ -154,36 +154,43 @@ class AnelasticPoissonSolver:
         ``divergence`` is the cell-centered predictor mass-flux divergence
         (interior shape); ``dt`` the projection time step.
         """
-        nz = self.nz
         rhs = divergence * self.dz_c[:, None, None]
         rhs_hat = self._forward(rhs) / dt
-        # Pin the singular (0,0) mode: its top-row equation is replaced by
-        # phi = 0 (compatibility makes the dropped equation redundant).
-        rhs_hat = rhs_hat.at[nz - 1].set(
-            jnp.where(self.zero_mode_mask, 0.0, rhs_hat[nz - 1]))
-
-        # Thomas forward sweep: d[k] = (rhs[k] - lower[k] d[k-1]) * inv_den[k]
-        def fwd(d_prev, inputs):
-            rhs_k, lower_k, inv_den_k = inputs
-            d_k = (rhs_k - lower_k * d_prev) * inv_den_k
-            return d_k, d_k
-
-        d0 = jnp.zeros(rhs_hat.shape[1:], rhs_hat.dtype)
-        _, d = jax.lax.scan(fwd, d0, (rhs_hat, self.lower, self.inv_den))
-
-        # Backward substitution: x[k] = d[k] - c'[k] x[k+1]
-        def bwd(x_next, inputs):
-            d_k, c_k = inputs
-            x_k = d_k - c_k * x_next
-            return x_k, x_k
-
-        x_top = d[nz - 1]
-        _, x_rev = jax.lax.scan(
-            bwd, x_top, (d[: nz - 1][::-1], self.c_prime[: nz - 1][::-1]))
-        x = jnp.concatenate([x_rev[::-1], x_top[None]], axis=0)
-
+        x = fourier_tridiagonal_scan(rhs_hat, self.lower, self.inv_den,
+                                     self.c_prime, self.zero_mode_mask,
+                                     self.nz)
         phi = self._inverse(x, divergence.shape[1:])
         return phi.astype(divergence.dtype)
+
+
+def fourier_tridiagonal_scan(rhs_hat, lower, inv_den, c_prime,
+                             zero_mode_mask, nz):
+    """Per-mode Thomas solve over z (shared by the dense solver and the
+    shard_map pencil path, which feeds factor slices for its y-range)."""
+    # Pin the singular (0,0) mode: its top-row equation is replaced by
+    # phi = 0 (compatibility makes the dropped equation redundant).
+    rhs_hat = rhs_hat.at[nz - 1].set(
+        jnp.where(zero_mode_mask, 0.0, rhs_hat[nz - 1]))
+
+    # Thomas forward sweep: d[k] = (rhs[k] - lower[k] d[k-1]) * inv_den[k]
+    def fwd(d_prev, inputs):
+        rhs_k, lower_k, inv_den_k = inputs
+        d_k = (rhs_k - lower_k * d_prev) * inv_den_k
+        return d_k, d_k
+
+    d0 = jnp.zeros_like(rhs_hat[0])   # inherits shard_map varying axes
+    _, d = jax.lax.scan(fwd, d0, (rhs_hat, lower, inv_den))
+
+    # Backward substitution: x[k] = d[k] - c'[k] x[k+1]
+    def bwd(x_next, inputs):
+        d_k, c_k = inputs
+        x_k = d_k - c_k * x_next
+        return x_k, x_k
+
+    x_top = d[nz - 1]
+    _, x_rev = jax.lax.scan(
+        bwd, x_top, (d[: nz - 1][::-1], c_prime[: nz - 1][::-1]))
+    return jnp.concatenate([x_rev[::-1], x_top[None]], axis=0)
 
 
 def _build_dft_matrices(nx: int, ny: int, dtype) -> dict:

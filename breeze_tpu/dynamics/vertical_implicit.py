@@ -61,9 +61,10 @@ def aiva_split(grid, w, dt, cfl) -> AivaSplit:
         s = _scale(alpha, cfl)
         return s, wbar * (1.0 - s)
 
+    from ..parallel.halo import wrap_roll
     s_scal, wI_scal = split(w, dz_f)
-    s_u, wI_u = split(0.5 * (w + jnp.roll(w, 1, axis=2)), dz_f)
-    s_v, wI_v = split(0.5 * (w + jnp.roll(w, 1, axis=1)), dz_f)
+    s_u, wI_u = split(0.5 * (w + wrap_roll(w, 1, 2)), dz_f)
+    s_v, wI_v = split(0.5 * (w + wrap_roll(w, 1, 1)), dz_f)
     # w̄ at centers: mean of faces k, k+1 (lid w = 0)
     w_up = jnp.concatenate([w[1:], jnp.zeros_like(w[:1])], axis=0)
     s_w, wI_w = split(0.5 * (w + w_up), dz_c)

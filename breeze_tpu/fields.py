@@ -93,6 +93,10 @@ def pad_axis(a: jax.Array, axis: int, h: int, topo: Topology, loc: Loc) -> jax.A
             # inside shard_map: wrap halos come from mesh neighbors (ppermute)
             return _halo.pad_axis_sharded(a, axis, h)
         return _pad_periodic(a, axis, h)
+    from .parallel import halo as _halo
+    if _halo.axis_is_sharded(axis):
+        return _halo.pad_axis_sharded_bounded(a, axis, h,
+                                              face=(loc != Loc.CENTER))
     if loc == Loc.CENTER:
         return _pad_bounded_center(a, axis, h)
     return _pad_bounded_face(a, axis, h)

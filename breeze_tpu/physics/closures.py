@@ -192,13 +192,15 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
         absS = jnp.sqrt(S2c)
         uc = (so.ix_fc(u_pad), so.iy_fc(v_pad), so.iz_fc(w_pad))
 
+        from ..parallel.halo import wrap_roll
+
         def tf(f):
             """Horizontal trapezoidal test filter (1/4, 1/2, 1/4)."""
-            out = (0.25 * jnp.roll(f, 1, axis=2) + 0.5 * f
-                   + 0.25 * jnp.roll(f, -1, axis=2))
+            out = (0.25 * wrap_roll(f, 1, 2) + 0.5 * f
+                   + 0.25 * wrap_roll(f, -1, 2))
             if g.ny > 1:
-                out = (0.25 * jnp.roll(out, 1, axis=1) + 0.5 * out
-                       + 0.25 * jnp.roll(out, -1, axis=1))
+                out = (0.25 * wrap_roll(out, 1, 1) + 0.5 * out
+                       + 0.25 * wrap_roll(out, -1, 1))
             return out
 
         u_f = [tf(ui) for ui in uc]
@@ -217,8 +219,13 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
                 LM = LM + L_ij * M_ij
                 MM = MM + M_ij * M_ij
         # per-level (y,x) statistical averaging, clipped at c² ≥ 0
+        # (global under shard_map: pmean over the sharded mesh axes)
+        from ..parallel.halo import _current_axes
         LM_bar = jnp.mean(LM, axis=(1, 2), keepdims=True)
         MM_bar = jnp.mean(MM, axis=(1, 2), keepdims=True)
+        for _ax, _name in _current_axes().items():
+            LM_bar = jax.lax.pmean(LM_bar, _name)
+            MM_bar = jax.lax.pmean(MM_bar, _name)
         c2 = jnp.maximum(LM_bar / jnp.maximum(MM_bar, 1e-30), 0.0)
         nu_c = c2 * delta ** 2 * absS
         kappa_c = nu_c / closure.prandtl
