@@ -22,17 +22,141 @@ import math
 import jax
 import jax.numpy as jnp
 
-from ..thermo.saturation import saturation_specific_humidity
+from ..thermo.saturation import (saturation_specific_humidity,
+                                 saturation_vapor_pressure)
 from ..thermo.constants import MoistureMassFractions
 from ..thermo.states import temperature_from_theta_li
+
+
+@dataclasses.dataclass(frozen=True)
+class AerosolMode:
+    """Lognormal κ-hygroscopicity aerosol mode (CloudMicrophysics
+    ``Mode_κ``): ``N`` [1/m³], geometric-mean dry radius ``r_dry`` [m],
+    geometric stdev, volume-weighted hygroscopicity κ (ammonium sulfate
+    ≈ 0.53, sea salt ≈ 1.1)."""
+
+    N: float = 100.0e6
+    r_dry: float = 0.05e-6
+    stdev: float = 2.0
+    kappa: float = 0.53
+
+
+@dataclasses.dataclass(frozen=True)
+class AerosolActivation:
+    """Abdul-Razzak & Ghan (2000) κ-Köhler aerosol activation.
+
+    TPU translation of the reference's ``AerosolActivation`` +
+    ``max_supersaturation_breeze`` (``cloud_microphysics_translations.jl:
+    592-745``, activation tendencies ``two_moment_microphysics.jl:749-860``):
+    per-mode critical supersaturation from κ-Köhler theory, the ARG
+    maximum-supersaturation closure with Korolev & Mazin (2003) liquid
+    phase-relaxation correction, lognormal activated fraction via erf, and
+    a nucleation-timescale disequilibrium rate.  Deviation: the aerosol
+    reservoir is a prescribed background (the mode ``N``s) rather than the
+    reference's prognostic nᵃ tracer.
+
+    ``f1/f2/g1/g2/p1/p2`` are the published ARG2000 fit constants
+    (CloudMicrophysics ``AerosolActivationParameters`` defaults).
+    """
+
+    modes: tuple = (AerosolMode(),)
+    surface_tension: float = 0.072      # σ [N/m]
+    water_density: float = 1000.0       # ρ_w [kg/m³]
+    f1: float = 0.5
+    f2: float = 2.5
+    g1: float = 1.0
+    g2: float = 0.25
+    p1: float = 1.5
+    p2: float = 0.75
+    nucleation_timescale: float = 1.0   # τⁿᵘᶜ [s]
+    nucleation_radius: float = 5e-11    # fallback r when S ≈ 0 [m]
+    max_activation_radius: float = 5e-6
+
+
+def _mode_scrit(aa: AerosolActivation, mode: AerosolMode, A):
+    """Critical supersaturation, ARG2000 eq. 9 (κ-Köhler form)."""
+    kbar = max(mode.kappa, 1e-12)
+    return (2.0 / math.sqrt(kbar)
+            * jnp.sqrt(jnp.maximum(A / (3.0 * mode.r_dry), 0.0)) ** 3)
+
+
+def arg_max_supersaturation(aa: AerosolActivation, air, rho, w, T, p, q,
+                            ncl_vol, c):
+    """Maximum supersaturation S_max (ARG2000 eq. 6 + Korolev-Mazin
+    liquid relaxation), vectorized over the grid; returns ``(S_max, A)``
+    with A the Kelvin curvature coefficient.  Warm phase (no ice terms)."""
+    from .one_moment import diffusional_growth_factor
+
+    Rv = c.Rv
+    L = c.liquid_latent_heat(T)
+    pvs = saturation_vapor_pressure(T, c, 1.0)
+    g_acc = c.gravitational_acceleration
+    rho_l = aa.water_density
+    Rm = c.mixture_gas_constant(q)
+    cpm = c.mixture_heat_capacity(q)
+    pv = q.vapor * rho * Rv * T
+
+    G = diffusional_growth_factor(air, T, c) / rho_l
+    alpha = pv / pvs * (L * g_acc / (Rv * cpm * T ** 2) - g_acc / (Rm * T))
+    gamma = Rv * T / pvs + pv / pvs * Rm * L ** 2 / (Rv * cpm * T * p)
+    A = 2.0 * aa.surface_tension / (rho_l * Rv * T)
+
+    w_pos = jnp.maximum(w, 1e-9)
+    awG = jnp.maximum(alpha * w_pos / G, 0.0)
+    sqrt_awG = jnp.sqrt(awG)
+    zeta = (2.0 / 3.0) * A * sqrt_awG
+
+    inv_smax2 = jnp.zeros_like(T)
+    for mode in aa.modes:
+        scrit = jnp.maximum(_mode_scrit(aa, mode, A), 1e-12)
+        fv = aa.f1 * math.exp(aa.f2 * math.log(mode.stdev) ** 2)
+        gv = aa.g1 + aa.g2 * math.log(mode.stdev)
+        eta = jnp.maximum(
+            sqrt_awG ** 3 / (2.0 * jnp.pi * rho_l * gamma * mode.N), 1e-30)
+        inv_smax2 = inv_smax2 + (1.0 / scrit ** 2) * (
+            fv * (zeta / eta) ** aa.p1
+            + gv * (scrit ** 2 / (eta + 3.0 * zeta)) ** aa.p2)
+    smax0 = 1.0 / jnp.sqrt(jnp.maximum(inv_smax2, 1e-30))
+    smax0 = jnp.where(w > 0.0, smax0, 0.0)
+
+    # Korolev & Mazin (2003) eq. A13: relaxation by existing droplets.
+    Nl = jnp.maximum(ncl_vol, 0.0)
+    rl = jnp.where(
+        Nl > 1e-6,
+        jnp.cbrt(rho * q.liquid / jnp.maximum(
+            Nl * rho_l * jnp.pi * 4.0 / 3.0, 1e-30)), 0.0)
+    Kl = 4.0 * jnp.pi * rho_l * Nl * rl * G * gamma
+    den = alpha * w + Kl * smax0
+    safe_den = jnp.where(w > 0.0, den, 1.0)
+    smax = jnp.where(w > 0.0, smax0 * alpha * w / safe_den, 0.0)
+    return jnp.maximum(smax, 0.0), A
+
+
+def arg_activated_fraction(aa: AerosolActivation, smax, A):
+    """Total activated fraction across modes (ARG2000 eq. 7, lognormal
+    erf form)."""
+    from jax.scipy.special import erf
+
+    n_tot = sum(m.N for m in aa.modes)
+    n_act = jnp.zeros_like(smax)
+    smax_safe = jnp.maximum(smax, 1e-12)
+    for mode in aa.modes:
+        scrit = jnp.maximum(_mode_scrit(aa, mode, A), 1e-12)
+        phi = (2.0 * jnp.log(scrit / smax_safe)
+               / (3.0 * math.sqrt(2.0) * math.log(mode.stdev)))
+        n_act = n_act + 0.5 * (1.0 - erf(phi)) * mode.N
+    return n_act / max(n_tot, 1e-30)
 
 
 @dataclasses.dataclass(frozen=True)
 class TwoMomentMicrophysics:
     """SB2006-family warm 2M configuration."""
 
-    # aerosol activation (Twomey): N_act = ccn_concentration * s^k (s in %)
-    ccn_concentration: float = 100.0e6    # [1/m³]
+    # aerosol activation: an :class:`AerosolActivation` enables the ARG2000
+    # κ-Köhler scheme (reference parity); None falls back to the Twomey
+    # power-law proxy N_act = ccn_concentration * s^k (s in %).
+    activation: AerosolActivation | None = None
+    ccn_concentration: float = 100.0e6    # [1/m³] (Twomey fallback)
     activation_exponent: float = 0.5
     activation_timescale: float = 10.0
     # condensation relaxation
@@ -91,6 +215,16 @@ def two_moment_update(scheme: TwoMomentMicrophysics, model, state, dt: float):
                              / (scheme.substep_cfl * g.dz_min)))
     dts = dt / n_sub
 
+    # Vertical velocity at centers for ARG activation (fixed over the
+    # operator-split microphysics interval; reference uses the state's w).
+    if scheme.activation is not None:
+        rho_f = jnp.broadcast_to(ref.rho_f_col[: g.nz], g.shape).astype(g.dtype)
+        w_face = state.rho_w / rho_f
+        w_c = 0.5 * (w_face + jnp.concatenate(
+            [w_face[1:], jnp.zeros_like(w_face[:1])], axis=0))
+    else:
+        w_c = None
+
     def subcycle(m, carry):
         qv, qcl, qr, ncl, nr = carry
 
@@ -99,10 +233,33 @@ def two_moment_update(scheme: TwoMomentMicrophysics, model, state, dt: float):
         qvs = saturation_specific_humidity(T, rho, c, 1.0)
         s_pct = jnp.maximum(0.0, (qv / qvs - 1.0)) * 100.0
 
-        # --- activation (Twomey) ------------------------------------
-        n_act = scheme.ccn_concentration / rho * jnp.minimum(
-            s_pct ** scheme.activation_exponent, 1.0)   # per-mass [1/kg]
-        act = jnp.maximum(0.0, n_act - ncl) / scheme.activation_timescale
+        dq_act = 0.0
+        if scheme.activation is not None:
+            # --- ARG2000 κ-Köhler activation (reference
+            # two_moment_microphysics.jl:749-860) ----------------------
+            from .one_moment import AirProperties
+            aa = scheme.activation
+            smax, A = arg_max_supersaturation(
+                aa, AirProperties(), rho, w_c, T, p, q_mmf, ncl * rho, c)
+            frac = arg_activated_fraction(aa, smax, A)
+            n_avail = sum(mode.N for mode in aa.modes) / rho   # per-mass
+            n_star = frac * n_avail
+            s_inst = qv / qvs - 1.0
+            act = jnp.where(
+                s_inst > 0.0,
+                jnp.clip(n_star - ncl, 0.0, n_avail)
+                / max(aa.nucleation_timescale, dts),
+                0.0)
+            # Köhler activation radius r = 2A/(3S) → initial droplet mass
+            r_act = jnp.clip(2.0 * A / (3.0 * jnp.maximum(s_inst, 1e-12)),
+                             aa.nucleation_radius, aa.max_activation_radius)
+            dq_act = act * (4.0 / 3.0) * jnp.pi * r_act ** 3 * aa.water_density
+            dq_act = jnp.minimum(dq_act, jnp.maximum(qv, 0.0) / dts)
+        else:
+            # --- activation (Twomey proxy) ----------------------------
+            n_act = scheme.ccn_concentration / rho * jnp.minimum(
+                s_pct ** scheme.activation_exponent, 1.0)   # per-mass [1/kg]
+            act = jnp.maximum(0.0, n_act - ncl) / scheme.activation_timescale
 
         # --- condensation / evaporation of cloud --------------------
         cond = (qv - qvs) / scheme.tau_cond
@@ -138,8 +295,8 @@ def two_moment_update(scheme: TwoMomentMicrophysics, model, state, dt: float):
         dnr_evap = -evap_r / jnp.maximum(x_r, scheme.min_rain_mass)
 
         # --- update -------------------------------------------------
-        qv1 = jnp.maximum(qv - dts * cond + dts * evap_r, 0.0)
-        qcl1 = jnp.maximum(qcl + dts * (cond - au - ac), 0.0)
+        qv1 = jnp.maximum(qv - dts * (cond + dq_act) + dts * evap_r, 0.0)
+        qcl1 = jnp.maximum(qcl + dts * (cond + dq_act - au - ac), 0.0)
         qr1 = jnp.maximum(qr + dts * (au + ac - evap_r), 0.0)
         ncl1 = jnp.maximum(ncl + dts * (act + dncl_evap + dncl_au + dncl_ac), 0.0)
         nr1 = jnp.maximum(nr + dts * (dnr_au - sc + dnr_evap), 0.0)
