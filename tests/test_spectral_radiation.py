@@ -1,0 +1,193 @@
+"""Spectral clear-sky/all-sky radiation contracts (reference
+ext/BreezeRRTMGPExt clear_sky/all_sky models; broadband benchmark ranges)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import breeze_tpu as bz
+from breeze_tpu.model import diagnose, initial_state, make_model
+from breeze_tpu.physics.microphysics import SaturationAdjustment
+from breeze_tpu.physics.radiation import FixedCosineZenith
+from breeze_tpu.physics.spectral_radiation import (BackgroundAtmosphere,
+                                                   SpectralRadiation,
+                                                   planck_band_fraction,
+                                                   standard_ozone_profile,
+                                                   LW_BANDS)
+from breeze_tpu.thermo.constants import MoistureMassFractions
+
+S0 = 1361.0
+
+
+def deep_column(qv0=0.018, scale=2500.0):
+    g = bz.make_grid(size=(4, 1, 80), extent=(4000.0, 1.0, 20000.0),
+                     topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED))
+    model = make_model(g, potential_temperature=300.0,
+                       microphysics=SaturationAdjustment())
+    state = initial_state(model, theta=lambda x, y, z: 300.0 + 0.012 * z,
+                          qt=lambda x, y, z: qv0 * jnp.exp(-z / scale))
+    return model, state, diagnose(model, state)
+
+
+class TestBandModel:
+    def test_planck_fractions_sum_to_one(self):
+        for T in (200.0, 250.0, 288.0, 310.0):
+            total = sum(float(planck_band_fraction(jnp.asarray(T), b[0], b[1]))
+                        for b in LW_BANDS)
+            assert abs(total - 1.0) < 0.02, (T, total)
+
+    def test_ozone_profile_peaks_in_stratosphere(self):
+        z = jnp.linspace(0.0, 50e3, 200)
+        o3 = np.asarray(standard_ozone_profile(z))
+        assert 20e3 < float(z[o3.argmax()]) < 30e3
+        assert o3.max() > 5e-6 and o3[0] < 1e-7
+
+
+class TestClearSky:
+    def test_broadband_benchmarks_tropical(self):
+        model, state, aux = deep_column()
+        rad = SpectralRadiation(optics="clear",
+                                solar_position=FixedCosineZenith(1.0))
+        lw_up, lw_dn, sw_dn, sw_up = rad.fluxes(model, aux, 0.0)
+        olr = float(lw_up[-1, 0, 0] - lw_dn[-1, 0, 0])
+        lwdn_sfc = float(lw_dn[0, 0, 0])
+        sw_abs = (S0 - float(sw_up[-1, 0, 0])
+                  - (float(sw_dn[0, 0, 0]) - float(sw_up[0, 0, 0])))
+        albedo = float(sw_up[-1, 0, 0]) / S0
+        assert 280.0 < olr < 340.0, olr
+        assert 420.0 < lwdn_sfc < 480.0, lwdn_sfc
+        assert 55.0 < sw_abs < 100.0, sw_abs
+        assert 0.06 < albedo < 0.13, albedo
+
+    def test_drier_column_emits_more(self):
+        """Water-vapor greenhouse: OLR increases as the column dries."""
+        olrs = []
+        for qv0 in (0.018, 0.008, 0.002):
+            model, state, aux = deep_column(qv0=qv0)
+            rad = SpectralRadiation(optics="clear")
+            lw_up, lw_dn = rad.lw_fluxes(model, aux)
+            olrs.append(float(lw_up[-1, 0, 0] - lw_dn[-1, 0, 0]))
+        assert olrs[0] < olrs[1] < olrs[2]
+
+    def test_co2_doubling_forcing(self):
+        """2xCO2 reduces OLR by a few W/m² (canonical ~3.7 at the
+        tropopause; band-model OLR drop 2-8)."""
+        model, state, aux = deep_column()
+        olr = {}
+        for co2 in (420e-6, 840e-6):
+            rad = SpectralRadiation(
+                optics="clear", background=BackgroundAtmosphere(co2=co2))
+            lw_up, lw_dn = rad.lw_fluxes(model, aux)
+            olr[co2] = float(lw_up[-1, 0, 0] - lw_dn[-1, 0, 0])
+        forcing = olr[420e-6] - olr[840e-6]
+        assert 2.0 < forcing < 8.0, forcing
+
+    def test_tropospheric_cooling_rates(self):
+        model, state, aux = deep_column()
+        rad = SpectralRadiation(optics="clear",
+                                solar_position=FixedCosineZenith(0.0))
+        heat = np.asarray(rad.heating_rate(model, aux, 0.0))[:, 0, 0] * 86400.0
+        # LW-only cooling 0.5-4 K/day through the troposphere (2-12 km)
+        tropo = heat[8:48]
+        assert (tropo < 0).all()
+        assert (-4.5 < tropo).all() and tropo.mean() < -0.5
+
+    def test_night_no_sw(self):
+        model, state, aux = deep_column()
+        rad = SpectralRadiation(optics="clear",
+                                solar_position=FixedCosineZenith(0.0))
+        sw_dn, sw_up = rad.sw_fluxes(model, aux, 0.0)
+        assert float(jnp.abs(sw_dn).max()) == 0.0
+        assert float(jnp.abs(sw_up).max()) == 0.0
+
+
+class TestAllSky:
+    def _cloudy_aux(self, model, aux, ql_val=5e-4, z_lo=1000.0, z_hi=2000.0,
+                    ice=False):
+        g = model.grid
+        zc = jnp.asarray(g.z_c)[:, None, None]
+        qc = jnp.where((zc > z_lo) & (zc < z_hi), ql_val, 0.0) * jnp.ones(g.shape)
+        zeros = jnp.zeros_like(qc)
+        q = (MoistureMassFractions(aux.q.vapor, zeros, qc) if ice
+             else MoistureMassFractions(aux.q.vapor, qc, zeros))
+        return aux._replace(q=q)
+
+    def test_thick_stratus_albedo_and_absorption(self):
+        model, state, aux = deep_column()
+        aux_c = self._cloudy_aux(model, aux)   # LWP ≈ 550 g/m²
+        rad = SpectralRadiation(optics="all",
+                                solar_position=FixedCosineZenith(1.0))
+        sw_dn, sw_up = rad.sw_fluxes(model, aux_c, 0.0)
+        albedo = float(sw_up[-1, 0, 0]) / S0
+        sw_abs = (S0 - float(sw_up[-1, 0, 0])
+                  - (float(sw_dn[0, 0, 0]) - float(sw_up[0, 0, 0])))
+        assert 0.65 < albedo < 0.9, albedo
+        assert 80.0 < sw_abs < 300.0, sw_abs
+        # strong surface dimming
+        assert float(sw_dn[0, 0, 0]) < 0.25 * S0
+
+    def test_cirrus_greenhouse(self):
+        model, state, aux = deep_column()
+        rad = SpectralRadiation(optics="all")
+        lw_up0, lw_dn0 = rad.lw_fluxes(model, aux)
+        olr_clear = float(lw_up0[-1, 0, 0] - lw_dn0[-1, 0, 0])
+        aux_ci = self._cloudy_aux(model, aux, ql_val=2e-5, z_lo=10e3,
+                                  z_hi=11e3, ice=True)
+        lw_up1, lw_dn1 = rad.lw_fluxes(model, aux_ci)
+        olr_cirrus = float(lw_up1[-1, 0, 0] - lw_dn1[-1, 0, 0])
+        assert olr_cirrus < olr_clear - 10.0
+
+    def test_clear_limit_matches_clear_optics(self):
+        """All-sky with zero condensate == clear-sky."""
+        model, state, aux = deep_column()
+        r_clear = SpectralRadiation(optics="clear",
+                                    solar_position=FixedCosineZenith(0.7))
+        r_all = SpectralRadiation(optics="all",
+                                  solar_position=FixedCosineZenith(0.7))
+        f1 = r_clear.fluxes(model, aux, 0.0)
+        f2 = r_all.fluxes(model, aux, 0.0)
+        for a, b in zip(f1, f2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-3)
+
+
+class TestForcingIntegration:
+    def test_forcing_runs_under_jit(self):
+        model0, state, aux = deep_column()
+        rad = SpectralRadiation(optics="all",
+                                solar_position=FixedCosineZenith(0.5))
+        g = model0.grid
+        model = make_model(g, potential_temperature=300.0,
+                           microphysics=SaturationAdjustment(),
+                           forcings=(rad,))
+        from breeze_tpu.timesteppers import ssp_rk3_step
+        s = initial_state(model, theta=lambda x, y, z: 300.0 + 0.012 * z,
+                          qt=lambda x, y, z: 0.018 * jnp.exp(-z / 2500.0))
+        step = jax.jit(lambda st: ssp_rk3_step(model, st, 5.0))
+        for _ in range(3):
+            s = step(s)
+        assert bool(jnp.all(jnp.isfinite(s.rho_theta)))
+
+    def test_radiation_updater_schedule(self):
+        """RadiationUpdater fills the stored heating diagnostic on its
+        schedule; use_stored_heating forcing consumes it."""
+        from breeze_tpu.physics.spectral_radiation import RadiationUpdater
+        from breeze_tpu.simulation import Simulation
+        model0, state, aux = deep_column()
+        rad = SpectralRadiation(optics="clear", use_stored_heating=True,
+                                solar_position=FixedCosineZenith(0.5))
+        g = model0.grid
+        model = make_model(g, potential_temperature=300.0,
+                           microphysics=SaturationAdjustment(),
+                           forcings=(rad,))
+        s = initial_state(model, theta=lambda x, y, z: 300.0 + 0.012 * z,
+                          qt=lambda x, y, z: 0.018 * jnp.exp(-z / 2500.0))
+        from breeze_tpu.simulation import IterationInterval
+        sim = Simulation(model, s, dt=5.0, stop_iteration=3)
+        sim.add_callback(RadiationUpdater(rad, interval=2),
+                         IterationInterval(1))
+        sim.run()
+        assert "radiative_heating" in sim.state.diagnostics
+        heat = np.asarray(sim.state.diagnostics["radiative_heating"])
+        assert np.isfinite(heat).all() and np.abs(heat).max() > 0.0
