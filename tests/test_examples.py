@@ -18,6 +18,16 @@ EXAMPLES = [
     "two_dimension_mountain_wave.py",
     "tropical_cyclone.py",
     "rico.py",
+    "cloudy_kelvin_helmholtz.py",
+    "neutral_boundary_layer.py",
+    "prescribed_sst.py",
+    "radiative_convection.py",
+    "single_column_radiation.py",
+    "kinematic_driver.py",
+    "rising_parcels.py",
+    "stationary_parcel.py",
+    "boussinesq_bomex.py",
+    "tropical_cyclone_world.py",
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
