@@ -31,6 +31,40 @@ def _pressure(model, aux):
     return model.reference.p_col
 
 
+def hydrostatic_pressure(model, state, aux=None):
+    """Hydrostatic pressure diagnostic by upward integration of the
+    instantaneous temperature field (reference
+    ``compute_hydrostatic_pressure.jl:1-46``): per layer the cell-mean
+    pressure of a locally isothermal hydrostatic column,
+
+        p̄ₖ = p_bot (H/Δz)(1 − e^{−Δz/H}),  H = Rᵈ Tₖ/g,
+
+    with the interface pressure advanced p_top = p_bot e^{−Δz/H}.
+    Implemented as a ``lax.scan`` over z (the reference's per-column loop).
+    """
+    import jax
+
+    aux = aux or model_diagnose(model, state)
+    c = model.constants
+    g = model.grid
+    Rd = c.Rd
+    g_acc = c.gravitational_acceleration
+    p0 = getattr(model.reference, "surface_pressure", 101325.0)
+    dz = jnp.asarray(g.dz_c)
+
+    def layer(p_bot, inputs):
+        T_k, dz_k = inputs
+        H = Rd * T_k / g_acc
+        decay = jnp.exp(-dz_k / H)
+        p_mean = p_bot * (H / dz_k) * (1.0 - decay)
+        return p_bot * decay, p_mean
+
+    T = aux.T
+    p_bot0 = jnp.full(g.shape[1:], p0, T.dtype)
+    _, p_h = jax.lax.scan(layer, p_bot0, (T, dz))
+    return p_h
+
+
 def potential_temperature(model, state, aux=None):
     """Plain (dry) potential temperature θ = T/Πᵈ."""
     aux = aux or model_diagnose(model, state)

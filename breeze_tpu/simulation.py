@@ -265,6 +265,96 @@ class HDF5Writer:
             return np.asarray(f["time"]), np.asarray(f[f"fields/{field}"])
 
 
+#: CF-style metadata for common output fields
+_NC_FIELD_META = {
+    "u": ("eastward_wind", "m s-1"),
+    "v": ("northward_wind", "m s-1"),
+    "w": ("upward_air_velocity", "m s-1"),
+    "theta": ("air_potential_temperature", "K"),
+    "T": ("air_temperature", "K"),
+    "p": ("air_pressure", "Pa"),
+    "qt": ("total_water_mixing_ratio", "kg kg-1"),
+}
+
+
+@dataclasses.dataclass
+class NetCDFWriter:
+    """NetCDF time-series output (classic/64-bit-offset format via
+    scipy.io.netcdf — readable by every netCDF tool).
+
+    TPU analogue of the reference's ``NetCDFWriter`` re-export
+    (``src/Breeze.jl:223`` ← Oceananigans ``NetCDFWriter``): selected
+    diagnostic/prognostic fields on an unlimited ``time`` record dimension
+    with coordinate variables and CF-style names/units.
+    """
+
+    path: str
+    schedule: Any
+    fields: tuple = ("u", "v", "w", "theta")
+
+    def __post_init__(self):
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        self._nc = None
+        self._n = 0
+
+    def _init_file(self, sim, sample):
+        from scipy.io import netcdf_file
+
+        g = sim.model.grid
+        nc = netcdf_file(self.path, "w", version=2)   # 64-bit offset
+        nc.history = "breeze_tpu NetCDFWriter"
+        nc.Conventions = "CF-1.8"
+        nc.createDimension("time", None)              # unlimited
+        nc.createDimension("z_c", g.nz)
+        nc.createDimension("y_c", g.ny)
+        nc.createDimension("x_c", g.nx)
+        for dim, vals, units in (
+                ("z_c", np.asarray(g.z_c), "m"),
+                ("y_c", g.y_c(), "m"),
+                ("x_c", g.x_c(), "m")):
+            var = nc.createVariable(dim, "d", (dim,))
+            var[:] = vals
+            var.units = units
+        tvar = nc.createVariable("time", "d", ("time",))
+        tvar.units = "s"
+        for name, arr in sample.items():
+            dims = (("time", "z_c", "y_c", "x_c") if arr.ndim == 3
+                    else ("time", "y_c", "x_c"))
+            var = nc.createVariable(name, "f", dims)
+            std_name, units = _NC_FIELD_META.get(name, (name, "1"))
+            var.standard_name = std_name
+            var.units = units
+        self._nc = nc
+
+    def __call__(self, sim):
+        aux = model_diagnose(sim.model, sim.state)
+        sample = {}
+        for name in self.fields:
+            if hasattr(aux, name) and getattr(aux, name) is not None:
+                sample[name] = np.asarray(getattr(aux, name))
+            elif hasattr(sim.state, name) and getattr(sim.state, name) is not None:
+                sample[name] = np.asarray(getattr(sim.state, name))
+        if self._nc is None:
+            self._init_file(sim, sample)
+        n = self._n
+        self._nc.variables["time"][n] = sim.time
+        for name, arr in sample.items():
+            self._nc.variables[name][n] = arr.astype(np.float32)
+        self._nc.flush()
+        self._n += 1
+
+    def close(self):
+        if self._nc is not None:
+            self._nc.close()
+
+    def load_time_series(self, field: str):
+        from scipy.io import netcdf_file
+
+        with netcdf_file(self.path, "r", mmap=False) as nc:
+            return (np.asarray(nc.variables["time"][:]),
+                    np.asarray(nc.variables[field][:]))
+
+
 @dataclasses.dataclass
 class Checkpointer:
     """Checkpoint/restore the full prognostic state (+ clock).

@@ -153,3 +153,30 @@ class TestDiagnostics:
         model, state = small_model()
         te = diag.total_energy(model, state)
         assert bool(jnp.all(jnp.isfinite(te)))
+
+
+class TestNetCDF:
+    def test_netcdf_writer_roundtrip(self, tmp_path):
+        """NetCDF output is a valid classic-format file (scipy reader) with
+        coordinate variables, CF metadata, and a growing record dim."""
+        from breeze_tpu.simulation import NetCDFWriter
+        model, state = small_model()
+        sim = Simulation(model, state, dt=2.0, stop_time=10.0, verbose=False)
+        writer = NetCDFWriter(str(tmp_path / "out.nc"), IterationInterval(2),
+                              fields=("w", "theta"))
+        sim.add_output_writer(writer)
+        sim.run()
+        writer.close()
+
+        from scipy.io import netcdf_file
+        with netcdf_file(str(tmp_path / "out.nc"), "r", mmap=False) as nc:
+            assert nc.variables["theta"].units.decode() == "K"
+            t = np.asarray(nc.variables["time"][:])
+            th = np.asarray(nc.variables["theta"][:])
+            z = np.asarray(nc.variables["z_c"][:])
+        assert len(t) >= 2 and np.all(np.diff(t) > 0)
+        assert th.shape[1:] == model.grid.shape
+        assert z.shape == (model.grid.nz,)
+        assert np.isfinite(th).all()
+        times, thetas = writer.load_time_series("theta")
+        np.testing.assert_array_equal(thetas, th)

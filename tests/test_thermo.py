@@ -201,3 +201,24 @@ class TestSaturationAdjustment:
         p = jnp.full((2, 2, 2), 1e5)
         T, q = saturation_adjust(theta, qt, p, CONST, scheme)
         assert float(np.asarray(q.ice)[0, 0, 0]) > 0
+
+
+class TestHydrostaticPressureDiagnostic:
+    def test_matches_reference_column_at_rest(self):
+        """At rest with the reference θ, the diagnosed hydrostatic pressure
+        matches the reference pressure column (reference
+        compute_hydrostatic_pressure.jl contract)."""
+        import breeze_tpu as bz
+        from breeze_tpu.diagnostics import hydrostatic_pressure
+        from breeze_tpu.model import initial_state, make_model
+        g = bz.make_grid(size=(4, 1, 64), extent=(400.0, 1.0, 10e3),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, potential_temperature=300.0)
+        state = initial_state(model, theta=lambda x, y, z: 300.0 + 0.0 * z)
+        p_h = np.asarray(hydrostatic_pressure(model, state))
+        p_ref = np.asarray(model.reference.p_c)
+        rel = np.abs(p_h[:, 0, 0] - p_ref) / p_ref
+        assert rel.max() < 2e-3, rel.max()
+        # monotonically decreasing with height
+        assert (np.diff(p_h[:, 0, 0]) < 0).all()
