@@ -195,19 +195,48 @@ def make_model(
 
 def initial_state(model: AtmosphereModel,
                   u=None, v=None, w=None,
-                  theta=None, qt=None, tracers=None) -> State:
-    """Build a :class:`State` from specific fields (θ, qᵗ, velocities).
+                  theta=None, T=None, qt=None, tracers=None,
+                  enforce_mass_conservation: bool | None = None) -> State:
+    """Build a :class:`State` from specific fields (θ or T, qᵗ, velocities).
 
     TPU analogue of ``set!(model; u, θ, qᵗ, ...)``
     (``set_atmosphere_model.jl:198``): specific quantities are converted to
     density-weighted prognostics against the reference density; unspecified
     fields default to rest/reference values.
+
+    - ``T``: in-situ temperature as an alternative to θ (name-priority
+      conversion via the reference Exner function; vapor-only composition).
+    - ``enforce_mass_conservation``: apply one pressure projection to the
+      just-set momenta so the initial velocity satisfies the anelastic
+      constraint (reference ``enforce_mass_conservation!``,
+      ``set_atmosphere_model.jl:121``).  Default: on when any velocity was
+      specified.
     """
     g = model.grid
     dt = g.dtype
     ref = model.reference
     rho_c = ref.rho_col
     rho_f = ref.rho_f_col
+
+    if T is not None:
+        if theta is not None:
+            raise ValueError("specify either theta or T, not both")
+        # θˡⁱ from T at the reference pressure (condensate-free init):
+        # θ = T / Πᵐ(p_r, q) with q = vapor-only from qt.
+        from .thermo.states import exner_function
+        if callable(T):
+            x, y, z = g.xyz_c()
+            T_arr = jnp.asarray(T(x, y, z), dt) * jnp.ones(g.shape, dt)
+        else:
+            T_arr = jnp.asarray(T, dt) * jnp.ones(g.shape, dt)
+        if qt is not None and model.has_moisture:
+            qv0 = (jnp.asarray(qt(*g.xyz_c()) if callable(qt) else qt, dt)
+                   * jnp.ones(g.shape, dt))
+        else:
+            qv0 = jnp.zeros(g.shape, dt)
+        q0 = MoistureMassFractions.vapor_only(qv0)
+        Pi = exner_function(ref.p_col, q0, model.constants, model.p_standard)
+        theta = T_arr / Pi
 
     def _field(val, default, column_density):
         if val is None:
@@ -251,6 +280,14 @@ def initial_state(model: AtmosphereModel,
 
     rho_u, rho_v, rho_w = fl.enforce_wall_normals(
         g, _field(u, 0.0, rho_c), _field(v, 0.0, rho_c), _field(w, 0.0, rho_f))
+
+    # enforce_mass_conservation! — project the just-set momenta onto the
+    # anelastic constraint (reference set_atmosphere_model.jl:121).
+    if enforce_mass_conservation is None:
+        enforce_mass_conservation = any(val is not None for val in (u, v, w))
+    if enforce_mass_conservation:
+        rho_u, rho_v, rho_w, _ = pressure_projection(
+            model, rho_u, rho_v, rho_w, 1.0)
 
     tracers = dict(tracers or {})
     # Microphysics schemes with prognostic condensate allocate their tracers.

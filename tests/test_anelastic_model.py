@@ -152,3 +152,38 @@ class TestMoistBubble:
             state = ssp_rk3_step(model, state, 5.0)
         total1 = float(jnp.sum(state.rho_qt * dzc))
         np.testing.assert_allclose(total1, total0, rtol=1e-12)
+
+
+class TestSetExtensions:
+    """set!-style name-priority initialization (reference
+    set_atmosphere_model.jl: T-priority conversion +
+    enforce_mass_conservation!)."""
+
+    def _grid(self):
+        return bz.make_grid(size=(8, 1, 32), extent=(800.0, 1.0, 8000.0),
+                            topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                            dtype=jnp.float64)
+
+    def test_temperature_priority_roundtrip(self):
+        from breeze_tpu.model import diagnose
+        model = make_model(self._grid(), potential_temperature=300.0)
+        state = initial_state(model, T=lambda x, y, z: 280.0 + 0.0 * z)
+        aux = diagnose(model, state)
+        np.testing.assert_allclose(np.asarray(aux.T), 280.0, atol=1e-9)
+
+    def test_enforce_mass_conservation_projects_initial_velocity(self):
+        from breeze_tpu import fields as fl
+        g = self._grid()
+        model = make_model(g, potential_temperature=300.0)
+        state = initial_state(
+            model, u=lambda x, y, z: jnp.sin(2 * jnp.pi * x / 800.0))
+        so = model.stencil_ops()
+        div = so.div_c(fl.pad(state.rho_u, g, fl.CCF),
+                       fl.pad(state.rho_v, g, fl.CFC),
+                       fl.pad(state.rho_w, g, fl.FCC))
+        assert float(jnp.abs(div).max()) < 1e-10
+
+    def test_theta_and_T_mutually_exclusive(self):
+        model = make_model(self._grid(), potential_temperature=300.0)
+        with pytest.raises(ValueError):
+            initial_state(model, theta=300.0, T=280.0)
