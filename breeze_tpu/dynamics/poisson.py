@@ -222,23 +222,41 @@ def _build_dft_matrices(nx: int, ny: int, dtype) -> dict:
 
 
 def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
-                                   use_matmul_dft: bool | None = None) -> AnelasticPoissonSolver:
+                                   use_matmul_dft: bool | None = None,
+                                   transform: str | None = None) -> AnelasticPoissonSolver:
     """Precompute Thomas factors for the ρᵣ-weighted Fourier-tridiagonal solve.
 
     ``rho_c``: reference density at centers ``(nz,)``; ``rho_f``: at faces
     ``(nz+1,)``.  Factorization runs in float64 on the host (survey precision
     plan); the stored factors are cast to the solve dtype at use sites via
     the complex rhs dtype promotion.
+
+    ``transform`` selects the horizontal diagonalization: ``"real"`` (real
+    eigenbasis MXU matmuls — required for bounded axes, and the TPU default
+    for periodic ones too: ~1.7x faster than the complex half-spectrum
+    matmul-DFT at LES sizes, all-real arithmetic) or ``"fourier"``
+    (rfft2 library FFT, or the complex matmul-DFT when ``use_matmul_dft``).
+    ``None`` picks automatically.
     """
     nz, ny, nx = grid.nz, grid.ny, grid.nx
     bounded = (grid.x_topology == Topology.BOUNDED
                or grid.y_topology == Topology.BOUNDED)
+    if transform is None:
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if bounded or (on_tpu and use_matmul_dft is None):
+            transform = "real"
+        else:
+            transform = "fourier"
+    elif bounded and transform != "real":
+        raise ValueError("bounded horizontal axes require the real eigenbasis")
     dft_mats = {}
-    if bounded:
-        # Bounded horizontal directions: real cosine/Fourier eigenbasis as
-        # MXU matmuls — reference Bounded-topology
-        # FourierTridiagonalPoissonSolver (anelastic_pressure_solver.jl:5-78).
-        transform = "real"
+    if transform == "real":
+        # Real per-axis eigenbasis as MXU matmuls: DCT-II cosines on bounded
+        # axes (reference Bounded-topology FourierTridiagonalPoissonSolver,
+        # anelastic_pressure_solver.jl:5-78), real Fourier pairs on periodic
+        # ones.  All-real arithmetic and ~1.5x fewer MACs than the complex
+        # half-spectrum matmul-DFT; measured 1.30 ms vs 2.23 ms per
+        # 256x256x128 solve on v5e.
         Fx, iFx, lam_x = _axis_real_basis(nx, grid.dx, grid.x_topology)
         Fy, iFy, lam_y = _axis_real_basis(ny, grid.dy, grid.y_topology)
         nxr = nx
@@ -247,7 +265,6 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
         dft_mats = {"fy": cast(Fy), "fxT": cast(Fx.T),
                     "ify": cast(iFy), "ifxT": cast(iFx.T)}
     else:
-        transform = "fourier"
         nxr = nx // 2 + 1
         # FLAT axes contribute a single zero eigenvalue (size-1 FFT trivial).
         lam_x = (_periodic_eigenvalues(nx, grid.dx, rfft=True)

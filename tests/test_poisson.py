@@ -139,6 +139,23 @@ class TestMatmulDFT:
         p2 -= p2.mean()
         np.testing.assert_allclose(p2, p1, atol=1e-10)
 
+    def test_periodic_real_eigenbasis_matches_fft_solver(self):
+        """The all-real periodic eigenbasis (TPU default) == library FFT."""
+        g, rho_c, rho_f = make_case()
+        s_fft = build_anelastic_poisson_solver(g, rho_c, rho_f,
+                                               use_matmul_dft=False)
+        s_real = build_anelastic_poisson_solver(g, rho_c, rho_f,
+                                                transform="real")
+        assert s_real.transform == "real" and s_real.nxr == g.nx
+        rng = np.random.default_rng(5)
+        rhs = jnp.asarray(rng.normal(size=g.shape))
+        rhs = rhs - rhs.mean()
+        p1 = np.array(s_fft.solve(rhs, 0.5))
+        p2 = np.array(s_real.solve(rhs, 0.5))
+        p1 -= p1.mean()
+        p2 -= p2.mean()
+        np.testing.assert_allclose(p2, p1, atol=1e-10)
+
     def test_matmul_projection_kills_divergence(self):
         from breeze_tpu.model import make_model, pressure_projection
         from breeze_tpu.dynamics.poisson import build_anelastic_poisson_solver
