@@ -670,22 +670,30 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     th_c = caches.theta_L
     th_zf = caches.theta_L_zf
 
-    # Terrain metric factors (all 2-D → broadcast rows; see docstring).
+    # Terrain metric factors (LinearDecay: 2-D → broadcast rows; SLEVE:
+    # ζ-dependent J → full 3-D center/face variants; see docstring).
     if terrain is not None:
-        invJ = (1.0 / terrain.jac_c)[None]              # (1, ny, nx)
-        jac_xf3 = terrain.jac_xf[None]
-        jac_yf3 = terrain.jac_yf[None]
+        invJ_c = 1.0 / terrain.jac_c3                   # (1|nz, ny, nx)
+        invJ_f = 1.0 / terrain.jac_cf3                  # at ζ-faces
+        jac_xf3 = terrain.jac_xf3
+        jac_yf3 = terrain.jac_yf3
         sx_zf = terrain.slope_x(at_zface=True)          # (nz,·,·) at x-faces
         sy_zf = terrain.slope_y(at_zface=True)
         sx_c_zf = 0.5 * (sx_zf + jnp.roll(sx_zf, -1, axis=2))   # x-centers
         sy_c_zf = 0.5 * (sy_zf + jnp.roll(sy_zf, -1, axis=1))
         sx_cf = terrain.slope_x(at_zface=False)         # ζ-centers, x-faces
         sy_cf = terrain.slope_y(at_zface=False)
-        jg = invJ          # 1/J on the gravity couplings
-        jc2 = invJ * invJ  # 1/J² on the C·θ couplings
     else:
-        invJ = 1.0
-        jg = jc2 = 1.0
+        invJ_c = invJ_f = 1.0
+
+    def _shift_below(a):
+        """Row k-1 of a per-ζ-center factor (duplicating the bottom row);
+        passthrough for ζ-independent (broadcast or scalar) factors."""
+        if isinstance(a, jax.Array) and a.shape[0] == nz:
+            return jnp.concatenate([a[:1], a[:-1]], axis=0)
+        return a
+
+    invJ_c_below = _shift_below(invJ_c)   # 1/J at center k−1 (face-k row)
 
     # Tridiagonal coefficients (time-invariant across the stage's substeps):
     # unknown w_k = (ρw)'_new at interior faces k=1..nz-1; walls pinned 0.
@@ -700,14 +708,21 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     dz_c_above = dz_c                                     # Δzc[k]
     dz_c_below = jnp.concatenate([dz_c[:1], dz_c[:-1]], axis=0)  # Δzc[k-1]
 
-    a_coef = (0.5 * g_acc * od2 / dz_c_below * jg
-              - od2 / dz_f * C_below * thf_below / dz_c_below * jc2)
+    # Gravity couplings carry 1/J at the ρ-update's center row; the C·θ
+    # couplings carry (1/J at ζ-face k)·(1/J at the (ρθ)-update's center
+    # row).  LinearDecay: all 1/J factors coincide (ζ-independent J).
+    a_coef = (0.5 * g_acc * od2 / dz_c_below * invJ_c_below
+              - od2 / dz_f * C_below * thf_below / dz_c_below
+              * invJ_f * invJ_c_below)
     b_coef = (1.0
-              - 0.5 * g_acc * od2 * (1.0 / dz_c_below - 1.0 / dz_c_above) * jg
-              + od2 / dz_f * (C_above * thf_here / dz_c_above
-                              + C_below * thf_here / dz_c_below) * jc2)
-    c_coef = (-0.5 * g_acc * od2 / dz_c_above * jg
-              - od2 / dz_f * C_above * thf_above / dz_c_above * jc2)
+              - 0.5 * g_acc * od2 * (invJ_c_below / dz_c_below
+                                     - invJ_c / dz_c_above)
+              + od2 / dz_f * (C_above * thf_here / dz_c_above * invJ_c
+                              + C_below * thf_here / dz_c_below
+                              * invJ_c_below) * invJ_f)
+    c_coef = (-0.5 * g_acc * od2 / dz_c_above * invJ_c
+              - od2 / dz_f * C_above * thf_above / dz_c_above
+              * invJ_f * invJ_c)
 
     # Implicit upper Rayleigh sponge on (ρw)′ (reference ``UpperSponge``,
     # acoustic_substepping.jl:545-563): CN-weighted — ωΔτ·r·ramp joins the
@@ -757,7 +772,7 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         if terrain is not None:
             # Slope-corrected perturbation PGF: (∂x p')_z = ∂x p'|_ζ − sx·∂z p'
             # with ∂z = (1/J)∂ζ (reference slope-corrected PGFs :371-448).
-            dpz_f = (vv(pp) - vv(pp, dz=-1)) / dz_f * invJ      # ζ-faces
+            dpz_f = (vv(pp) - vv(pp, dz=-1)) / dz_f * invJ_f    # ζ-faces
             dpz_c = 0.5 * (dpz_f + jnp.concatenate(
                 [dpz_f[1:], dpz_f[-1:]], axis=0))               # ζ-centers
             dpdx = dpdx - sx_cf * 0.5 * (dpz_c + jnp.roll(dpz_c, 1, axis=2))
@@ -776,7 +791,7 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
             rup = _hpad(ru_new, g, fl.CCF)
             rvp = _hpad(rv_new, g, fl.CFC)
         div_h = ((vv(rup, dx=1) - vv(rup)) * inv_dx_c
-                 + (wy_hi * vv(rvp, dy=1) - wy_lo * vv(rvp)) * inv_dy_c) * invJ
+                 + (wy_hi * vv(rvp, dy=1) - wy_lo * vv(rvp)) * inv_dy_c) * invJ_c
         # θ^L-weighted horizontal flux divergence for ρθ
         thp = _hpad(th_c, g, fl.CCC)
         th_xf = 0.5 * (vv(thp) + vv(thp, dx=-1))
@@ -791,7 +806,7 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         fyp = _hpad(fy, g, fl.CFC)
         div_h_theta = ((vv(fxp, dx=1) - vv(fxp)) * inv_dx_c
                        + (wy_hi * vv(fyp, dy=1) - wy_lo * vv(fyp))
-                       * inv_dy_c) * invJ
+                       * inv_dy_c) * invJ_c
 
         if terrain is not None:
             # Contravariant split: ρw̃' = ρw' − S'; the S' slope part is
@@ -809,10 +824,10 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
             S_new = slope_part(ru_new, rv_new)
             rwt_old = rw_p - S_old
             rho_star = (rho_p + dtau * (G.rho - div_h)
-                        - dtau * invJ * ((1.0 - omega) * dz_fc_div(rwt_old)
+                        - dtau * invJ_c * ((1.0 - omega) * dz_fc_div(rwt_old)
                                          - omega * dz_fc_div(S_new)))
             rt_star = (rt_p + dtau * (G.rho_theta - div_h_theta)
-                       - dtau * invJ * (
+                       - dtau * invJ_c * (
                            (1.0 - omega) * dz_fc_div(th_zf * rwt_old)
                            - omega * dz_fc_div(th_zf * S_new)))
         else:
@@ -837,7 +852,7 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         d_rhs = (rw_p + dtau * G.rho_w
                  - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
                                    + omega * rho_star_zf)
-                 - dtau * invJ * ((1.0 - omega) * dz_Crt_tau
+                 - dtau * invJ_f * ((1.0 - omega) * dz_Crt_tau
                                   + omega * dz_Crt_star))
         if sponge_col is not None:
             d_rhs = d_rhs - (1.0 - omega) * abs(dtau) * sponge_col * rw_p
@@ -853,8 +868,8 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
             rw_new = rw_new.at[0].set(0.0)
 
         # ---- D: recovery --------------------------------------------
-        rho_new = rho_star - omega * dtau * invJ * dz_fc_div(rw_new)
-        rt_new = rt_star - omega * dtau * invJ * dz_fc_div(th_zf * rw_new)
+        rho_new = rho_star - omega * dtau * invJ_c * dz_fc_div(rw_new)
+        rt_new = rt_star - omega * dtau * invJ_c * dz_fc_div(th_zf * rw_new)
 
         # ---- E: horizontal divergence damping (strategy dispatch,
         # reference time_discretizations.jl:229-300) -------------------
@@ -1084,7 +1099,7 @@ def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
         avg_rwt = avg_rwt.at[0].set(0.0)
         jac_xf3 = terrain.jac_xf[None]
         jac_yf3 = terrain.jac_yf[None]
-        invJ = (1.0 / terrain.jac_c)[None]
+        invJ = 1.0 / terrain.jac_c3
         u_pad = fl.pad(jac_xf3 * avg_ru / rho_safe, g, fl.CCF)
         v_pad = fl.pad(jac_yf3 * avg_rv / rho_safe, g, fl.CFC)
         w_pad = fl.pad(avg_rwt / rho_safe, g, fl.FCC)

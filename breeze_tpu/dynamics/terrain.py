@@ -40,7 +40,9 @@ from .compressible import (CompressibleModel, CompressibleState,
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["h_c", "jac_c", "jac_xf", "jac_yf", "sx_xf", "sy_yf",
-                 "decay_c", "decay_f", "z_true_c", "p_ref", "rho_ref"],
+                 "decay_c", "decay_f", "z_true_c", "p_ref", "rho_ref",
+                 "h2_c", "sx2_xf", "sy2_yf", "basis2_c", "basis2_f",
+                 "jac_cf"],
     meta_fields=["height"],
 )
 @dataclasses.dataclass(frozen=True)
@@ -50,29 +52,79 @@ class TerrainMetrics:
     2-D fields are (ny, nx); profiles (nz,)/(nz+1,); the 3-D hydrostatic
     reference (p_ref, rho_ref) is per-column over the terrain (reference's
     3-D ``ExnerReferenceState`` path, ``reference_states.jl:718``).
+
+    Two formulations (reference ``terrain_formulations.jl``):
+
+    - **LinearDecay** (Gal-Chen): z = ζ + h·(1−ζ/H).  J = 1 − h/H is
+      ζ-independent, so ``jac_*`` are 2-D and the second-component fields
+      are ``None``.
+    - **TwoLevelDecay** (SLEVE, Schär et al. 2002, ``:88-200``): the terrain
+      splits into a smoothed large-scale h₁ and residual small-scale h₂,
+      each with a sinh decay basis bₙ(ζ) = sinh((H−ζ)/sₙ)/sinh(H/sₙ).
+      z = ζ + h₁b₁ + h₂b₂; J = 1 + h₁b₁′ + h₂b₂′ depends on ζ, so ``jac_*``
+      are 3-D (and ``jac_cf`` holds J at ζ-faces).  ``h_c``/``sx_xf``/
+      ``decay_*`` then hold the large-scale component/basis and the ``*2``
+      fields the small-scale one.
     """
 
     height: float                 # domain top H
-    h_c: jax.Array                # surface elevation at centers
-    jac_c: jax.Array              # J = 1 − h/H at centers (2-D)
-    jac_xf: jax.Array             # J at x-faces
-    jac_yf: jax.Array             # J at y-faces
-    sx_xf: jax.Array              # ∂h/∂x at x-faces (2-D)
+    h_c: jax.Array                # surface elevation at centers (h₁ for SLEVE)
+    jac_c: jax.Array              # J at (ζ-centers, xy-centers): 2-D or 3-D
+    jac_xf: jax.Array             # J at x-faces (ζ-centers)
+    jac_yf: jax.Array             # J at y-faces (ζ-centers)
+    sx_xf: jax.Array              # ∂h/∂x at x-faces (2-D; ∂h₁/∂x for SLEVE)
     sy_yf: jax.Array              # ∂h/∂y at y-faces (2-D)
-    decay_c: jax.Array            # (1 − ζ/H) at ζ-centers (nz,)
+    decay_c: jax.Array            # decay basis b(ζ) at ζ-centers (nz,)
     decay_f: jax.Array            # at ζ-faces (nz,)  [stored faces 0..nz-1]
     z_true_c: jax.Array           # physical height of each cell (nz, ny, nx)
     p_ref: jax.Array              # hydrostatic reference pressure (3-D)
     rho_ref: jax.Array            # hydrostatic reference density (3-D)
+    # SLEVE second component (None for LinearDecay):
+    h2_c: jax.Array | None = None       # small-scale terrain at centers
+    sx2_xf: jax.Array | None = None     # ∂h₂/∂x at x-faces
+    sy2_yf: jax.Array | None = None     # ∂h₂/∂y at y-faces
+    basis2_c: jax.Array | None = None   # b₂(ζ) at ζ-centers (nz,)
+    basis2_f: jax.Array | None = None   # b₂(ζ) at ζ-faces (nz,)
+    jac_cf: jax.Array | None = None     # J at (ζ-faces, xy-centers), 3-D
+
+    # -- broadcastable 3-D Jacobian views (shape (1|nz, ny, nx)) ----------
+    @property
+    def jac_c3(self):
+        return self.jac_c[None] if self.jac_c.ndim == 2 else self.jac_c
+
+    @property
+    def jac_xf3(self):
+        return self.jac_xf[None] if self.jac_xf.ndim == 2 else self.jac_xf
+
+    @property
+    def jac_yf3(self):
+        return self.jac_yf[None] if self.jac_yf.ndim == 2 else self.jac_yf
+
+    @property
+    def jac_cf3(self):
+        """J at ζ-faces; for LinearDecay J is ζ-independent → jac_c3."""
+        return self.jac_c3 if self.jac_cf is None else self.jac_cf
+
+    @property
+    def h_total(self):
+        return self.h_c if self.h2_c is None else self.h_c + self.h2_c
 
     def slope_x(self, at_zface: bool):
         """Slope ∂z/∂x|_ζ at x-faces × (ζ-face or ζ-center) rows → 3-D."""
         decay = self.decay_f if at_zface else self.decay_c
-        return decay[:, None, None] * self.sx_xf[None]
+        s = decay[:, None, None] * self.sx_xf[None]
+        if self.sx2_xf is not None:
+            b2 = self.basis2_f if at_zface else self.basis2_c
+            s = s + b2[:, None, None] * self.sx2_xf[None]
+        return s
 
     def slope_y(self, at_zface: bool):
         decay = self.decay_f if at_zface else self.decay_c
-        return decay[:, None, None] * self.sy_yf[None]
+        s = decay[:, None, None] * self.sy_yf[None]
+        if self.sy2_yf is not None:
+            b2 = self.basis2_f if at_zface else self.basis2_c
+            s = s + b2[:, None, None] * self.sy2_yf[None]
+        return s
 
 
 def make_terrain(grid: Grid, constants: ThermodynamicConstants,
@@ -80,13 +132,24 @@ def make_terrain(grid: Grid, constants: ThermodynamicConstants,
                  potential_temperature=300.0,
                  surface_pressure: float = 101325.0,
                  p_standard: float = 1.0e5,
-                 smoothing_passes: int = 0) -> TerrainMetrics:
+                 smoothing_passes: int = 0,
+                 large_scale_height: float | None = None,
+                 small_scale_height: float | None = None,
+                 sleve_smoothing_passes: int = 20) -> TerrainMetrics:
     """Materialize terrain metrics + the per-column hydrostatic reference.
 
     Mirrors reference ``materialize_terrain!`` (``materialize_terrain.jl:
     76-200``, incl. optional slope smoothing) and the per-column Newton
     reference integration (here: the discrete-balance recursion evaluated
     column-wise on the terrain's true heights).
+
+    Passing both ``large_scale_height`` (s₁) and ``small_scale_height`` (s₂)
+    selects the SLEVE / ``TwoLevelDecay`` formulation (reference
+    ``terrain_formulations.jl:88-200``): the terrain is split into a
+    smoothed large-scale part h₁ (``sleve_smoothing_passes`` diffusion
+    passes) and the residual h₂, attenuated with
+    bₙ(ζ) = sinh((H−ζ)/sₙ)/sinh(H/sₙ).  Otherwise the Gal-Chen linear
+    decay b(ζ) = 1 − ζ/H is used.
     """
     ny, nx = grid.ny, grid.nx
     H = float(grid.Lz)
@@ -98,25 +161,70 @@ def make_terrain(grid: Grid, constants: ThermodynamicConstants,
     else:
         h = np.asarray(surface_elevation, np.float64)
 
-    for _ in range(smoothing_passes):
-        h = 0.25 * (np.roll(h, 1, 1) + np.roll(h, -1, 1)
-                    + np.roll(h, 1, 0) + np.roll(h, -1, 0))
+    def smooth(a, passes):
+        for _ in range(passes):
+            a = 0.25 * (np.roll(a, 1, 1) + np.roll(a, -1, 1)
+                        + np.roll(a, 1, 0) + np.roll(a, -1, 0))
+        return a
 
-    jac_c = 1.0 - h / H
-    h_xf = 0.5 * (h + np.roll(h, 1, axis=1))       # x-face i between i-1, i
-    h_yf = 0.5 * (h + np.roll(h, 1, axis=0))
-    jac_xf = 1.0 - h_xf / H
-    jac_yf = 1.0 - h_yf / H
-    sx_xf = (h - np.roll(h, 1, axis=1)) / grid.dx
-    sy_yf = (h - np.roll(h, 1, axis=0)) / grid.dy
+    h = smooth(h, smoothing_passes)
+
+    sleve = large_scale_height is not None or small_scale_height is not None
+    if sleve and (large_scale_height is None or small_scale_height is None):
+        raise ValueError("SLEVE needs both large_scale_height and "
+                         "small_scale_height")
 
     zeta_c = np.asarray(grid.z_c, np.float64)
     zeta_f = np.asarray(grid.z_f, np.float64)[: grid.nz]
-    decay_c = 1.0 - zeta_c / H
-    decay_f = 1.0 - zeta_f / H
 
-    # physical heights per column
-    z_true_c = zeta_c[:, None, None] + h[None] * decay_c[:, None, None]
+    def face_means_and_slopes(hh):
+        h_xf = 0.5 * (hh + np.roll(hh, 1, axis=1))   # x-face i between i-1, i
+        h_yf = 0.5 * (hh + np.roll(hh, 1, axis=0))
+        sx = (hh - np.roll(hh, 1, axis=1)) / grid.dx
+        sy = (hh - np.roll(hh, 1, axis=0)) / grid.dy
+        return h_xf, h_yf, sx, sy
+
+    h2 = sx2_xf = sy2_yf = basis2_c = basis2_f = jac_cf = None
+    if sleve:
+        s1, s2 = float(large_scale_height), float(small_scale_height)
+        h1 = smooth(h, sleve_smoothing_passes)
+        h2 = h - h1
+        b = lambda zeta, s: np.sinh((H - zeta) / s) / np.sinh(H / s)
+        db = lambda zeta, s: -np.cosh((H - zeta) / s) / (s * np.sinh(H / s))
+        decay_c, decay_f = b(zeta_c, s1), b(zeta_f, s1)
+        basis2_c, basis2_f = b(zeta_c, s2), b(zeta_f, s2)
+        db1_c, db1_f = db(zeta_c, s1), db(zeta_f, s1)
+        db2_c, db2_f = db(zeta_c, s2), db(zeta_f, s2)
+
+        h1_xf, h1_yf, sx_xf, sy_yf = face_means_and_slopes(h1)
+        h2_xf, h2_yf, sx2_xf, sy2_yf = face_means_and_slopes(h2)
+
+        def jac3(h1_2d, h2_2d, db1, db2):
+            return (1.0 + h1_2d[None] * db1[:, None, None]
+                    + h2_2d[None] * db2[:, None, None])
+
+        jac_c = jac3(h1, h2, db1_c, db2_c)
+        jac_xf = jac3(h1_xf, h2_xf, db1_c, db2_c)
+        jac_yf = jac3(h1_yf, h2_yf, db1_c, db2_c)
+        jac_cf = jac3(h1, h2, db1_f, db2_f)
+        jmin = min(jac_c.min(), jac_xf.min(), jac_yf.min(), jac_cf.min())
+        if jmin <= 0.05:
+            raise ValueError(
+                f"SLEVE Jacobian min {jmin:.3f} ≤ 0.05: grid levels fold "
+                "over the terrain — increase the decay scale heights")
+        z_true_c = (zeta_c[:, None, None] + h1[None] * decay_c[:, None, None]
+                    + h2[None] * basis2_c[:, None, None])
+        h_for_metrics = h1
+    else:
+        jac_c = 1.0 - h / H
+        h_xf, h_yf, sx_xf, sy_yf = face_means_and_slopes(h)
+        jac_xf = 1.0 - h_xf / H
+        jac_yf = 1.0 - h_yf / H
+        decay_c = 1.0 - zeta_c / H
+        decay_f = 1.0 - zeta_f / H
+        # physical heights per column
+        z_true_c = zeta_c[:, None, None] + h[None] * decay_c[:, None, None]
+        h_for_metrics = h
 
     # per-column discretely-balanced dry hydrostatic reference on the TRUE
     # heights (vectorized over all columns; Newton as in
@@ -158,9 +266,10 @@ def make_terrain(grid: Grid, constants: ThermodynamicConstants,
         rho_ref[k] = rho_of(pp)
 
     dt = grid.dtype
+    opt = lambda a: None if a is None else jnp.asarray(a, dt)
     return TerrainMetrics(
         height=H,
-        h_c=jnp.asarray(h, dt),
+        h_c=jnp.asarray(h_for_metrics, dt),
         jac_c=jnp.asarray(jac_c, dt),
         jac_xf=jnp.asarray(jac_xf, dt),
         jac_yf=jnp.asarray(jac_yf, dt),
@@ -171,6 +280,12 @@ def make_terrain(grid: Grid, constants: ThermodynamicConstants,
         z_true_c=jnp.asarray(z_true_c, dt),
         p_ref=jnp.asarray(p_ref, dt),
         rho_ref=jnp.asarray(rho_ref, dt),
+        h2_c=opt(h2),
+        sx2_xf=opt(sx2_xf),
+        sy2_yf=opt(sy2_yf),
+        basis2_c=opt(basis2_c),
+        basis2_f=opt(basis2_f),
+        jac_cf=opt(jac_cf),
     )
 
 
@@ -203,13 +318,14 @@ def contravariant_rho_w(terrain: TerrainMetrics, so: StencilOps,
 def kinematic_bottom_rho_w(terrain: TerrainMetrics, so: StencilOps,
                            rho_u, rho_v):
     """ρw at the surface face from impenetrability ρw̃ = 0 (reference :352):
-    ρw|₀ = sx·ℑ(ρu)|₀ + sy·ℑ(ρv)|₀."""
-    sx_c0 = 0.5 * (terrain.sx_xf + jnp.roll(terrain.sx_xf, -1, axis=1))
-    sy_c0 = 0.5 * (terrain.sy_yf + jnp.roll(terrain.sy_yf, -1, axis=0))
+    ρw|₀ = sx·ℑ(ρu)|₀ + sy·ℑ(ρv)|₀ with the slope at the bottom ζ-face."""
+    sx0 = terrain.slope_x(at_zface=True)[0]
+    sy0 = terrain.slope_y(at_zface=True)[0]
+    sx_c0 = 0.5 * (sx0 + jnp.roll(sx0, -1, axis=1))
+    sy_c0 = 0.5 * (sy0 + jnp.roll(sy0, -1, axis=0))
     ru0 = 0.5 * (rho_u[0] + jnp.roll(rho_u[0], -1, axis=1))
     rv0 = 0.5 * (rho_v[0] + jnp.roll(rho_v[0], -1, axis=0))
-    decay0 = terrain.decay_f[0]
-    return decay0 * (sx_c0 * ru0 + sy_c0 * rv0)
+    return sx_c0 * ru0 + sy_c0 * rv0
 
 
 def terrain_pressure_gradients(terrain: TerrainMetrics, so: StencilOps,
@@ -221,9 +337,8 @@ def terrain_pressure_gradients(terrain: TerrainMetrics, so: StencilOps,
     dpdx_zeta = so.dx_cf(p_pert_pad)                 # at x-faces
     dpdy_zeta = so.dy_cf(p_pert_pad)
     dpdz_c_f = so.dz_cf(p_pert_pad)                  # at ζ-faces (centers x,y)
-    # ∂p/∂z true: divide by J
-    jac3 = terrain.jac_c[None]
-    dpdz_true_f = dpdz_c_f / jac3
+    # ∂p/∂z true: divide by J at the ζ-faces
+    dpdz_true_f = dpdz_c_f / terrain.jac_cf3
     # interpolate to x-faces / y-faces and back to ζ-centers
     dpdz_cc = 0.5 * (dpdz_true_f + jnp.concatenate(
         [dpdz_true_f[1:], dpdz_true_f[-1:]], axis=0))     # ζ-centers
@@ -254,9 +369,9 @@ def terrain_explicit_rk3_step(model: CompressibleModel,
     c = model.constants
     g_acc = c.gravitational_acceleration
 
-    jac_c3 = terrain.jac_c[None]
-    jac_xf3 = terrain.jac_xf[None]
-    jac_yf3 = terrain.jac_yf[None]
+    jac_c3 = terrain.jac_c3
+    jac_xf3 = terrain.jac_xf3
+    jac_yf3 = terrain.jac_yf3
 
     alphas = (1.0, 0.25, 2.0 / 3.0)
     s0 = state
@@ -360,9 +475,9 @@ def terrain_slow_tendencies(model: CompressibleModel, terrain: TerrainMetrics,
     so = model.stencil_ops()
     g_acc = model.constants.gravitational_acceleration
 
-    jac_c3 = terrain.jac_c[None]
-    jac_xf3 = terrain.jac_xf[None]
-    jac_yf3 = terrain.jac_yf[None]
+    jac_c3 = terrain.jac_c3
+    jac_xf3 = terrain.jac_xf3
+    jac_yf3 = terrain.jac_yf3
     inv_jac_c3 = 1.0 / jac_c3
 
     rho_u_pad = fl.pad(state.rho_u, g, fl.CCF)

@@ -14,6 +14,7 @@ RK stage.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Any, Callable, NamedTuple
 
@@ -527,8 +528,15 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     if use_pallas_mom:
         from .pallas_kernels.momentum import H as _PH
         col_c, col_f = _padded_reference_columns(model, halo=_PH)
-        adv_u, adv_v, adv_w = pmom.momentum_div_pallas(
-            g, pzu * col_c, pzv * col_c, pzw * col_f, pzu, pzv, pzw)
+        if os.environ.get("BREEZE_TPU_PALLAS_MOM_COLS"):
+            # Experimental: momenta formed in VMEM (3 HBM reads instead of
+            # 6).  Interpret-verified; opt-in until verified on hardware
+            # (first attempt hung the remote-TPU relay).
+            adv_u, adv_v, adv_w = pmom.momentum_div_pallas_cols(
+                g, pzu, pzv, pzw, col_c, col_f)
+        else:
+            adv_u, adv_v, adv_w = pmom.momentum_div_pallas(
+                g, pzu * col_c, pzv * col_c, pzw * col_f, pzu, pzv, pzw)
     else:
         adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
             so, mom_scheme,

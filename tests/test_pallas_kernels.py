@@ -95,3 +95,34 @@ class TestFusedMomentum:
         assert pmom.supported(g, adv.WENO(5))
         assert not pmom.supported(g, adv.WENO(5, bounds_preserving=True))
         assert not pmom.supported(g, adv.Centered(2))
+
+    def test_cols_variant_matches_jnp_path(self):
+        """ρᵣ(z)-column variant (the anelastic hot path: momenta formed
+        in VMEM) against the jnp path with ρu = ρᵣ·u."""
+        from breeze_tpu.model import _padded_reference_columns, make_model
+        from breeze_tpu.pallas_kernels import momentum as pmom
+        g, c, u, v, w, rho = make_inputs(nz=8, ny=32, nx=128)
+        model = make_model(g, advection=adv.WENO(5),
+                           potential_temperature=300.0)
+        so = StencilOps(g)
+        scheme = adv.WENO(5)
+
+        colc_g, colf_g = _padded_reference_columns(model)   # grid halo
+        u_pad, v_pad, w_pad = (fl.pad(u, g, fl.CCF), fl.pad(v, g, fl.CFC),
+                               fl.pad(w, g, fl.FCC))
+        ref = adv.momentum_flux_divergence(
+            so, scheme, u_pad * colc_g, v_pad * colc_g, w_pad * colf_g,
+            u_pad, v_pad, w_pad)
+
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        colc, colf = _padded_reference_columns(model, halo=pmom.H)
+        got = pmom.momentum_div_pallas_cols(
+            g, pz(u, fl.CCF), pz(v, fl.CFC), pz(w, fl.FCC), colc, colf,
+            interpret=True)
+
+        for name, a, b in zip("uvw", got, ref):
+            a, b = np.asarray(a), np.asarray(b)
+            if name == "w":
+                a, b = a[1:], b[1:]
+            np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4,
+                                       err_msg=f"momentum component {name}")

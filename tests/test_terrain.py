@@ -170,6 +170,91 @@ class TestTerrainSplitExplicit:
         assert np.abs(w[1:]).max() < 1e-10, (
             f"split-explicit terrain rest: max |rho_w| = {np.abs(w[1:]).max()}")
 
+class TestSLEVE:
+    """TwoLevelDecay / SLEVE formulation (reference
+    ``terrain_formulations.jl:88-200``, Schär et al. 2002)."""
+
+    def sleve_terrain(self, g, h0=250.0):
+        return make_terrain(g, CONST, witch_of_agnesi(h0=h0),
+                            large_scale_height=6000.0,
+                            small_scale_height=3000.0,
+                            sleve_smoothing_passes=10)
+
+    def test_metric_consistency(self):
+        """J == ∂z/∂ζ and slope == ∂z/∂x of the realized coordinate map."""
+        g = terrain_grid()
+        t = self.sleve_terrain(g)
+        z = np.asarray(t.z_true_c, np.float64)          # (nz, 1, nx)
+        zeta_c = np.asarray(g.z_c, np.float64)
+        # J at interior ζ-faces from finite differences of z(ζ)
+        J_fd = (z[1:] - z[:-1]) / (zeta_c[1:, None, None] - zeta_c[:-1, None, None])
+        J_cf = np.asarray(t.jac_cf, np.float64)[1:]     # faces 1..nz-1
+        # sinh basis is smooth: centered FD converges; loose tol for curvature
+        np.testing.assert_allclose(J_fd, J_cf, rtol=2e-3)
+        # terrain decays upward: near the top the levels are nearly flat
+        assert (z[-1].max() - z[-1].min()) < 0.02 * float(t.h_total.max())
+        # small scale decays faster than large scale
+        b1 = np.asarray(t.decay_c)
+        b2 = np.asarray(t.basis2_c)
+        assert (b2[1:] <= b1[1:] + 1e-12).all()
+        # slope field == ∂x z_true at ζ-centers (x-face differences)
+        sx = np.asarray(t.slope_x(at_zface=False), np.float64)
+        sx_fd = (z - np.roll(z, 1, axis=2)) / g.dx
+        np.testing.assert_allclose(sx, sx_fd, atol=1e-10)
+
+    def test_h_split_reconstructs_total(self):
+        g = terrain_grid()
+        t = self.sleve_terrain(g)
+        h_fn = witch_of_agnesi()
+        h_exact = h_fn(g.x_c()[None, :], np.zeros((1, 1)))
+        np.testing.assert_allclose(np.asarray(t.h_total), h_exact, atol=1e-10)
+        assert float(np.abs(np.asarray(t.h2_c)).max()) > 1.0  # split is real
+
+    def test_rest_state_split_explicit_sleve(self):
+        """Machine-zero rest over SLEVE terrain through the acoustic core —
+        exercises the ζ-dependent-Jacobian tridiagonal couplings."""
+        import jax
+        from breeze_tpu.dynamics.compressible import acoustic_rk3_step
+        g = terrain_grid(nx=48, nz=20)
+        t = self.sleve_terrain(g, h0=200.0)
+        m = make_compressible_model(g, advection=bz.Centered(2), terrain=t)
+        s = terrain_initial_state(m, t)
+        step = jax.jit(lambda st: acoustic_rk3_step(m, st, 2.0))
+        for _ in range(20):
+            s = step(s)
+        w = np.asarray(s.rho_w)
+        assert np.isfinite(w).all()
+        assert np.abs(w[1:]).max() < 1e-10, (
+            f"SLEVE rest: max |rho_w| = {np.abs(w[1:]).max()}")
+
+    def test_sleve_mountain_wave_matches_linear_decay(self):
+        """Same physical mountain through SLEVE vs Gal-Chen coordinates:
+        the physical solution must agree (coordinate-independence)."""
+        import jax
+        from breeze_tpu.dynamics.compressible import acoustic_rk3_step
+        g = terrain_grid(nx=48, nz=20)
+        hfn = witch_of_agnesi(h0=100.0, a=3000.0)
+        tl = make_terrain(g, CONST, hfn)
+        ts = make_terrain(g, CONST, hfn, large_scale_height=7000.0,
+                          small_scale_height=5000.0, sleve_smoothing_passes=6)
+        ml = make_compressible_model(g, advection=bz.Centered(2), terrain=tl)
+        ms = make_compressible_model(g, advection=bz.Centered(2), terrain=ts)
+        sl = terrain_initial_state(ml, tl, u=10.0)
+        ss = terrain_initial_state(ms, ts, u=10.0)
+        stepl = jax.jit(lambda st: acoustic_rk3_step(ml, st, 1.0))
+        steps = jax.jit(lambda st: acoustic_rk3_step(ms, st, 1.0))
+        for _ in range(20):
+            sl = stepl(sl)
+            ss = steps(ss)
+        wl, ws = np.asarray(sl.rho_w), np.asarray(ss.rho_w)
+        assert np.isfinite(ws).all()
+        # different vertical coordinates sample different physical heights;
+        # compare amplitude and broad pattern
+        assert abs(np.abs(ws).max() - np.abs(wl).max()) / np.abs(wl).max() < 0.15
+        corr = np.corrcoef(wl.ravel(), ws.ravel())[0, 1]
+        assert corr > 0.9, f"SLEVE vs linear-decay correlation {corr}"
+
+class TestTerrainSplitExplicitMountainWave:
     def test_mountain_wave_split_matches_explicit(self):
         """Schär-style mountain wave: the split-explicit terrain core at
         20x the explicit Δt reproduces the explicit solution (amplitude to
