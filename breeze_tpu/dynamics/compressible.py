@@ -505,11 +505,13 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
         class _AuxShim(NamedTuple):
             theta: Any
             qt: Any
+            p: Any
 
         # True-ρ SGS weighting: stresses are −2ρνₑSᵢⱼ with the state's 3-D
         # density (reference TurbulenceClosures.jl:52-101).
         cf = closure_tendencies(
-            _RefShim(model), so, _AuxShim(theta=aux.theta, qt=aux.qt),
+            _RefShim(model), so,
+            _AuxShim(theta=aux.theta, qt=aux.qt, p=aux.p),
             u_pad, v_pad, w_pad, rho=state.rho)
         G_rho_u = G_rho_u + cf.G_u
         G_rho_v = G_rho_v + cf.G_v
@@ -519,9 +521,13 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
             G_rho_qt = G_rho_qt + cf.G_qt
         if getattr(model.closure, "vertically_implicit", False):
             nu_e = cf.nu_e
-            kappa_e = (jnp.full(g.shape, model.closure.diffusivity, g.dtype)
-                       if isinstance(model.closure, ConstantDiffusivity)
-                       else nu_e / model.closure.prandtl)
+            if cf.kappa_e is not None:
+                kappa_e = cf.kappa_e
+            elif isinstance(model.closure, ConstantDiffusivity):
+                kappa_e = jnp.full(g.shape, model.closure.diffusivity,
+                                   g.dtype)
+            else:
+                kappa_e = nu_e / model.closure.prandtl
 
     G = SlowTendencies(rho=G_rho, rho_u=G_rho_u, rho_v=G_rho_v,
                        rho_w=G_rho_w, rho_theta=G_rho_theta,

@@ -87,6 +87,34 @@ class ConstantDiffusivity:
     vertically_implicit: bool = False
 
 
+@dataclasses.dataclass(frozen=True)
+class ReedJablonowskiBoundaryLayer:
+    """Reed & Jablonowski (2012) wind-dependent boundary-layer mixing —
+    component 2 of the DCMIP2016 "simple physics" (TC_PBL_mod = false;
+    the reference validation study's ``rj_Km``/``rj_Ke`` kernel functions,
+    ``validation/DCMIP2016_TC/dcmip2016_tc.jl``):
+
+        Kₘ = Cᴰ(|v₁|)·|v₁|·zₐ·taper(p),   Kₑ = C·|v₁|·zₐ·taper(p),
+
+    with Cᴰ = min(a + b|v₁|, c_max) the same wind-dependent surface drag,
+    |v₁| the lowest-level wind speed, zₐ the lowest-level center height,
+    and taper = 1 for p ≥ taper_pressure else
+    exp(−((taper_pressure − p)/taper_scale)²).
+
+    Vertical-only mixing, always applied through the implicit tridiagonal
+    step (no explicit stress divergence — the horizontal SGS stresses are
+    zero by definition of the scheme).
+    """
+
+    drag_a: float = 7.0e-4
+    drag_b: float = 6.5e-5
+    drag_max: float = 2.0e-3
+    scalar_coefficient: float = 1.1e-3
+    taper_pressure: float = 85000.0
+    taper_scale: float = 10000.0
+    vertically_implicit: bool = True
+
+
 class ClosureFluxes(NamedTuple):
     G_u: jax.Array
     G_v: jax.Array
@@ -94,6 +122,7 @@ class ClosureFluxes(NamedTuple):
     G_theta: jax.Array | None
     G_qt: jax.Array | None
     nu_e: jax.Array | None     # eddy viscosity at centers (diagnostic)
+    kappa_e: jax.Array | None = None   # set when κₑ ≠ νₑ/Pr (e.g. RJ PBL)
 
 
 def _corner_avg_xy(so, c_pad):
@@ -159,6 +188,29 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
     ref = model.reference
     rho_c = ref.rho_col
     rho_f = ref.rho_f_col
+
+    if isinstance(closure, ReedJablonowskiBoundaryLayer):
+        # Vertical-only wind-dependent PBL diffusivities; no explicit
+        # stresses — everything goes through the implicit vertical step.
+        uc = so.ix_fc(u_pad)
+        vc = so.iy_fc(v_pad)
+        sp1 = jnp.sqrt(uc[0] ** 2 + vc[0] ** 2)        # (ny, nx)
+        p3 = getattr(aux, "p", None)
+        if p3 is None:                                  # anelastic: ref p(z)
+            p3 = jnp.broadcast_to(ref.p_col, g.shape)
+        z_a = g.z_c_meta[0] if g.z_c_meta else float(g.z_c[0])
+        pt, ps = closure.taper_pressure, closure.taper_scale
+        taper = jnp.where(p3 >= pt, 1.0,
+                          jnp.exp(-((pt - p3) / ps) ** 2)).astype(g.dtype)
+        cd = jnp.minimum(closure.drag_a + closure.drag_b * sp1,
+                         closure.drag_max)
+        Km = (cd * sp1 * z_a)[None] * taper
+        Ke = (closure.scalar_coefficient * sp1 * z_a)[None] * taper
+        zero = jnp.zeros(g.shape, g.dtype)
+        return ClosureFluxes(
+            G_u=zero, G_v=zero, G_w=zero, G_theta=zero,
+            G_qt=zero if aux.qt is not None else None,
+            nu_e=Km, kappa_e=Ke)
 
     # --- strain-rate tensor on the staggered grid ---------------------
     S11 = so.dx_fc(u_pad)                          # centers
@@ -352,6 +404,8 @@ def eddy_coefficients(model, state):
                             fl.pad(aux.u, g, fl.CCF),
                             fl.pad(aux.v, g, fl.CFC),
                             fl.pad(aux.w, g, fl.FCC))
+    if cf.kappa_e is not None:
+        return cf.nu_e, cf.kappa_e
     return cf.nu_e, cf.nu_e / closure.prandtl
 
 

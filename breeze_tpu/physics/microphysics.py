@@ -231,12 +231,35 @@ class InstantaneousPrecipitation:
         from ..thermo.states import theta_li_from_temperature
 
         c = model.constants
+        scheme = SaturationAdjustment(self.equilibrium, self.iterations)
+        rho_state = getattr(state, "rho", None)
+        if rho_state is not None:
+            # Compressible: TRUE density; (T, q, p) from the density-based
+            # saturation adjustment (the reference's LiquidIceDensityState
+            # path).  Rain-out removes condensate MASS from the total-ρ
+            # prognostic (the reference's ρᵈ prognostic is untouched by
+            # removal; ours is total, so ρ ← ρ(1 − qᶜ)).
+            rho = rho_state
+            theta = state.rho_theta / rho
+            qt = state.rho_qt / rho
+            T, q, p = density_saturation_adjust(theta, rho, qt, c, scheme,
+                                                model.p_standard)
+            qc = q.liquid + q.ice
+            rho_new = rho * (1.0 - qc)
+            qv_new = q.vapor / (1.0 - qc)
+            q_dry = MoistureMassFractions.vapor_only(qv_new)
+            theta_new = theta_li_from_temperature(T, q_dry, p, c,
+                                                  model.p_standard)
+            return state.replace(
+                rho=rho_new,
+                rho_qt=rho * q.vapor,
+                rho_theta=rho_new * theta_new,
+            )
         ref = model.reference
         rho = ref.rho_col
         p = ref.p_col
         theta = state.rho_theta / rho
         qt = state.rho_qt / rho
-        scheme = SaturationAdjustment(self.equilibrium, self.iterations)
         T, q = saturation_adjust(theta, qt, p, c, scheme, model.p_standard)
         q_dry = MoistureMassFractions.vapor_only(q.vapor)
         theta_new = theta_li_from_temperature(T, q_dry, p, c, model.p_standard)

@@ -198,6 +198,26 @@ class PolynomialCoefficient:
         return Ch * sf.correction(Ri_b, alpha, beta, transfer)
 
 
+@dataclasses.dataclass(frozen=True)
+class WindDependentCoefficient:
+    """Piecewise-linear wind-dependent transfer coefficient
+    ``C(|U|) = min(a + b·|U|, c_max)`` — the Reed & Jablonowski (2011)
+    "simple physics" surface drag (DCMIP2016; the reference validation
+    study's ``WindDependentDrag`` dispatching ``bulk_coefficient``).
+
+    No stability correction (wind-only, like the reference's
+    ``filtered_θᵥ_source(::WindDependentDrag) = nothing`` path).
+    Defaults are the RJ drag constants: Cᴰ = min(7e-4 + 6.5e-5|U|, 2e-3).
+    """
+
+    a: float = 7.0e-4
+    b: float = 6.5e-5
+    c_max: float = 2.0e-3
+
+    def __call__(self, U):
+        return jnp.minimum(self.a + self.b * U, self.c_max)
+
+
 def bulk_richardson_number(h, thv, thv0, U, U_min, g=9.81):
     """Riᴮ = (g/θ̄ᵥ)·h·(θᵥ − θᵥ₀)/U² (reference
     ``bulk_richardson_number``)."""
@@ -349,9 +369,12 @@ class BulkSurfaceFluxes:
     surface_temperature: float = 300.0
     surface_theta: float | None = None
     surface_qt: float | None = None      # None -> saturated at Ts
-    drag_coefficient: float | PolynomialCoefficient = 1.2e-3
-    heat_transfer_coefficient: float | PolynomialCoefficient = 1.2e-3
-    vapor_transfer_coefficient: float | PolynomialCoefficient = 1.2e-3
+    drag_coefficient: float | PolynomialCoefficient | \
+        WindDependentCoefficient = 1.2e-3
+    heat_transfer_coefficient: float | PolynomialCoefficient | \
+        WindDependentCoefficient = 1.2e-3
+    vapor_transfer_coefficient: float | PolynomialCoefficient | \
+        WindDependentCoefficient = 1.2e-3
     gustiness: float = 0.1
     stability_correction: bool = False
     louis_b: float = 9.4
@@ -453,6 +476,8 @@ def surface_flux_values(bf, model, state, aux, want_moisture: bool):
         def coeff(slot, transfer, default_poly):
             if isinstance(slot, PolynomialCoefficient):
                 return slot(speed, h, Ri_b, transfer, default_poly)
+            if isinstance(slot, WindDependentCoefficient):
+                return slot(speed)
             stab = 1.0
             if bf.stability_correction:
                 stab = bf.stability_factor(jnp.clip(Ri_b, -10.0, 10.0))

@@ -45,3 +45,20 @@ def test_example_quick(example):
     assert result.returncode == 0, (
         f"{example} failed:\nSTDOUT:\n{result.stdout[-2000:]}\n"
         f"STDERR:\n{result.stderr[-2000:]}")
+
+
+def test_validation_dcmip_tc_smoke():
+    """The DCMIP2016 TC validation study builds and steps (--smoke)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = ROOT
+    result = subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "validation", "DCMIP2016_TC", "dcmip2016_tc.py"),
+         "--smoke"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=ROOT)
+    assert result.returncode == 0, (
+        f"dcmip2016_tc --smoke failed:\nSTDOUT:\n{result.stdout[-2000:]}\n"
+        f"STDERR:\n{result.stderr[-2000:]}")
+    assert "final minimum surface pressure" in result.stdout

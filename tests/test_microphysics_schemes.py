@@ -165,3 +165,52 @@ class TestInstantaneousPrecipitation:
                                  model.constants, SaturationAdjustment())
         assert float(q.liquid.max()) < 1e-7, "no condensate should remain"
         assert float(qt.max()) < 0.03
+
+    def test_compressible_subsaturated_is_inert(self):
+        """Regression: on the compressible model the scheme must use the
+        TRUE density/EOS pressure (state.rho), not the anelastic reference
+        columns — with a 250 K isothermal reference column the old code
+        rained out ~half the (subsaturated!) vapor in one call."""
+        import numpy as np
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, compressible_initial_state,
+            make_compressible_model)
+        g = moist_grid()
+        theta_ref = lambda z: 250.0 * np.exp(9.81 * z / (1005.0 * 250.0))
+        model = make_compressible_model(
+            g, reference_potential_temperature=theta_ref,
+            microphysics=InstantaneousPrecipitation(),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        state = compressible_initial_state(
+            model, theta=lambda x, y, z: 300.0 + 3e-3 * z,
+            qt=lambda x, y, z: 0.008 * jnp.exp(-z / 3000.0))
+        s1 = model.microphysics.model_update(model, state, 1.0)
+        np.testing.assert_allclose(np.asarray(s1.rho_qt),
+                                   np.asarray(state.rho_qt), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1.rho),
+                                   np.asarray(state.rho), rtol=1e-6)
+
+    def test_compressible_rainout_removes_mass(self):
+        """Supersaturated compressible column: condensate mass leaves BOTH
+        ρqᵗ and the total-ρ prognostic; vapor mass density is unchanged."""
+        import numpy as np
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, compressible_initial_state,
+            make_compressible_model)
+        g = moist_grid()
+        model = make_compressible_model(
+            g, reference_potential_temperature=300.0,
+            microphysics=InstantaneousPrecipitation(),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        state = compressible_initial_state(
+            model, theta=300.0, qt=jnp.full(g.shape, 0.03))
+        s1 = model.microphysics.model_update(model, state, 1.0)
+        removed_qt = np.asarray(state.rho_qt - s1.rho_qt)
+        removed_rho = np.asarray(state.rho - s1.rho)
+        assert removed_qt.max() > 1e-4, "supersaturated: must rain out"
+        np.testing.assert_allclose(removed_rho, removed_qt, rtol=1e-5,
+                                   err_msg="condensate mass must leave rho")
+        # what remains is vapor only: re-adjusting changes nothing
+        s2 = model.microphysics.model_update(model, s1, 1.0)
+        np.testing.assert_allclose(np.asarray(s2.rho_qt),
+                                   np.asarray(s1.rho_qt), atol=2e-7)

@@ -250,3 +250,79 @@ class TestSurfaceFilter:
             state = acoustic_rk3_step(model, state, 1.0)
         assert bool(jnp.all(jnp.isfinite(state.rho_theta)))
         assert bool(jnp.all(jnp.isfinite(state.diagnostics["sf_u"])))
+
+
+class TestReedJablonowskiSimplePhysics:
+    """Reed & Jablonowski (2011/2012) "simple physics" pieces — the
+    DCMIP2016 TC configuration (reference
+    ``validation/DCMIP2016_TC/dcmip2016_tc.jl``: ``WindDependentDrag`` +
+    ``rj_Km``/``rj_Ke``)."""
+
+    def test_wind_dependent_drag_values(self):
+        from breeze_tpu.physics.surface import WindDependentCoefficient
+        cd = WindDependentCoefficient()
+        np.testing.assert_allclose(float(cd(jnp.float64(0.0))), 7.0e-4)
+        np.testing.assert_allclose(float(cd(jnp.float64(10.0))), 1.35e-3)
+        # cap at 20 m/s: 7e-4 + 6.5e-5*20 = 2e-3 exactly, beyond stays
+        np.testing.assert_allclose(float(cd(jnp.float64(20.0))), 2.0e-3)
+        np.testing.assert_allclose(float(cd(jnp.float64(80.0))), 2.0e-3)
+
+    def test_wind_dependent_drag_in_bulk_fluxes(self):
+        from breeze_tpu.model import diagnose
+        from breeze_tpu.physics.surface import WindDependentCoefficient
+        bf = BulkSurfaceFluxes(surface_temperature=300.0,
+                               drag_coefficient=WindDependentCoefficient(),
+                               gustiness=0.0)
+        model = _bulk_model(bf)
+        state = initial_state(model, u=lambda x, y, z: 10.0 + 0 * z)
+        _, _, F_u, _ = surface_flux_values(
+            bf, model, state, diagnose(model, state), want_moisture=False)
+        # tau/rho = -Cd(|U|)|U|u = -1.35e-3 * 100
+        np.testing.assert_allclose(np.asarray(F_u), -0.135, rtol=1e-10)
+
+    def test_rj_pbl_diffusivities(self):
+        """Kₘ = Cᴰ(|v₁|)|v₁|zₐ·taper(p), Kₑ = 1.1e-3|v₁|zₐ·taper(p)."""
+        from breeze_tpu.physics.closures import (
+            ReedJablonowskiBoundaryLayer, eddy_coefficients)
+        g = bz.make_grid(size=(8, 1, 40), extent=(8_000.0, 1.0, 20_000.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=300.0,
+                           closure=ReedJablonowskiBoundaryLayer())
+        state = initial_state(model, u=lambda x, y, z: 10.0 + 0 * z)
+        Km, Ke = eddy_coefficients(model, state)
+        z_a = float(g.z_c[0])
+        # lowest level: p ≈ 1013 hPa ≥ 850 hPa → taper = 1
+        np.testing.assert_allclose(np.asarray(Km[0]), 1.35e-3 * 10.0 * z_a,
+                                   rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(Ke[0]), 1.1e-3 * 10.0 * z_a,
+                                   rtol=1e-8)
+        # taper: K decays above the 850 hPa level and is tiny near the top
+        p_col = np.asarray(model.reference.p_col).ravel()
+        k850 = int(np.argmax(p_col < 85000.0))
+        assert float(Km[k850 - 1, 0, 0]) > float(Km[-1, 0, 0])
+        assert float(Km[-1, 0, 0]) < 1e-3 * float(Km[0, 0, 0])
+
+    def test_rj_pbl_step_runs_and_mixes(self):
+        """A sheared lowest-level jet diffuses upward through the implicit
+        vertical step; solution stays finite at a dt far beyond the
+        explicit diffusive limit."""
+        from breeze_tpu.model import diagnose
+        from breeze_tpu.physics.closures import ReedJablonowskiBoundaryLayer
+        g = bz.make_grid(size=(8, 1, 20), extent=(8_000.0, 1.0, 2_000.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+        model = make_model(g, advection=bz.Centered(2),
+                           potential_temperature=300.0,
+                           closure=ReedJablonowskiBoundaryLayer())
+        u0 = lambda x, y, z: 20.0 * jnp.exp(-z / 300.0)
+        state = initial_state(model, u=u0)
+        shear0 = float(jnp.max(jnp.abs(jnp.diff(
+            diagnose(model, state).u, axis=0))))
+        for _ in range(10):
+            state = ssp_rk3_step(model, state, 20.0)
+        aux = diagnose(model, state)
+        assert bool(jnp.all(jnp.isfinite(aux.u)))
+        shear1 = float(jnp.max(jnp.abs(jnp.diff(aux.u, axis=0))))
+        assert shear1 < shear0  # PBL mixing smooths the near-surface shear
