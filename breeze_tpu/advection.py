@@ -382,7 +382,7 @@ def _div_fc(F, axis, spacing, periodic: bool):
 
 
 def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad,
-                z_flux_scale=None):
+                z_flux_scale=None, z_spacing=None, face_fractions=None):
     """∇·(ρ u c) at cell centers — the density-weighted tracer flux divergence.
 
     TPU analogue of reference ``div_ρUc`` (``src/Advection.jl:30-37``):
@@ -390,32 +390,46 @@ def div_rho_u_c(so: StencilOps, scheme, rho_pad, u_pad, v_pad, w_pad, c_pad,
     ``c`` is the *specific* (per-mass) quantity.  ``z_flux_scale``
     (interior z-face shape) multiplies the vertical flux — the AIVA
     explicit-flux CFL scaling (``implicit_vertical_advection.jl``).
+
+    Partial cells (:class:`~breeze_tpu.dynamics.immersed.PartialCellBottom`):
+    ``z_spacing`` overrides the z-divergence cell thickness (3-D), and
+    ``face_fractions = (fx, fy, fc)`` applies the exact area-weighted form —
+    horizontal fluxes × open face fraction, divergence ÷ open cell fraction
+    — keeping Σ (ρc)·V conservative over shortened bottom cells.
     """
     g, h, shape = so.grid, so.h, so.shape
     topo = g.topologies()
     per = [t == _Topo.PERIODIC for t in topo]
+    fx = fy = None
+    fc = 1.0
+    if face_fractions is not None:
+        fx, fy, fc = face_fractions
 
     mfx = _iface_cf(rho_pad, 2, h, shape) * _iview(u_pad, 2, h, shape)
     cx = reconstruct(scheme, c_pad, mfx, 2, h, shape, "cf")
-    out = _div_cf(mfx * cx, 2, 1.0, per[2]) * so.inv_dx
+    Fx = mfx * cx if fx is None else mfx * cx * fx
+    out = _div_cf(Fx, 2, fc, per[2]) * so.inv_dx
 
     mfy = _iface_cf(rho_pad, 1, h, shape) * _iview(v_pad, 1, h, shape)
     cy = reconstruct(scheme, c_pad, mfy, 1, h, shape, "cf")
-    out = out + _ydiv_cf(so, mfy * cy, per[1])
+    Fy = mfy * cy if fy is None else mfy * cy * fy
+    ydiv = _ydiv_cf(so, Fy, per[1])
+    out = out + (ydiv if fy is None else ydiv / fc)
 
     mfz = _iface_cf(rho_pad, 0, h, shape) * _iview(w_pad, 0, h, shape)
     cz = reconstruct(scheme, c_pad, mfz, 0, h, shape, "cf")
     Fz = mfz * cz
     if z_flux_scale is not None:
         Fz = Fz * z_flux_scale
-    out = out + _div_cf(Fz, 0, g.dz_c_col, per[0])
+    dzc = g.dz_c_col if z_spacing is None else z_spacing
+    out = out + _div_cf(Fz, 0, dzc, per[0])
     return out
 
 
 def momentum_flux_divergence(so: StencilOps, scheme,
                              rho_u_pad, rho_v_pad, rho_w_pad,
                              u_pad, v_pad, w_pad,
-                             z_scales=None):
+                             z_scales=None, z_spacings=None):
     """Flux-form ∇·(ρU ⊗ u) for all three momentum components.
 
     TPU analogue of reference ``div_𝐯u/v/w`` usage in
@@ -436,6 +450,12 @@ def momentum_flux_divergence(so: StencilOps, scheme,
         s_u, s_v, s_w = z_scales
     g, h, shape = so.grid, so.h, so.shape
     dzc, dzf = g.dz_c_col, g.dz_f_col
+    # Partial-cell overrides (3-D thickness at the u/v locations; the
+    # w-face spacing keeps the grid value — ρw is pinned at the wall).
+    dzc_u = dzc_v = dzc
+    if z_spacings is not None:
+        dzc_u, dzc_v, dzf = (s if s is not None else d
+                             for s, d in zip(z_spacings, (dzc, dzc, dzf)))
     per = [t == _Topo.PERIODIC for t in g.topologies()]
 
     # ---- x momentum: u at (zc, yc, xf) ------------------------------
@@ -450,7 +470,7 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     Fzu = mf * q
     if s_u is not None:
         Fzu = Fzu * s_u
-    du = du + _div_cf(Fzu, 0, dzc, per[0])
+    du = du + _div_cf(Fzu, 0, dzc_u, per[0])
 
     # ---- y momentum: v at (zc, yf, xc) ------------------------------
     mf = _iview(_pad_interp_cf_y(rho_u_pad), 2, h, shape)
@@ -464,7 +484,7 @@ def momentum_flux_divergence(so: StencilOps, scheme,
     Fzv = mf * q
     if s_v is not None:
         Fzv = Fzv * s_v
-    dv = dv + _div_cf(Fzv, 0, dzc, per[0])
+    dv = dv + _div_cf(Fzv, 0, dzc_v, per[0])
 
     # ---- z momentum: w at (zf, yc, xc) ------------------------------
     mf = _iview(_pad_interp_cf_z(rho_u_pad), 2, h, shape)

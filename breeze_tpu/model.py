@@ -493,13 +493,19 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
                                       scal_scheme.cfl).s_scal
         scal_scheme = scal_scheme.scheme
 
+    # Partial-cell bottom: 3-D z-divergence thickness through the advection
+    # operators (reference PartialCellBottom; see dynamics/immersed.py).
+    from .dynamics.immersed import PartialCellBottom
+    pcb = model.immersed if isinstance(model.immersed,
+                                       PartialCellBottom) else None
+
     # Fused Pallas kernels (default on TPU; see pallas_kernels/)
     from .pallas_kernels import advection as padv
     from .pallas_kernels import momentum as pmom
     use_pallas_mom = (padv.enabled() and z_scales_mom is None
-                      and pmom.supported(g, mom_scheme))
+                      and pcb is None and pmom.supported(g, mom_scheme))
     use_pallas_scalar = (padv.available(g, scal_scheme)
-                         and z_scale_scal is None)
+                         and z_scale_scal is None and pcb is None)
     pz = lambda a, loc: padv.pad_zy(a, g, loc)
     pzu = pzv = pzw = None
     if use_pallas_mom or use_pallas_scalar:
@@ -541,7 +547,9 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
             so, mom_scheme,
             rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad,
-            z_scales=z_scales_mom)
+            z_scales=z_scales_mom,
+            z_spacings=(None if pcb is None
+                        else (pcb.dz_u3, pcb.dz_v3, None)))
 
     cor_x, cor_y, cor_z = coriolis_terms(
         model.coriolis, so, rho_u_pad, rho_v_pad, rho_w_pad, g)
@@ -582,7 +590,10 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             c_pad = fl.pad(c_spec, g, fl.CCC)
             return adv.div_rho_u_c(
                 so, scal_scheme, rho_r_pad, u_pad, v_pad, w_pad, c_pad,
-                z_flux_scale=z_scale_scal)
+                z_flux_scale=z_scale_scal,
+                z_spacing=None if pcb is None else pcb.dz_c3,
+                face_fractions=None if pcb is None
+                else (pcb.frac_u, pcb.frac_v, pcb.frac_c))
 
     # Specific thermodynamic prognostic: θˡⁱ or e (formulation dispatch,
     # reference formulation_interface.jl:22-208).
