@@ -137,6 +137,12 @@ class SplitExplicitTimeDiscretization:
     damping: Any = None
     sponge: UpperSponge | None = None
     substep_distribution: str = "proportional"
+    # Per-substep relaxation factor α ∈ (0, 1] for ρ′/(ρθ)′ at the outermost
+    # cells of axes with an OpenBoundaryRelaxation forcing (reference
+    # ``open_boundary_relaxation``, time_discretizations.jl:343-346 and
+    # ``apply_open_boundary_relaxation!``, acoustic_substepping.jl:1279-1322;
+    # default 0.5 ≈ FV3-LAM's outermost-blend-row weight).
+    open_boundary_relaxation: float = 0.5
 
     def damping_strategy(self):
         if self.damping is not None:
@@ -430,13 +436,45 @@ class SlowTendencies(NamedTuple):
     kappa_e: jax.Array | None = None
 
 
+def latlon_curvature_terms(g, so, state, u_pad, v_pad, rho_u_pad):
+    """Spherical curvature terms (shallow-atmosphere, traditional):
+    +ρuv tanφ/R on zonal momentum, −ρu² tanφ/R on meridional (reference:
+    Oceananigans ``U_dot_∇u`` metric terms on curvilinear grids,
+    ``dynamics_kernel_functions.jl:54-62``).  Returns (du, dv) to ADD to
+    the momentum tendencies; shared by the flat and terrain paths."""
+    tan_c = g.tanlat_c[None, :, None]
+    tan_f = g.tanlat_f[: g.ny][None, :, None]
+    inv_R = 1.0 / g.radius
+    v_at_u = 0.25 * (so.v(v_pad) + so.v(v_pad, dy=1)
+                     + so.v(v_pad, dx=-1) + so.v(v_pad, dy=1, dx=-1))
+    du = state.rho_u * v_at_u * tan_c * inv_R
+    u_at_v = 0.25 * (so.v(u_pad) + so.v(u_pad, dx=1)
+                     + so.v(u_pad, dy=-1) + so.v(u_pad, dx=1, dy=-1))
+    ru_at_v = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                      + so.v(rho_u_pad, dy=-1)
+                      + so.v(rho_u_pad, dx=1, dy=-1))
+    dv = -ru_at_v * u_at_v * tan_f * inv_R
+    return du, dv
+
+
 def slow_tendencies(model: CompressibleModel, state: CompressibleState,
                     aux: CompAux) -> SlowTendencies:
     """G^s at the stage-entry state (SlowTendencyMode: PGF+buoyancy zeroed,
     reference ``dynamics_interface.jl:387-401``), with the frozen horizontal
     ∇p^L and the vertical stage-entry imbalance −∂z(p^L−p_r) − g(ρ^L−ρ_r)
     folded in (reference ``assemble_slow_vertical_momentum_tendency!``,
-    ``acoustic_substepping.jl:650-709``)."""
+    ``acoustic_substepping.jl:650-709``).
+
+    Mode note (reference ``HorizontalSlowMode``, dynamics_interface.jl:
+    408-436): because the fast loop's horizontal PGF acts on the
+    perturbation p′ = p − p^L relative to THIS stage-entry state, the
+    per-substep total here is ∂x p^L (slow, frozen) + ∂x p′ (fast) ≡ the
+    full horizontal PGF — exactly the HorizontalSlowMode splitting.  The
+    pure-SlowTendencyMode alternative (move ∂x p^L into the fast loop)
+    adds the same constant to every substep and is numerically identical,
+    so no mode knob is exposed; the vertical fast terms are always the
+    perturbation form, avoiding the O(Δz²) hydrostatic truncation noise
+    the reference's docstring warns about."""
     g = model.grid
     so = model.stencil_ops()
     ref = model.reference
@@ -470,21 +508,10 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     G_rho_v = -adv_v - cor_y - so.dy_cf(p_pad)
 
     if g.is_latlon:
-        # Spherical curvature terms (shallow-atmosphere, traditional):
-        # +ρuv tanφ/R on zonal momentum, −ρu² tanφ/R on meridional
-        # (reference: Oceananigans U_dot_∇u_metric on curvilinear grids,
-        # dynamics_kernel_functions.jl:54-62).
-        tan_c = g.tanlat_c[None, :, None]
-        tan_f = g.tanlat_f[: g.ny][None, :, None]
-        inv_R = 1.0 / g.radius
-        v_at_u = 0.25 * (so.v(v_pad) + so.v(v_pad, dy=1)
-                         + so.v(v_pad, dx=-1) + so.v(v_pad, dy=1, dx=-1))
-        G_rho_u = G_rho_u + state.rho_u * v_at_u * tan_c * inv_R
-        u_at_v = 0.25 * (so.v(u_pad) + so.v(u_pad, dx=1)
-                         + so.v(u_pad, dy=-1) + so.v(u_pad, dx=1, dy=-1))
-        ru_at_v = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
-                          + so.v(rho_u_pad, dy=-1) + so.v(rho_u_pad, dx=1, dy=-1))
-        G_rho_v = G_rho_v - ru_at_v * u_at_v * tan_f * inv_R
+        du_m, dv_m = latlon_curvature_terms(g, so, state, u_pad, v_pad,
+                                            rho_u_pad)
+        G_rho_u = G_rho_u + du_m
+        G_rho_v = G_rho_v + dv_m
 
     # Vertical: stage-entry imbalance with the same discrete face operator
     # as the reference state's balance (docs "Reference state" section).
@@ -626,10 +653,51 @@ def _hpad(a, g, loc):
     return fl.pad(a, g, loc, halo=1)
 
 
+def _open_boundary_relax_plan(model, state_L):
+    """Per-substep open-boundary relaxation plan (reference
+    ``apply_open_boundary_relaxation!``, acoustic_substepping.jl:1279-1322):
+    for each axis carrying an :class:`OpenBoundaryRelaxation` forcing,
+    relax ρ′/(ρθ)′ at the outermost interior cells toward the prescribed
+    exterior value, target = (c_ext − c^L)/2 (→ 0 without an exterior
+    state: pure perturbation damping at the open wall).
+
+    Returns a list of (axis, α, t_rho_lo, t_rho_hi, t_rt_lo, t_rt_hi)
+    with axis ∈ {1 (y), 2 (x)} and 2-D target planes.
+    """
+    from ..physics.forcings import OpenBoundaryRelaxation
+
+    alpha = float(getattr(model.time_discretization,
+                          "open_boundary_relaxation", 0.5))
+    plan = []
+    if not alpha:
+        return plan
+    for f in model.forcings:
+        if not isinstance(f, OpenBoundaryRelaxation):
+            continue
+        ax = 2 if f.axis == "x" else 1
+        lo = (slice(None), slice(None), 0) if ax == 2 else (slice(None), 0)
+        hi = (slice(None), slice(None), -1) if ax == 2 else (slice(None), -1)
+
+        def targets(name, field_L):
+            ext = getattr(f.exterior, name, None) if f.exterior is not None \
+                else None
+            if ext is None:
+                z = jnp.zeros_like(field_L[lo])
+                return z, z
+            ext = jnp.broadcast_to(ext, field_L.shape)
+            return (0.5 * (ext[lo] - field_L[lo]),
+                    0.5 * (ext[hi] - field_L[hi]))
+
+        trl, trh = targets("rho", state_L.rho)
+        ttl, tth = targets("rho_theta", state_L.rho_theta)
+        plan.append((ax, alpha, trl, trh, ttl, tth))
+    return plan
+
+
 def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
                           G: SlowTendencies, pert: Perturbations,
                           dtau, n_tau: int, gate_first: bool,
-                          terrain=None) -> Perturbations:
+                          terrain=None, ob_relax=()) -> Perturbations:
     """Advance the linearized perturbation system n_tau substeps.
 
     One substep = steps A–E of reference ``acoustic_rk3_substep_loop!``
@@ -877,6 +945,19 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         rho_new = rho_star - omega * dtau * invJ_c * dz_fc_div(rw_new)
         rt_new = rt_star - omega * dtau * invJ_c * dz_fc_div(th_zf * rw_new)
 
+        # Per-substep open-boundary relaxation of ρ′/(ρθ)′ at the
+        # outermost open cells (reference acoustic_substepping.jl:
+        # 1490-1497, before the halo fill).
+        for (ax, alpha, trl, trh, ttl, tth) in ob_relax:
+            lo = ((slice(None), slice(None), 0) if ax == 2
+                  else (slice(None), 0, slice(None)))
+            hi = ((slice(None), slice(None), -1) if ax == 2
+                  else (slice(None), -1, slice(None)))
+            rho_new = rho_new.at[lo].add(alpha * (trl - rho_new[lo]))
+            rho_new = rho_new.at[hi].add(alpha * (trh - rho_new[hi]))
+            rt_new = rt_new.at[lo].add(alpha * (ttl - rt_new[lo]))
+            rt_new = rt_new.at[hi].add(alpha * (tth - rt_new[hi]))
+
         # ---- E: horizontal divergence damping (strategy dispatch,
         # reference time_discretizations.jl:229-300) -------------------
         strategy = td.damping_strategy()
@@ -1025,7 +1106,9 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
             sum_rho_u=zero, sum_rho_v=zero, sum_rho_w=zero,
         )
         pert = acoustic_substep_loop(model, caches, G, pert, dtau, n_tau,
-                                     gate_first=(n_tau > 1), terrain=terrain)
+                                     gate_first=(n_tau > 1), terrain=terrain,
+                                     ob_relax=_open_boundary_relax_plan(
+                                         model, state))
 
         # Recovery: U^(k) = U^L + perturbation (reference :1235-1257).
         if terrain is not None:

@@ -155,8 +155,12 @@ def make_terrain(grid: Grid, constants: ThermodynamicConstants,
     H = float(grid.Lz)
 
     if callable(surface_elevation):
-        x = grid.x_c()[None, :]
-        y = grid.y_c()[:, None]
+        x = np.asarray(grid.x_c(), np.float64)[None, :]
+        y = np.asarray(grid.y_c(), np.float64)[:, None]
+        if grid.is_latlon:
+            # callables receive (λ, φ) in radians, like initial_state
+            x = x / grid.radius
+            y = y / grid.radius
         h = np.asarray(surface_elevation(x, y), np.float64) * np.ones((ny, nx))
     else:
         h = np.asarray(surface_elevation, np.float64)
@@ -177,10 +181,19 @@ def make_terrain(grid: Grid, constants: ThermodynamicConstants,
     zeta_c = np.asarray(grid.z_c, np.float64)
     zeta_f = np.asarray(grid.z_f, np.float64)[: grid.nz]
 
+    # Lat-lon: the zonal arc spacing at latitude φ is R·cosφ·Δλ (grid.dx
+    # stores the equatorial arc R·Δλ); slopes and the slope PGF then flow
+    # through the metric-aware StencilOps unchanged.
+    if grid.is_latlon:
+        dx_row = grid.dx * np.maximum(np.asarray(grid.coslat_c,
+                                                 np.float64), 1e-12)[:, None]
+    else:
+        dx_row = grid.dx
+
     def face_means_and_slopes(hh):
         h_xf = 0.5 * (hh + np.roll(hh, 1, axis=1))   # x-face i between i-1, i
         h_yf = 0.5 * (hh + np.roll(hh, 1, axis=0))
-        sx = (hh - np.roll(hh, 1, axis=1)) / grid.dx
+        sx = (hh - np.roll(hh, 1, axis=1)) / dx_row
         sy = (hh - np.roll(hh, 1, axis=0)) / grid.dy
         return h_xf, h_yf, sx, sy
 
@@ -433,6 +446,13 @@ def terrain_explicit_rk3_step(model: CompressibleModel,
         G_rho_v = -adv_v - cor_y - dpdy
         G_rho_w = -adv_w - cor_z - dpdz_f + buoy_f
 
+        if g.is_latlon:
+            from .compressible import latlon_curvature_terms
+            du_m, dv_m = latlon_curvature_terms(g, so, state, u_pad, v_pad,
+                                                rho_u_pad)
+            G_rho_u = G_rho_u + du_m
+            G_rho_v = G_rho_v + dv_m
+
         def sub(cur, init, G):
             return (1 - alpha) * init + alpha * (cur + dt * G)
 
@@ -530,6 +550,13 @@ def terrain_slow_tendencies(model: CompressibleModel, terrain: TerrainMetrics,
     G_rho_u = -adv_u - cor_x - dpdx
     G_rho_v = -adv_v - cor_y - dpdy
     G_rho_w = -adv_w - cor_z + imbalance
+
+    if g.is_latlon:
+        from .compressible import latlon_curvature_terms
+        du_m, dv_m = latlon_curvature_terms(g, so, state, u_pad, v_pad,
+                                            rho_u_pad)
+        G_rho_u = G_rho_u + du_m
+        G_rho_v = G_rho_v + dv_m
 
     G_rho_qt = (jnp.zeros_like(G_rho) if state.rho_qt is not None else None)
 

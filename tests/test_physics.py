@@ -279,6 +279,53 @@ class TestOpenBoundary:
         assert abs(u1_interior - u0_interior) < 0.15 * u0_interior, (
             "interior momentum nearly unchanged over this horizon")
 
+    def test_fast_loop_relaxation_reduces_acoustic_reflection(self):
+        """Per-substep open-boundary relaxation of ρ′/(ρθ)′ (reference
+        acoustic_substepping.jl:1279-1322): a pure acoustic pulse launched
+        at the west wall reflects progressively less as absorption layers
+        stack — rigid > Davies-only > Davies + fast relaxation."""
+        from breeze_tpu.physics.forcings import OpenBoundaryRelaxation
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_rk3_step,
+            compressible_initial_state, make_compressible_model)
+
+        g = bz.make_grid(size=(128, 1, 8), x=(0.0, 64000.0), y=(0.0, 1.0),
+                         z=(0.0, 4000.0),
+                         topology=(bz.BOUNDED, bz.FLAT, bz.BOUNDED),
+                         dtype=jnp.float64)
+
+        def run(forcings, alpha):
+            td = SplitExplicitTimeDiscretization(
+                substeps=6, open_boundary_relaxation=alpha)
+            model = make_compressible_model(
+                g, advection=bz.Centered(2), forcings=forcings,
+                time_discretization=td)
+            state = compressible_initial_state(model)
+            # +0.1% density pulse near the west wall, θ untouched: acoustic
+            x = g.xyz_c()[0]
+            pulse = 1e-3 * jnp.exp(-(((x - 6000.0) / 1500.0) ** 2)) \
+                * jnp.ones(g.shape)
+            rho0 = state.rho
+            state = state.replace(rho=rho0 * (1 + pulse),
+                                  rho_theta=state.rho_theta * (1 + pulse))
+            import jax
+            step = jax.jit(lambda s: acoustic_rk3_step(model, s, 1.0))
+            for _ in range(75):
+                state = step(state)
+            # reflected-wave amplitude outside the relaxation zone
+            rp = (state.rho - rho0) / rho0
+            return float(jnp.abs(rp[:, :, 12:52]).max())
+
+        dav = OpenBoundaryRelaxation(axis="x", width=8, rate=0.1)
+        closed = run((), 0.0)
+        davies = run((dav,), 0.0)
+        davies_fast = run((dav,), 0.5)
+        assert davies < 0.95 * closed, (closed, davies)
+        assert davies_fast < 0.95 * davies, (
+            f"fast-loop relaxation must add absorption: "
+            f"closed={closed:.3e} davies={davies:.3e} "
+            f"davies+fast={davies_fast:.3e}")
+
     def test_ramp_shape(self):
         from breeze_tpu.physics.forcings import OpenBoundaryRelaxation
         g = bz.make_grid(size=(32, 1, 8), extent=(1.0, 1.0, 1.0),

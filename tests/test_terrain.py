@@ -278,3 +278,93 @@ class TestTerrainSplitExplicitMountainWave:
         assert abs(np.abs(ws).max() - np.abs(we).max()) / np.abs(we).max() < 0.02
         corr = np.corrcoef(we.ravel(), ws.ravel())[0, 1]
         assert corr > 0.97, f"pattern correlation {corr}"
+
+class TestTerrainLatLon:
+    """Terrain on latitude-longitude grids: metric-correct slopes (zonal
+    spacing R cosφ Δλ) + spherical curvature terms through the terrain
+    tendency paths."""
+
+    def latlon_setup(self, h0=200.0):
+        from breeze_tpu.grid import make_latlon_grid
+        # ~0.5° band near 45°N: zonal spacing clearly != equatorial R Δλ
+        g = make_latlon_grid((48, 4, 16), longitude=(0.0, 360.0),
+                             latitude=(43.0, 47.0), z=(0.0, 10_000.0),
+                             dtype=jnp.float64)
+        lam0 = np.pi
+        hfn = lambda lam, phi: h0 / (1.0 + ((lam - lam0)
+                                            / (8.0 * np.pi / 48.0)) ** 2)
+        t = make_terrain(g, CONST, hfn)
+        return g, t, hfn
+
+    def test_metric_slope(self):
+        g, t, hfn = self.latlon_setup()
+        # slope == Δh / (R cosφ Δλ), row-dependent through cosφ
+        h = np.asarray(t.h_c, np.float64)
+        sx = np.asarray(t.sx_xf, np.float64)
+        coslat = np.asarray(g.coslat_c, np.float64)
+        dx_eq = g.dx   # equatorial arc R·Δλ
+        expect = (h - np.roll(h, 1, axis=1)) / (dx_eq * coslat[:, None])
+        np.testing.assert_allclose(sx, expect, rtol=1e-12)
+        # rows at different latitudes see different slopes for the same Δh
+        assert abs(sx[0].max() / sx[-1].max() - coslat[-1] / coslat[0]) < 1e-6
+
+    def test_rest_state_split_explicit_latlon_terrain(self):
+        import jax
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_rk3_step)
+        from breeze_tpu.physics.coriolis import HydrostaticSphericalCoriolis
+        g, t, _ = self.latlon_setup()
+        m = make_compressible_model(
+            g, advection=bz.Centered(2), terrain=t,
+            coriolis=HydrostaticSphericalCoriolis(),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        s = terrain_initial_state(m, t)
+        step = jax.jit(lambda st: acoustic_rk3_step(m, st, 2.0))
+        for _ in range(20):
+            s = step(s)
+        w = np.asarray(s.rho_w)
+        assert np.isfinite(w).all()
+        assert np.abs(w[1:]).max() < 1e-10, (
+            f"lat-lon terrain rest: max |rho_w| = {np.abs(w[1:]).max()}")
+
+    def test_narrow_band_matches_cartesian(self):
+        """Mountain wave on a thin equatorial lat-lon band reproduces the
+        equivalent Cartesian channel solution (curvature negligible)."""
+        import jax
+        from breeze_tpu.grid import make_latlon_grid
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_rk3_step)
+        R = 6.371e6
+        nx, ny, nz = 48, 4, 16
+        dlon = 20_000.0 / R * 180.0 / np.pi / nx   # 20 km circumference band
+        g_ll = make_latlon_grid(
+            (nx, ny, nz), longitude=(0.0, nx * dlon),
+            latitude=(-ny * dlon / 2, ny * dlon / 2), z=(0.0, 10_000.0),
+            dtype=jnp.float64)
+        dy = R * dlon * np.pi / 180.0
+        # the partial-circumference band is x-BOUNDED; match it
+        g_ca = bz.make_grid(size=(nx, ny, nz),
+                            extent=(20_000.0, ny * dy, 10_000.0),
+                            topology=(bz.BOUNDED, bz.BOUNDED, bz.BOUNDED),
+                            dtype=jnp.float64)
+        h0, a = 120.0, 3000.0
+        h_ca = witch_of_agnesi(h0=h0, a=a)
+        lam_mid = 0.5 * nx * dlon * np.pi / 180.0
+        h_ll = lambda lam, phi: h0 / (1.0 + ((lam - lam_mid) * R / a) ** 2)
+        td = SplitExplicitTimeDiscretization(substeps=6)
+
+        def run(g, hfn):
+            t = make_terrain(g, CONST, hfn)
+            m = make_compressible_model(g, advection=bz.Centered(2),
+                                        terrain=t, time_discretization=td)
+            s = terrain_initial_state(m, t, u=10.0)
+            step = jax.jit(lambda st: acoustic_rk3_step(m, st, 1.0))
+            for _ in range(30):
+                s = step(s)
+            return np.asarray(s.rho_w)
+
+        w_ll = run(g_ll, h_ll)
+        w_ca = run(g_ca, h_ca)
+        assert np.isfinite(w_ll).all()
+        np.testing.assert_allclose(w_ll, w_ca, atol=5e-4 * np.abs(w_ca).max()
+                                   + 1e-12, rtol=0.02)
