@@ -181,16 +181,26 @@ def _weno5(g, eps):
     b1 = (13.0 / 12.0) * (qm1 - 2.0 * q0 + q1) ** 2 + 0.25 * (qm1 - q1) ** 2
     b2 = (13.0 / 12.0) * (q0 - 2.0 * q1 + q2) ** 2 + 0.25 * (3.0 * q0 - 4.0 * q1 + q2) ** 2
 
-    # Common-denominator weights: aᵢ ∝ dᵢ/(bᵢ+ε)² with the (Πⱼ(bⱼ+ε)²)
-    # factor cancelled — one divide instead of four (divides dominate the
-    # VPU cost of the weight stage on TPU; ratios are mathematically
-    # identical to the classic form).
-    d0 = (b0 + eps) ** 2
-    d1 = (b1 + eps) ** 2
-    d2 = (b2 + eps) ** 2
-    a0 = 0.1 * (d1 * d2)
-    a1 = 0.6 * (d0 * d2)
-    a2 = 0.3 * (d0 * d1)
+    # Common-denominator weights: aᵢ ∝ dᵢ/(bᵢ+ε)² with the Πⱼ(bⱼ+ε)²
+    # factor cancelled — two divides instead of four (divides dominate the
+    # VPU cost of the weight stage on TPU); ratios are mathematically
+    # identical to the classic form.  The βs are first normalized by their
+    # max so the pair products cannot overflow f32 (large-magnitude fields
+    # like number concentrations reach β ~ 1e16, whose raw pair products
+    # hit 1e64 → inf → NaN).
+    e0 = b0 + eps
+    e1 = b1 + eps
+    e2 = b2 + eps
+    inv_m = 1.0 / jnp.maximum(e0, jnp.maximum(e1, e2))
+    # floor the normalized ratios: keeps the pair products out of the f32
+    # denormal-flush range (ratios < 1e-9 mean that stencil is >=1e9x
+    # rougher -- its weight split is already decided)
+    r0 = jnp.maximum(e0 * inv_m, 1e-9)
+    r1 = jnp.maximum(e1 * inv_m, 1e-9)
+    r2 = jnp.maximum(e2 * inv_m, 1e-9)
+    a0 = 0.1 * (r1 * r2) ** 2
+    a1 = 0.6 * (r0 * r2) ** 2
+    a2 = 0.3 * (r0 * r1) ** 2
     return (a0 * p0 + a1 * p1 + a2 * p2) / (a0 + a1 + a2)
 
 

@@ -148,6 +148,25 @@ def arg_activated_fraction(aa: AerosolActivation, smax, A):
     return n_act / max(n_tot, 1e-30)
 
 
+def _gamma_fn(a):
+    """Γ(a) for static a > 0."""
+    return math.gamma(a)
+
+
+def _gamma_incl(a, x):
+    """Non-regularized upper incomplete gamma Γ(a, x) for static a (may be
+    ≤ 0, as in the SB2006 number-ventilation integrals — the reference's
+    ``Γ_incl``): one step of the recurrence Γ(a, x) = (Γ(a+1, x) −
+    xᵃe⁻ˣ)/a lifts a ∈ [−1, 0) to the gammaincc-supported domain."""
+    from jax.scipy import special as jss
+
+    if a > 0:
+        return jss.gammaincc(a, x) * math.gamma(a)
+    if a == 0:
+        return jss.exp1(x)
+    return (_gamma_incl(a + 1.0, x) - x ** a * jnp.exp(-x)) / a
+
+
 @dataclasses.dataclass(frozen=True)
 class TwoMomentMicrophysics:
     """SB2006-family warm 2M configuration."""
@@ -161,19 +180,35 @@ class TwoMomentMicrophysics:
     activation_timescale: float = 10.0
     # condensation relaxation
     tau_cond: float = 10.0
-    # SB2006 autoconversion
-    kc_autoconversion: float = 9.44e9     # [m³/kg²/s]
+    # SB2006 autoconversion (Seifert & Beheng 2006 Table 1 / Eq. 4-6; the
+    # CloudMicrophysics.jl ``SB2006`` parameter set the reference delegates
+    # to).  kcc = 4.44e9 is the SB2006 value (SB2001's long-kernel 9.44e9
+    # is selectable); the Φau/Φacc universal functions are built in.
+    kc_autoconversion: float = 4.44e9     # [m³/kg²/s]
     x_star: float = 2.6e-10               # separating droplet mass [kg]
     nu_cloud: float = 2.0                 # cloud gamma-shape parameter
-    # accretion
-    kr_accretion: float = 5.78            # [m³/kg/s]
-    # rain self-collection
+    # accretion (SB2006 Eq. 7-8)
+    kr_accretion: float = 5.25            # [m³/kg/s]
+    accretion_tau0: float = 5.0e-5        # Φacc timescale constant
+    # rain self-collection + breakup (SB2006 Eq. 9/13)
     k_selfcollection: float = 7.12        # [m³/kg/s]
-    # rain evaporation
-    tau_evap: float = 100.0
-    # sedimentation: v(x̄) = a x̄^b mean-mass fall speed
-    rain_v_coefficient: float = 159.0     # Stokes-ish a [m/s kg^-b]
-    rain_v_exponent: float = 0.266
+    k_breakup: float = 1000.0             # [1/m]
+    kappa_breakup: float = 2300.0         # [1/m]
+    D_eq: float = 0.9e-3                  # breakup equilibrium diameter [m]
+    D_br_min: float = 0.35e-3             # no breakup below this size [m]
+    # rain evaporation ventilation (SB2006 Sec. 3.3 / the reference's
+    # ``rain_evaporation_2m`` translation)
+    av_vent: float = 0.78
+    bv_vent: float = 0.308
+    # fall-speed power law v = α x̄^β √(ρ0/ρ) (ventilation Reynolds number)
+    rain_v_coefficient: float = 159.0     # α [m/s kg^-β]
+    rain_v_exponent: float = 0.266        # β
+    # SB2006VelType sedimentation (Rogers): v = √(ρ0/ρ)(aR − bR(1+cR/λ)^-k)
+    rogers_aR: float = 9.65               # [m/s]
+    rogers_bR: float = 10.3               # [m/s]
+    rogers_cR: float = 600.0              # [1/m]
+    rho0_air: float = 1.225               # SB2006 reference density [kg/m³]
+    water_density: float = 1000.0         # [kg/m³]
     max_terminal_velocity: float = 10.0
     substep_cfl: float = 0.8
     # droplet bounds
@@ -268,55 +303,117 @@ def two_moment_update(scheme: TwoMomentMicrophysics, model, state, dt: float):
         evap_frac = jnp.where(qcl > 1e-12, jnp.maximum(-cond, 0.0) * dts / jnp.maximum(qcl, 1e-12), 0.0)
         dncl_evap = -ncl * jnp.minimum(evap_frac, 1.0) / dts
 
-        # --- SB2006 autoconversion ----------------------------------
+        # shared quantities
+        rho_corr = jnp.sqrt(scheme.rho0_air / rho)   # √(ρ0/ρ) (SB2006)
         x_cl = jnp.clip(jnp.where(ncl > 1e-3, qcl / jnp.maximum(ncl, 1e-3), 0.0),
                         scheme.min_droplet_mass, scheme.max_droplet_mass)
+        x_r = jnp.clip(jnp.where(nr > 1e-6, qr / jnp.maximum(nr, 1e-6), 0.0),
+                       scheme.min_rain_mass, scheme.max_rain_mass)
+        # τ = 1 − qc/(qc+qr); clip away from 1 in f32-safe distance (the
+        # φau/(1−τ)² enhancement only matters when qc > 0, where τ < 1)
+        tau = jnp.clip(1.0 - qcl / jnp.maximum(qcl + qr, 1e-20), 1e-12,
+                       1.0 - 1e-5)
+
+        # --- SB2006 autoconversion (Eq. 4-6) -------------------------
         nu = scheme.nu_cloud
+        phi_au = 400.0 * tau ** 0.7 * (1.0 - tau ** 0.7) ** 3
         au = (scheme.kc_autoconversion / (20.0 * scheme.x_star)
               * (nu + 2.0) * (nu + 4.0) / (nu + 1.0) ** 2
-              * qcl ** 2 * x_cl ** 2 * rho)
+              * qcl ** 2 * x_cl ** 2 * rho
+              * (1.0 + phi_au / (1.0 - tau) ** 2))
         au = jnp.minimum(au, qcl / dts)
         dnr_au = au / scheme.x_star
-        dncl_au = -2.0 * au / jnp.maximum(x_cl, scheme.min_droplet_mass)
+        dncl_au = -2.0 * au / scheme.x_star          # SB2006: −2/x* ∂L/∂t
 
-        # --- accretion ----------------------------------------------
-        ac = scheme.kr_accretion * qcl * qr * rho
+        # --- cloud self-collection (Eq. 5: only Nc, no mass) ---------
+        dncl_sc = -(scheme.kc_autoconversion * (nu + 2.0) / (nu + 1.0)
+                    * qcl ** 2 * rho)
+
+        # --- accretion (Eq. 7-8) -------------------------------------
+        phi_ac = (tau / (tau + scheme.accretion_tau0)) ** 4
+        ac = scheme.kr_accretion * qcl * qr * rho * phi_ac * rho_corr
         ac = jnp.minimum(ac, jnp.maximum(qcl / dts - au, 0.0))
         dncl_ac = -ac / jnp.maximum(x_cl, scheme.min_droplet_mass)
 
-        # --- rain self-collection -----------------------------------
-        sc = scheme.k_selfcollection * nr * qr * rho
+        # --- rain self-collection + breakup (Eq. 9/13) ---------------
+        rho_w = scheme.water_density
+        D_r = jnp.cbrt(6.0 * x_r / (jnp.pi * rho_w))
+        sc = scheme.k_selfcollection * nr * qr * rho * rho_corr
+        dD = D_r - scheme.D_eq
+        phi_br = jnp.where(
+            D_r < scheme.D_br_min, -1.0,
+            jnp.where(D_r <= scheme.D_eq, scheme.k_breakup * dD,
+                      2.0 * jnp.exp(scheme.kappa_breakup * dD) - 1.0))
+        dnr_scbr = phi_br * sc                        # −sc ... +breakup
 
-        # --- rain evaporation ---------------------------------------
-        subsat = jnp.maximum(0.0, 1.0 - qv / qvs)
-        evap_r = qr * subsat / scheme.tau_evap
-        x_r = jnp.clip(jnp.where(nr > 1e-6, qr / jnp.maximum(nr, 1e-6), 0.0),
-                       scheme.min_rain_mass, scheme.max_rain_mass)
-        dnr_evap = -evap_r / jnp.maximum(x_r, scheme.min_rain_mass)
+        # --- rain evaporation (SB2006 ventilated; the reference's
+        # rain_evaporation_2m translation) -----------------------------
+        from .one_moment import AirProperties, diffusional_growth_factor
+        air = AirProperties()
+        beta = scheme.rain_v_exponent
+        Gf = diffusional_growth_factor(air, T, c)
+        S = qv / qvs - 1.0                            # liquid supersaturation
+        t_star = jnp.cbrt(6.0 * scheme.x_star / x_r)
+        a_v0 = scheme.av_vent * _gamma_incl(-1.0, t_star) / 6.0 ** (-2.0 / 3.0)
+        b_v0 = (scheme.bv_vent * _gamma_incl(-0.5 + 1.5 * beta, t_star)
+                / 6.0 ** ((beta - 1.0) / 2.0))
+        a_v1 = scheme.av_vent * 1.0 / jnp.cbrt(6.0)           # Γ(2) = 1
+        b_v1 = (scheme.bv_vent * _gamma_fn(2.5 + 1.5 * beta)
+                / 6.0 ** ((beta + 1.0) / 2.0))
+        Re = (scheme.rain_v_coefficient * x_r ** beta * rho_corr * D_r
+              / air.nu_air)
+        schmidt = jnp.cbrt(air.nu_air / air.D_vapor) * jnp.sqrt(Re)
+        Fv0 = a_v0 + b_v0 * schmidt
+        Fv1 = a_v1 + b_v1 * schmidt
+        Nr_vol = nr * rho                             # [1/m³]
+        evaporating = (S < 0.0) & (qr > 1e-15) & (nr > 1e-6)
+        dnr_evap = jnp.where(
+            evaporating,
+            jnp.minimum(0.0, 2.0 * jnp.pi * Gf * S * Nr_vol * D_r * Fv0
+                        / x_r) / rho,                 # per-mass [1/kg/s]
+            0.0)
+        evap_r = jnp.where(
+            evaporating,
+            -jnp.minimum(0.0, 2.0 * jnp.pi * Gf * S * Nr_vol * D_r * Fv1
+                         / rho),                      # [kg/kg/s] ≥ 0
+            0.0)
+        evap_r = jnp.minimum(evap_r, qr / dts)
 
         # --- update -------------------------------------------------
         qv1 = jnp.maximum(qv - dts * (cond + dq_act) + dts * evap_r, 0.0)
         qcl1 = jnp.maximum(qcl + dts * (cond + dq_act - au - ac), 0.0)
         qr1 = jnp.maximum(qr + dts * (au + ac - evap_r), 0.0)
-        ncl1 = jnp.maximum(ncl + dts * (act + dncl_evap + dncl_au + dncl_ac), 0.0)
-        nr1 = jnp.maximum(nr + dts * (dnr_au - sc + dnr_evap), 0.0)
+        ncl1 = jnp.maximum(ncl + dts * (act + dncl_evap + dncl_au
+                                        + dncl_sc + dncl_ac), 0.0)
+        nr1 = jnp.maximum(nr + dts * (dnr_au + dnr_scbr + dnr_evap), 0.0)
 
         # clamp orphaned numbers (no mass → no number; reference
         # negative_moisture_correction clamps orphaned concentrations)
         ncl1 = jnp.where(qcl1 > 1e-12, ncl1, 0.0)
         nr1 = jnp.where(qr1 > 1e-12, nr1, 0.0)
 
-        # --- sedimentation of rain (mass and number) ----------------
-        v_r = jnp.clip(scheme.rain_v_coefficient * x_r ** scheme.rain_v_exponent,
-                       0.0, scheme.max_terminal_velocity) * jnp.sqrt(rho_surf / rho)
+        # --- sedimentation of rain (SB2006VelType, Rogers-type mean
+        # fall speeds: mass- and number-weighted differ through the
+        # exponential DSD) --------------------------------------------
+        lam_r = jnp.cbrt(jnp.pi * rho_w / x_r)
+        vmax = scheme.max_terminal_velocity
 
-        def settle(q):
-            flux = rho * q * v_r
+        def rogers_v(k):
+            return jnp.clip(
+                rho_corr * (scheme.rogers_aR - scheme.rogers_bR
+                            * (1.0 + scheme.rogers_cR / lam_r) ** (-k)),
+                0.0, vmax)
+
+        v_q = rogers_v(4.0)      # mass-weighted
+        v_N = rogers_v(1.0)      # number-weighted
+
+        def settle(q, v):
+            flux = rho * q * v
             flux_above = jnp.concatenate([flux[1:], jnp.zeros_like(flux[:1])], 0)
             return jnp.maximum(q + dts * (flux_above - flux) / (rho * dz), 0.0)
 
-        qr1 = settle(qr1)
-        nr1 = settle(nr1)
+        qr1 = settle(qr1, v_q)
+        nr1 = settle(nr1, v_N)
 
         return qv1, qcl1, qr1, ncl1, nr1
 

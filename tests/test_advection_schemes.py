@@ -75,3 +75,32 @@ class TestBounds:
         (validating that the WENO comparison above is meaningful)."""
         c0, c1 = advect_1d(adv.Centered(2), profile="square", n_steps=16)
         assert c1.min() < -0.05 or c1.max() > 1.05
+
+
+def test_weno5_f32_large_magnitude_no_overflow():
+    """Regression: WENO weights must not overflow f32 for large-magnitude
+    fields (number concentrations ~1e8 give β ~ 1e16; naive
+    common-denominator pair products hit 1e64 → inf → NaN)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import breeze_tpu as bz
+    from breeze_tpu import advection as adv
+    from breeze_tpu import fields as fl
+    from breeze_tpu.ops import StencilOps
+
+    g = bz.make_grid(size=(64, 1, 4), extent=(6400.0, 1.0, 400.0),
+                     topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                     dtype=jnp.float32)
+    so = StencilOps(g)
+    x = g.xyz_c()[0]
+    # sharp 1.5e8-amplitude front (rho_ncl-like)
+    c = jnp.where(x < 3200.0, 1.5e8, 0.0) * jnp.ones(g.shape, jnp.float32)
+    rho = jnp.ones(g.shape, jnp.float32)
+    u = jnp.ones(g.shape, jnp.float32)
+    zero = jnp.zeros(g.shape, jnp.float32)
+    div = adv.div_rho_u_c(
+        so, adv.WENO(5), fl.pad(rho, g, fl.CCC), fl.pad(u, g, fl.CCF),
+        fl.pad(zero, g, fl.CFC), fl.pad(zero, g, fl.FCC),
+        fl.pad(c, g, fl.CCC))
+    assert bool(jnp.all(jnp.isfinite(div))), "WENO5 overflowed in f32"
+    assert float(jnp.abs(div).max()) > 1.0  # the front actually advects
