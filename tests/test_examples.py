@@ -62,3 +62,20 @@ def test_validation_dcmip_tc_smoke():
         f"dcmip2016_tc --smoke failed:\nSTDOUT:\n{result.stdout[-2000:]}\n"
         f"STDERR:\n{result.stderr[-2000:]}")
     assert "final minimum surface pressure" in result.stdout
+
+
+def test_validation_baroclinic_wave_smoke():
+    """The URJ15 baroclinic-wave validation study builds and steps."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = ROOT
+    result = subprocess.run(
+        [sys.executable,
+         os.path.join(ROOT, "validation", "cartesian_baroclinic_wave",
+                      "cartesian_baroclinic_wave.py"), "--smoke"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=ROOT)
+    assert result.returncode == 0, (
+        f"cartesian_baroclinic_wave --smoke failed:\n"
+        f"STDOUT:\n{result.stdout[-2000:]}\nSTDERR:\n{result.stderr[-2000:]}")
+    assert "final min lowest-level pressure" in result.stdout
