@@ -59,6 +59,37 @@ class ConstantCartesianCoriolis:
     fz: float = 1.0e-4
 
 
+@dataclasses.dataclass(frozen=True)
+class NonTraditionalBetaPlane:
+    """Non-traditional β-plane (Dellar 2011; reference re-export
+    ``NonTraditionalBetaPlane``, ``src/Breeze.jl:181/217``): the vertical
+    rotation component varies with y, the horizontal with z —
+
+        f̃ᶻ(y) = fz + β (y − y0),    f̃ʸ(z) = fy + γ z,
+
+    giving the energetically/vortically consistent mid-latitude expansion
+    of the full Coriolis force.  From (Ω, φ₀, R): fz = 2Ω sinφ₀,
+    fy = 2Ω cosφ₀, β = 2Ω cosφ₀/R, γ = −4Ω sinφ₀/R.
+    """
+
+    fz: float = 1.0e-4
+    fy: float = 1.0e-4
+    beta: float = 1.6e-11
+    gamma: float = -3.1e-11
+    y0: float = 0.0
+
+    @classmethod
+    def from_latitude(cls, latitude_deg, rotation_rate=7.292115e-5,
+                      radius=6.371e6, y0=0.0):
+        import math
+        phi = math.radians(latitude_deg)
+        return cls(fz=2.0 * rotation_rate * math.sin(phi),
+                   fy=2.0 * rotation_rate * math.cos(phi),
+                   beta=2.0 * rotation_rate * math.cos(phi) / radius,
+                   gamma=-4.0 * rotation_rate * math.sin(phi) / radius,
+                   y0=y0)
+
+
 def _f_at(coriolis, y):
     if isinstance(coriolis, FPlane):
         return coriolis.f
@@ -95,6 +126,29 @@ def coriolis_terms(coriolis, so: StencilOps, rho_u_pad, rho_v_pad, rho_w_pad, gr
         x_term = fy * rw_u - fz * rv_u
         y_term = fz * ru_v - fx * rw_v
         z_term = fx * rv_w - fy * ru_w
+        return x_term, y_term, z_term
+
+    if isinstance(coriolis, NonTraditionalBetaPlane):
+        g = so.grid
+        y_c = jnp.asarray(grid.y_c(), g.dtype)[None, :, None]
+        y_f = jnp.asarray(grid.y_f(), g.dtype)[None, :, None]
+        z_c = g.z_c_col
+        z_f = g.z_f_col
+        fz_c = coriolis.fz + coriolis.beta * (y_c - coriolis.y0)
+        fz_f = coriolis.fz + coriolis.beta * (y_f - coriolis.y0)
+        fy_c = coriolis.fy + coriolis.gamma * z_c    # at z-centers
+        fy_zf = coriolis.fy + coriolis.gamma * z_f   # at z-faces
+        rv_u = 0.25 * (so.v(rho_v_pad) + so.v(rho_v_pad, dy=1)
+                       + so.v(rho_v_pad, dx=-1) + so.v(rho_v_pad, dy=1, dx=-1))
+        rw_u = 0.25 * (so.v(rho_w_pad) + so.v(rho_w_pad, dz=1)
+                       + so.v(rho_w_pad, dx=-1) + so.v(rho_w_pad, dz=1, dx=-1))
+        ru_v = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                       + so.v(rho_u_pad, dy=-1) + so.v(rho_u_pad, dx=1, dy=-1))
+        ru_w = 0.25 * (so.v(rho_u_pad) + so.v(rho_u_pad, dx=1)
+                       + so.v(rho_u_pad, dz=-1) + so.v(rho_u_pad, dx=1, dz=-1))
+        x_term = fy_c * rw_u - fz_c * rv_u
+        y_term = fz_f * ru_v
+        z_term = -fy_zf * ru_w
         return x_term, y_term, z_term
 
     if isinstance(coriolis, (HydrostaticSphericalCoriolis, SphericalCoriolis)):

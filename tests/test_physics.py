@@ -382,3 +382,53 @@ class TestDynamicSmagorinsky:
         for _ in range(5):
             state = step(state)
         assert bool(jnp.all(jnp.isfinite(state.rho_u)))
+
+
+class TestNonTraditionalBetaPlane:
+    def test_reduces_to_constant_cartesian(self):
+        """β = γ = 0: identical to ConstantCartesianCoriolis(0, fy, fz)."""
+        from breeze_tpu import fields as fl
+        from breeze_tpu.ops import StencilOps
+        from breeze_tpu.physics.coriolis import (ConstantCartesianCoriolis,
+                                                 NonTraditionalBetaPlane,
+                                                 coriolis_terms)
+        g = bz.make_grid(size=(16, 8, 8), extent=(1600.0, 800.0, 800.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         dtype=jnp.float64)
+        so = StencilOps(g)
+        rng = np.random.default_rng(3)
+        ru = fl.pad(jnp.asarray(rng.normal(size=g.shape)), g, fl.CCF)
+        rv = fl.pad(jnp.asarray(rng.normal(size=g.shape)), g, fl.CFC)
+        rw = fl.pad(jnp.asarray(rng.normal(size=g.shape)), g, fl.FCC)
+        nt = NonTraditionalBetaPlane(fz=1e-4, fy=7e-5, beta=0.0, gamma=0.0)
+        cc = ConstantCartesianCoriolis(fx=0.0, fy=7e-5, fz=1e-4)
+        for a, b in zip(coriolis_terms(nt, so, ru, rv, rw, g),
+                        coriolis_terms(cc, so, ru, rv, rw, g)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-15)
+
+    def test_from_latitude_and_beta_variation(self):
+        from breeze_tpu import fields as fl
+        from breeze_tpu.ops import StencilOps
+        from breeze_tpu.physics.coriolis import (NonTraditionalBetaPlane,
+                                                 coriolis_terms)
+        import math
+        nt = NonTraditionalBetaPlane.from_latitude(45.0)
+        two_om = 2 * 7.292115e-5
+        np.testing.assert_allclose(nt.fz, two_om * math.sin(math.pi / 4))
+        np.testing.assert_allclose(nt.beta, two_om * math.cos(math.pi / 4)
+                                   / 6.371e6)
+        np.testing.assert_allclose(nt.gamma, -2 * two_om
+                                   * math.sin(math.pi / 4) / 6.371e6)
+        # fz(y) variation shows up in the x-term: uniform rho_v, zero w
+        g = bz.make_grid(size=(8, 16, 4), extent=(800.0, 3.2e6, 400.0),
+                         topology=(bz.PERIODIC, bz.BOUNDED, bz.BOUNDED),
+                         dtype=jnp.float64)
+        so = StencilOps(g)
+        ru = fl.pad(jnp.zeros(g.shape), g, fl.CCF)
+        rv = fl.pad(jnp.ones(g.shape), g, fl.CFC)
+        rw = fl.pad(jnp.zeros(g.shape), g, fl.FCC)
+        x_t, _, _ = coriolis_terms(nt, so, ru, rv, rw, g)
+        x_t = np.asarray(x_t)
+        # interior rows (wall-face rows see the zero-padded v average)
+        assert x_t[0, 12, 0] < x_t[0, 4, 0] < 0.0, "−fz(y)·v decreases with y"
