@@ -246,7 +246,9 @@ def initial_state(model: AtmosphereModel,
             x, y, z = g.xyz_c()
             arr = jnp.asarray(val(x, y, z), dt) * jnp.ones(g.shape, dt)
         else:
-            arr = jnp.asarray(val, dt)
+            # scalars / columns broadcast to the full grid (a (nz,1,1)
+            # prognostic would otherwise fail in the flux machinery)
+            arr = jnp.broadcast_to(jnp.asarray(val, dt), g.shape)
         return arr * column_density
 
     # Default θ: the reference profile value θᵣ(z) — for a constant-θ₀

@@ -54,6 +54,9 @@ class KesslerMicrophysics:
     tetens_a: float = 17.27
     tetens_dT: float = 35.85
 
+    # host-side sedimentation trip count is computed from dt
+    requires_static_dt = True
+
     prognostic_tracer_names = ("rho_qcl", "rho_qr")
     liquid_tracer_names = ("rho_qcl", "rho_qr")
     ice_tracer_names = ()

@@ -497,6 +497,8 @@ class OneMomentMicrophysics:
 
     liquid_tracer_names = ("rho_qcl", "rho_qr")
     surface_diagnostic_names = ("surface_precip_rate", "accumulated_precip")
+    # host-side sedimentation trip count is computed from dt
+    requires_static_dt = True
 
     @property
     def prognostic_tracer_names(self):

@@ -217,6 +217,9 @@ class TwoMomentMicrophysics:
     min_rain_mass: float = 2.6e-10
     max_rain_mass: float = 5.0e-6
 
+    # host-side sedimentation trip count is computed from dt
+    requires_static_dt = True
+
     prognostic_tracer_names = ("rho_qcl", "rho_qr", "rho_ncl", "rho_nr")
     liquid_tracer_names = ("rho_qcl", "rho_qr")
     ice_tracer_names = ()

@@ -180,3 +180,45 @@ class TestNetCDF:
         assert np.isfinite(th).all()
         times, thetas = writer.load_time_series("theta")
         np.testing.assert_array_equal(thetas, th)
+
+
+class TestDynamicDt:
+    """Anelastic + non-subcycling microphysics takes dt as a traced scalar:
+    wizard retunes never recompile (VERDICT r1 weak #5)."""
+
+    def test_anelastic_dt_changes_do_not_recompile(self):
+        import jax.numpy as jnp
+        import breeze_tpu as bz
+        from breeze_tpu.model import initial_state, make_model
+        from breeze_tpu.simulation import Simulation
+        g = bz.make_grid(size=(16, 1, 8), extent=(1600.0, 1.0, 800.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED))
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=300.0,
+                           microphysics=bz.SaturationAdjustment())
+        state = initial_state(model, qt=0.005)
+        sim = Simulation(model, state, dt=1.0, stop_iteration=2,
+                         verbose=False, nan_check_interval=0)
+        assert not sim._dt_static
+        sim.run()
+        n0 = sim._step._cache_size()
+        for new_dt in (1.3, 0.7, 2.1):
+            sim.dt = new_dt
+            sim.stop_iteration += 1
+            sim.run()
+        assert sim._step._cache_size() == n0, "dt change recompiled"
+        assert bool(jnp.all(jnp.isfinite(sim.state.rho_theta)))
+
+    def test_subcycling_schemes_stay_static(self):
+        import breeze_tpu as bz
+        from breeze_tpu.model import initial_state, make_model
+        from breeze_tpu.physics.kessler import KesslerMicrophysics
+        from breeze_tpu.simulation import Simulation
+        g = bz.make_grid(size=(16, 1, 8), extent=(1600.0, 1.0, 800.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED))
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=300.0,
+                           microphysics=KesslerMicrophysics())
+        state = initial_state(model, qt=0.005)
+        sim = Simulation(model, state, dt=1.0, verbose=False)
+        assert sim._dt_static
