@@ -22,6 +22,20 @@ axis 2 as mesh-sharded.
 
 Use :func:`make_shard_map_step` for a jitted whole-step function, or
 :func:`initialize_distributed` first on multi-host (DCN) deployments.
+
+**Compute/comm overlap.** The reference hand-overlaps MPI halo exchange
+with interior compute (async ``fill_halo_regions!``).  The TPU-native
+equivalent is dataflow freedom + XLA's latency-hiding scheduler: each
+``ppermute`` here is issued as an async collective-permute (start/done
+pair), and everything that does not consume the exchanged halo — the
+z-direction fluxes and tridiagonal solves (z is never sharded), the
+pointwise thermodynamics, the y-direction stencils under 1-D x sharding —
+is free to schedule between start and done.  The flux-divergence code
+keeps those directions dependency-separate precisely so the scheduler can
+do this; nothing in the program forces a bulk-synchronous exchange.
+(Knobs, if profiling on real multi-chip hardware shows missed overlap:
+``--xla_tpu_enable_async_collective_permute``,
+``--xla_latency_hiding_scheduler_rerun``.)
 """
 
 from __future__ import annotations

@@ -11,22 +11,96 @@ import jax
 import jax.numpy as jnp
 
 
+def _readback(out):
+    """Force a device→host readback: on the axon tunnel
+    ``block_until_ready`` does not reliably await remote completion
+    (CLAUDE.md), so sum one leaf and pull the scalar."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(jnp.sum(leaf))
+
+
 def timeit(fn, *args, n=20, warmup=3):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _readback(out)
     return (time.perf_counter() - t0) / n
+
+
+def profile_compressible(nx, ny, nz, substep_floattype=None):
+    """Per-phase breakdown of the split-explicit compressible step:
+    diagnose / slow tendencies / acoustic fast loop / full step."""
+    import breeze_tpu as bz
+    from breeze_tpu.dynamics.compressible import (
+        SplitExplicitTimeDiscretization, Perturbations, acoustic_rk3_step,
+        acoustic_substep_loop, compressible_diagnose,
+        compressible_initial_state, make_compressible_model, slow_tendencies,
+        stage_caches, substep_count)
+
+    grid = bz.make_grid(size=(nx, ny, nz), extent=(12800.0, 12800.0, 3200.0),
+                        topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                        halo=3, dtype=jnp.float32)
+    td = SplitExplicitTimeDiscretization(substep_floattype=substep_floattype)
+    model = make_compressible_model(grid, advection=bz.WENO(5),
+                                    coriolis=bz.FPlane(1e-4),
+                                    time_discretization=td)
+    state = compressible_initial_state(
+        model, theta=lambda x, y, z: 300.0 + 0.5 * jnp.exp(
+            -((x - 6400.0) ** 2 + (y - 6400.0) ** 2
+              + (z - 800.0) ** 2) / 500.0 ** 2))
+    npts = nx * ny * nz
+    dt = 0.25
+    N = substep_count(model, dt)
+    print(f"compressible {nx}x{ny}x{nz}, dt={dt}, substeps N={N}, "
+          f"substep dtype={substep_floattype or 'f32'}")
+
+    full = jax.jit(lambda m, s: acoustic_rk3_step(m, s, dt))
+    t = timeit(full, model, state)
+    print(f"full acoustic step  : {t * 1e3:8.2f} ms  {npts / t / 1e9:6.2f} Gpt/s")
+
+    diag = jax.jit(compressible_diagnose)
+    t = timeit(diag, model, state)
+    print(f"diagnose            : {t * 1e3:8.2f} ms")
+
+    def slow(m, s):
+        return slow_tendencies(m, s, compressible_diagnose(m, s))
+
+    t = timeit(jax.jit(slow), model, state)
+    print(f"slow tendencies     : {t * 1e3:8.2f} ms (x3 stages)")
+
+    def fast(m, s):
+        aux = compressible_diagnose(m, s)
+        caches = stage_caches(m, s, aux)
+        G = slow_tendencies(m, s, aux)
+        zero = jnp.zeros(m.grid.shape, m.grid.dtype)
+        pert = Perturbations(rho=zero, rho_u=zero, rho_v=zero, rho_w=zero,
+                             rho_theta=zero, sum_rho_u=zero, sum_rho_v=zero,
+                             sum_rho_w=zero)
+        return acoustic_substep_loop(m, caches, G, pert, dt / N, N,
+                                     gate_first=True)
+
+    t_fast_tot = timeit(jax.jit(fast), model, state)
+    t_pre = timeit(jax.jit(slow), model, state)
+    print(f"fast loop (N={N:3d})   : {(t_fast_tot - t_pre) * 1e3:8.2f} ms "
+          f"(~{(t_fast_tot - t_pre) / max(N, 1) * 1e3:6.3f} ms/substep; "
+          f"x3 stages, stage N varies)")
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="256x256x128")
+    p.add_argument("--dynamics", choices=("anelastic", "compressible"),
+                   default="anelastic")
+    p.add_argument("--substep-floattype", default=None)
     args = p.parse_args()
     nx, ny, nz = (int(s) for s in args.size.split("x"))
+
+    if args.dynamics == "compressible":
+        profile_compressible(nx, ny, nz, args.substep_floattype)
+        return
 
     import breeze_tpu as bz
     from breeze_tpu import fields as fl
