@@ -300,14 +300,25 @@ def closure_tendencies(model, so: StencilOps, aux, u_pad, v_pad, w_pad,
         abs_S = jnp.sqrt(S2)
 
         if closure.buoyancy_correction and aux.theta is not None:
-            # N² = (g/θ) ∂z θ at centers (dry Brunt-Väisälä; moist θᵥ is a
-            # planned refinement)
-            th_pad = fl.pad(aux.theta, g, fl.CCC)
+            # N² = (g/θᵥ) ∂z θᵥ at centers, with θᵥ = θ(1 + δqᵛ − qᶜ) when
+            # moisture fractions are available (falls back to θ(1 + δqᵗ)
+            # from the total, then to dry θ).
+            c = model.constants
+            delta_rv = c.Rv / c.Rd - 1.0
+            q = getattr(aux, "q", None)
+            if q is not None:
+                th_b = aux.theta * (1.0 + delta_rv * q.vapor
+                                    - q.liquid - q.ice)
+            elif getattr(aux, "qt", None) is not None:
+                th_b = aux.theta * (1.0 + delta_rv * aux.qt)
+            else:
+                th_b = aux.theta
+            th_pad = fl.pad(th_b, g, fl.CCC)
             dthdz_f = so.dz_cf(th_pad)
             dthdz = 0.5 * (dthdz_f + jnp.concatenate(
                 [dthdz_f[1:], dthdz_f[-1:]], axis=0))
-            g_acc = model.constants.gravitational_acceleration
-            N2 = g_acc / jnp.maximum(aux.theta, 1.0) * dthdz
+            g_acc = c.gravitational_acceleration
+            N2 = g_acc / jnp.maximum(th_b, 1.0) * dthdz
             Ri = N2 / jnp.maximum(S2, 1e-20)
             zeta2 = jnp.maximum(0.0, 1.0 - Ri / closure.prandtl)
             abs_S = abs_S * jnp.sqrt(zeta2)

@@ -5,9 +5,14 @@ TPU-native analogue of the reference's 2M extension
 κ-Köhler activation ``cloud_microphysics_translations.jl:592``): prognostic
 cloud/rain mass AND number concentrations, Twomey-type aerosol activation,
 SB2006 autoconversion/accretion/self-collection shapes, ventilated rain
-evaporation, and mean-mass terminal velocities.  Parameter-exact
-CloudMicrophysics.jl parity is a planned refinement; the moments, process
-couplings, and operator-split structure match the reference.
+evaporation, and mean-mass terminal velocities.  The process rates are the
+published SB2006 set (the CloudMicrophysics.jl ``SB2006`` parameters the
+reference delegates to): Eq. 4-6 autoconversion with the Φau universal
+function, Eq. 5 cloud self-collection, Eq. 7-8 accretion with Φacc,
+Eq. 9/13 rain self-collection + breakup, ventilated evaporation with the
+incomplete-gamma number/mass integrals, and Rogers-form SB2006VelType
+mass/number-weighted sedimentation — each pinned by rate tests against
+hand-computed values (``tests/test_two_moment.py::TestSB2006RatePinning``).
 
 Prognostics: vapor (model moisture slot) + tracers
 ``rho_qcl, rho_qr`` (mass densities) and ``rho_ncl, rho_nr`` (number

@@ -153,8 +153,10 @@ class FieldWriter:
     """Append-mode field snapshots to .npz files (one per snapshot).
 
     TPU analogue of the reference's JLD2Writer: each snapshot saves selected
-    prognostic + diagnostic fields with time metadata.  (NetCDF/Zarr output
-    is a planned extension; npz keeps the baked-image dependency set.)
+    prognostic + diagnostic fields with time metadata.  See
+    :class:`NetCDFWriter` for CF-style NetCDF time series and
+    :class:`HDF5Writer` for a single appendable file; both expose
+    ``load_time_series`` (the reference's ``FieldTimeSeries`` readback).
     """
 
     path: str
