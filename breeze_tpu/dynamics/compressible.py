@@ -1105,10 +1105,25 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
             rho_theta=state_n.rho_theta - state.rho_theta,
             sum_rho_u=zero, sum_rho_v=zero, sum_rho_w=zero,
         )
-        pert = acoustic_substep_loop(model, caches, G, pert, dtau, n_tau,
-                                     gate_first=(n_tau > 1), terrain=terrain,
-                                     ob_relax=_open_boundary_relax_plan(
-                                         model, state))
+        ob_relax = _open_boundary_relax_plan(model, state)
+        from ..pallas_kernels import acoustic as pacoustic
+        from ..pallas_kernels.advection import enabled as _pallas_enabled
+        import os as _os
+        use_pallas_fast = (_pallas_enabled() and terrain is None
+                           and not ob_relax and pacoustic.supported(model)
+                           and bool(_os.environ.get(
+                               "BREEZE_TPU_PALLAS_ACOUSTIC")))
+        if use_pallas_fast:
+            # Fused two-kernel substep (pallas_kernels/acoustic.py);
+            # interpret-verified equal to the jnp loop, opt-in via
+            # BREEZE_TPU_PALLAS_ACOUSTIC=1 until TPU-verified.
+            pert = pacoustic.acoustic_substep_loop_pallas(
+                model, caches, G, pert, dtau, n_tau,
+                gate_first=(n_tau > 1))
+        else:
+            pert = acoustic_substep_loop(model, caches, G, pert, dtau,
+                                         n_tau, gate_first=(n_tau > 1),
+                                         terrain=terrain, ob_relax=ob_relax)
 
         # Recovery: U^(k) = U^L + perturbation (reference :1235-1257).
         if terrain is not None:

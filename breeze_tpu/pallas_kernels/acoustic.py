@@ -1,0 +1,395 @@
+"""Fused Pallas kernels for the compressible acoustic substep.
+
+The split-explicit fast loop (``dynamics/compressible.py::
+acoustic_substep_loop``, reference ``acoustic_substepping.jl:1365-1551``)
+runs steps A-E over five carried perturbation fields 6-18 times per outer
+step; the jnp path materializes ~2-3x the fields' own HBM traffic per
+substep (halo pads, predictors, divergence intermediates, the two Thomas
+sweeps).  Here one substep = TWO fused kernels:
+
+- **K1 (horizontal)**: step A (perturbation PGF + forward-Euler ρu′, ρv′)
+  and step B (updated horizontal divergences → the ρ′★/(ρθ)′★
+  predictors).  Grid over (z, y) blocks; x lane-resident (periodic
+  rolls); one y halo row each side via overlapping DMA windows; one extra
+  z row above for the ∂z terms.
+- **K2 (vertical)**: step C (Crank-Nicolson tridiagonal for ρw′ — the
+  coefficients are rebuilt in VMEM from C^L/θ^L each substep, cheaper
+  than streaming three 3-D coefficient fields), step D (recovery), and
+  step E (Klemp thermal divergence damping, which needs the freshly
+  recovered (ρθ)′ at halo rows — the column solve runs redundantly one
+  row beyond the block so the damping stencil stays block-local).  Grid
+  over y blocks with the full column in VMEM.
+
+Index conventions (array layout (z, y, x), interior-sized fields, faces
+stored 0..N-1 = lower edges):
+- window y rows ``0..by+1`` ↔ global centers ``j·by−1 .. j·by+by``
+  (periodic wrap rows added host-side);
+- a y-face between window-center rows ``m`` and ``m+1`` is global face
+  ``j·by+m``; output faces are ``m = 0..by−1`` → window face index m,
+  i.e. rv output row m ↔ window row m+1 of center-located fields.
+
+Scope (jnp fallback otherwise): flat terrain, Cartesian periodic x/y,
+bounded z, uniform Δz, no upper sponge, damping ∈ {None,
+ThermalDivergenceDamping}, float32 working precision, no open-boundary
+relaxation.  Numerics identical to the jnp loop (interpret-verified in
+``tests/test_pallas_kernels.py``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# K1: horizontal momentum update + predictors
+# ---------------------------------------------------------------------------
+
+def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
+             inv_dz: float, dtau: float, omega: float):
+    wz = bz + 1          # one extra z row ABOVE the block (∂z shifts)
+    wy = by + 2          # one y halo row each side
+
+    def kernel(ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
+               thzf_hbm, gru_hbm, grv_hbm, grho_hbm, grt_hbm, pgf_ref,
+               ru_o, rv_o, rhos_o, rts_o,
+               ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
+               gru_w, grv_w, grho_w, grt_w, sems):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        srcs = (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
+                thzf_hbm, gru_hbm, grv_hbm, grho_hbm, grt_hbm)
+        dsts = (ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
+                gru_w, grv_w, grho_w, grt_w)
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).start()
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).wait()
+
+        pgf = pgf_ref[0]
+
+        def xs(a, o):
+            return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
+
+        # ---- step A on all window rows (halo rows feed step B) ---------
+        pp = cl_w[:] * rt_w[:]                        # p' = C^L (ρθ)'
+        dpdx = (pp - xs(pp, -1)) * inv_dx             # at x-faces, all rows
+        ru_new = ru_w[:] + dtau * (gru_w[:] - pgf * dpdx)
+        # y-faces m = 0..by (global j·by+m): pp rows m, m+1
+        dpdy = (pp[:, 1:, :] - pp[:, :-1, :]) * inv_dy
+        rv_new = (rv_w[:, 1:, :]
+                  + dtau * (grv_w[:, 1:, :] - pgf * dpdy))
+
+        # ---- step B on block-interior rows (window rows 1..by) ---------
+        div_h = ((xs(ru_new, 1) - ru_new)[:bz, 1:1 + by, :] * inv_dx
+                 + (rv_new[:, 1:, :] - rv_new[:, :-1, :])[:bz, :, :]
+                 * inv_dy)
+
+        th = th_w[:]
+        fx = 0.5 * (th + xs(th, -1)) * ru_new
+        fy = 0.5 * (th[:, 1:, :] + th[:, :-1, :]) * rv_new
+        div_ht = ((xs(fx, 1) - fx)[:bz, 1:1 + by, :] * inv_dx
+                  + (fy[:, 1:, :] - fy[:, :-1, :])[:bz, :, :] * inv_dy)
+
+        # dz_fc_div with the +1 z row (next block's first row; zero at the
+        # domain top — padded host-side)
+        rw = rw_w[:]
+        thf = thzf_w[:]
+        dzdiv = (rw[1:, :, :] - rw[:-1, :, :]) * inv_dz
+        dzdiv_t = (thf[1:, :, :] * rw[1:, :, :]
+                   - thf[:-1, :, :] * rw[:-1, :, :]) * inv_dz
+
+        ci = lambda a: a[:bz, 1:1 + by, :]            # center-interior view
+        ru_o[:] = ci(ru_new)
+        rv_o[:] = rv_new[:bz, :by, :]                 # faces m = 0..by-1
+        rhos_o[:] = (ci(rho_w[:]) + dtau * (ci(grho_w[:]) - div_h)
+                     - dtau * (1.0 - omega) * ci_z(dzdiv, by))
+        rts_o[:] = (ci(rt_w[:]) + dtau * (ci(grt_w[:]) - div_ht)
+                    - dtau * (1.0 - omega) * ci_z(dzdiv_t, by))
+
+    return kernel
+
+
+def ci_z(a, by):
+    """Interior y rows of a z-differenced (bz, wy, nx) array."""
+    return a[:, 1:1 + by, :]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "bz", "by", "nz", "ny", "nx", "inv_dx", "inv_dy", "inv_dz", "dtau",
+    "omega", "interpret"))
+def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
+            bz, by, nz, ny, nx, inv_dx, inv_dy, inv_dz, dtau, omega,
+            interpret=False):
+    """Inputs are interior (nz, ny, nx); this pads +1 top z row (zero for
+    ρw, repeat otherwise — the repeat rows only multiply the zero ρw) and
+    one periodic y row each side."""
+    def padzy(a, zero_top):
+        top = jnp.zeros_like(a[:1]) if zero_top else a[-1:]
+        a = jnp.concatenate([a, top], axis=0)
+        return jnp.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
+
+    args = [padzy(ru, False), padzy(rv, False), padzy(rw, True),
+            padzy(rho, False), padzy(rt, False), padzy(cl, False),
+            padzy(th, False), padzy(thzf, False), padzy(gru, False),
+            padzy(grv, False), padzy(grho, False), padzy(grt, False)]
+    kernel = _make_k1(bz, by, nx, inv_dx, inv_dy, inv_dz, dtau, omega)
+    wz, wy = bz + 1, by + 2
+    grid = (nz // bz, ny // by)
+    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    outspec = pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 12
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[outspec] * 4,
+        out_shape=[out] * 4,
+        scratch_shapes=[win() for _ in range(12)]
+        + [pltpu.SemaphoreType.DMA((12,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args, jnp.asarray(pgf, jnp.float32).reshape(1))
+
+
+# ---------------------------------------------------------------------------
+# K2: column CN solve + recovery + thermal divergence damping
+# ---------------------------------------------------------------------------
+
+def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
+             dtau: float, omega: float, g_acc: float, dz: float,
+             damp_coef: float):
+    wy = by + 2
+    od2 = omega * omega * dtau * dtau
+    inv_dz = 1.0 / dz
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+
+    def kernel(rhos_hbm, rts_hbm, rw_hbm, rhop_hbm, rtp_hbm, grw_hbm,
+               cl_hbm, th_hbm, thzf_hbm, ru_hbm, rv_hbm,
+               ru_o, rv_o, rw_o, rho_o, rt_o,
+               rhos_w, rts_w, rw_w, rhop_w, rtp_w, grw_w, cl_w, th_w,
+               thzf_w, ru_w, rv_w, cp_s, dp_s, sems):
+        j = pl.program_id(0)
+
+        srcs = (rhos_hbm, rts_hbm, rw_hbm, rhop_hbm, rtp_hbm, grw_hbm,
+                cl_hbm, th_hbm, thzf_hbm, ru_hbm, rv_hbm)
+        dsts = (rhos_w, rts_w, rw_w, rhop_w, rtp_w, grw_w, cl_w, th_w,
+                thzf_w, ru_w, rv_w)
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).start()
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).wait()
+
+        def xs(a, o):
+            return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
+
+        below = lambda a: jnp.concatenate([a[:1], a[:-1]], axis=0)
+        above0 = lambda a: jnp.concatenate(
+            [a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+        cl = cl_w[:]
+        thf = thzf_w[:]
+        rhos = rhos_w[:]
+        rts = rts_w[:]
+        rw_p = rw_w[:]
+        rho_p = rhop_w[:]
+        rt_p = rtp_w[:]
+
+        # ---- CN tridiagonal coefficients (uniform Δz, flat terrain) ----
+        C_b = below(cl)
+        thf_a = jnp.concatenate([thf[1:], thf[-1:]], axis=0)
+        a_co = (0.5 * g_acc * od2 * inv_dz
+                - od2 * inv_dz * inv_dz * C_b * below(thf))
+        b_co = 1.0 + od2 * inv_dz * inv_dz * thf * (cl + C_b)
+        c_co = (-0.5 * g_acc * od2 * inv_dz
+                - od2 * inv_dz * inv_dz * cl * thf_a)
+
+        # ---- RHS --------------------------------------------------------
+        rho_star_zf = 0.5 * (rhos + below(rhos))
+        rho_tau_zf = 0.5 * (rho_p + below(rho_p))
+        Crt_tau = cl * rt_p
+        Crt_star = cl * rts
+        dz_Crt_tau = (Crt_tau - below(Crt_tau)) * inv_dz
+        dz_Crt_star = (Crt_star - below(Crt_star)) * inv_dz
+        d = (rw_p + dtau * grw_w[:]
+             - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
+                               + omega * rho_star_zf)
+             - dtau * ((1.0 - omega) * dz_Crt_tau + omega * dz_Crt_star))
+
+        # ---- Thomas solve along z (Dirichlet bottom row folded in) ------
+        # row 0: a=c=0, b=1, d=0  →  cp[0]=0, dp[0]=0
+        cp_s[0] = jnp.zeros((wy, nx), jnp.float32)
+        dp_s[0] = jnp.zeros((wy, nx), jnp.float32)
+
+        def fwd(k, _):
+            denom = b_co[k] - a_co[k] * cp_s[k - 1]
+            cp_s[k] = c_co[k] / denom
+            dp_s[k] = (d[k] - a_co[k] * dp_s[k - 1]) / denom
+            return 0
+
+        jax.lax.fori_loop(1, nz, fwd, 0, unroll=False)
+
+        def bwd(m, _):
+            k = nz - 2 - m
+            dp_s[k] = dp_s[k] - cp_s[k] * dp_s[k + 1]
+            return 0
+
+        jax.lax.fori_loop(0, nz - 1, bwd, 0, unroll=False)
+        rw_new = dp_s[:]
+
+        # ---- recovery ----------------------------------------------------
+        rho_new = rhos - omega * dtau * (above0(rw_new) - rw_new) * inv_dz
+        thw = thf * rw_new
+        rt_new = rts - omega * dtau * (above0(thw) - thw) * inv_dz
+
+        # ---- thermal divergence damping (block-local halo) ---------------
+        ru_new = ru_w[:]
+        rv_out = rv_w[:, 1:1 + by, :]
+        if damp_coef:
+            D = (rt_new - rt_p) / th_w[:]
+            fac_x = damp_coef * dx / dtau
+            fac_y = damp_coef * dy / dtau
+            ru_new = ru_new - fac_x * (D - xs(D, -1))
+            # y-face m (output row m ↔ window face j·by+m): D rows m, m+1
+            rv_out = rv_out - fac_y * (D[:, 1:1 + by, :] - D[:, :by, :])
+
+        ru_o[:] = ru_new[:, 1:1 + by, :]
+        rv_o[:] = rv_out
+        rw_o[:] = rw_new[:, 1:1 + by, :]
+        rho_o[:] = rho_new[:, 1:1 + by, :]
+        rt_o[:] = rt_new[:, 1:1 + by, :]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "by", "nz", "ny", "nx", "dx", "dy", "dtau", "omega", "g_acc", "dz",
+    "damp_coef", "interpret"))
+def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
+            by, nz, ny, nx, dx, dy, dtau, omega, g_acc, dz, damp_coef,
+            interpret=False):
+    def pady(a):
+        return jnp.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
+
+    args = [pady(x) for x in (rhos, rts, rw_p, rho_p, rt_p, grw, cl, th,
+                              thzf, ru_new, rv_new)]
+    kernel = _make_k2(by, nz, nx, dx, dy, dtau, omega, g_acc, dz, damp_coef)
+    wy = by + 2
+    grid = (ny // by,)
+    win = lambda: pltpu.VMEM((nz, wy, nx), jnp.float32)
+    out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    outspec = pl.BlockSpec((nz, by, nx), lambda j: (0, j, 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11,
+        out_specs=[outspec] * 5,
+        out_shape=[out] * 5,
+        scratch_shapes=[win() for _ in range(11)]
+        + [win(), win(), pltpu.SemaphoreType.DMA((11,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# Driver: full substep loop
+# ---------------------------------------------------------------------------
+
+def _pick(n, candidates):
+    for c in candidates:
+        if n % c == 0:
+            return c
+    return None
+
+
+def supported(model) -> bool:
+    """True when the fused substep kernels cover this configuration."""
+    from ..dynamics.compressible import (NoDivergenceDamping,
+                                         ThermalDivergenceDamping)
+    from ..grid import Topology
+
+    g = model.grid
+    td = model.time_discretization
+    strategy = td.damping_strategy()
+    return (model.terrain is None
+            and not g.is_latlon
+            and g.x_topology == Topology.PERIODIC
+            and g.y_topology == Topology.PERIODIC
+            and g.z_topology == Topology.BOUNDED
+            and g.uniform_z
+            and g.dtype == jnp.float32
+            and td.substep_floattype is None
+            and td.sponge is None
+            and isinstance(strategy,
+                           (NoDivergenceDamping, ThermalDivergenceDamping))
+            and g.nx >= 128 and g.ny >= 8 and g.nz >= 8
+            and _pick(g.nz, (16, 8, 4)) is not None
+            and _pick(g.ny, (8, 4)) is not None)
+
+
+def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
+                                 gate_first: bool, interpret: bool = False):
+    """Drop-in fused replacement for ``acoustic_substep_loop`` within the
+    :func:`supported` envelope.  Same semantics: n_tau substeps of A-E with
+    the substep-0 PGF gate, accumulating the time-summed momenta."""
+    from ..dynamics.compressible import (Perturbations,
+                                         ThermalDivergenceDamping)
+
+    g = model.grid
+    td = model.time_discretization
+    omega = float(td.forward_weight)
+    g_acc = float(model.constants.gravitational_acceleration)
+    nz, ny, nx = g.shape
+    dz = float(g.Lz / g.nz)
+    strategy = td.damping_strategy()
+    damp = (float(strategy.coefficient)
+            if isinstance(strategy, ThermalDivergenceDamping) else 0.0)
+    bz = _pick(nz, (16, 8, 4))
+    by = _pick(ny, (8, 4))
+    dtau = float(dtau)
+
+    cl = caches.C_L.astype(jnp.float32)
+    th = caches.theta_L.astype(jnp.float32)
+    thzf = caches.theta_L_zf.astype(jnp.float32)
+
+    def body(i, p):
+        pgf = jnp.where(jnp.logical_or(i > 0, not gate_first), 1.0, 0.0)
+        ru_new, rv_new, rhos, rts = _run_k1(
+            p.rho_u, p.rho_v, p.rho_w, p.rho, p.rho_theta,
+            cl, th, thzf, G.rho_u, G.rho_v, G.rho, G.rho_theta, pgf,
+            bz=bz, by=by, nz=nz, ny=ny, nx=nx,
+            inv_dx=float(1.0 / g.dx), inv_dy=float(1.0 / g.dy),
+            inv_dz=float(1.0 / dz), dtau=dtau, omega=omega,
+            interpret=interpret)
+        ru2, rv2, rw_new, rho_new, rt_new = _run_k2(
+            rhos, rts, p.rho_w, p.rho, p.rho_theta, G.rho_w, cl, th, thzf,
+            ru_new, rv_new,
+            by=by, nz=nz, ny=ny, nx=nx, dx=float(g.dx), dy=float(g.dy),
+            dtau=dtau, omega=omega, g_acc=g_acc, dz=dz, damp_coef=damp,
+            interpret=interpret)
+        return Perturbations(
+            rho=rho_new, rho_u=ru2, rho_v=rv2, rho_w=rw_new,
+            rho_theta=rt_new,
+            sum_rho_u=p.sum_rho_u + ru2,
+            sum_rho_v=p.sum_rho_v + rv2,
+            sum_rho_w=p.sum_rho_w + rw_new)
+
+    return jax.lax.fori_loop(0, n_tau, body, pert)

@@ -126,3 +126,79 @@ class TestFusedMomentum:
                 a, b = a[1:], b[1:]
             np.testing.assert_allclose(a, b, rtol=5e-4, atol=5e-4,
                                        err_msg=f"momentum component {name}")
+
+
+class TestFusedAcousticSubstep:
+    """Fused two-kernel acoustic substep (pallas_kernels/acoustic.py)
+    against the jnp loop, interpret mode."""
+
+    def setup(self, damping_coefficient=0.1, substeps=4):
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, compressible_diagnose,
+            compressible_initial_state, make_compressible_model,
+            slow_tendencies, stage_caches)
+        g = bz.make_grid(size=(128, 8, 16), extent=(12800.0, 800.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        td = SplitExplicitTimeDiscretization(
+            substeps=substeps, damping_coefficient=damping_coefficient)
+        model = make_compressible_model(g, advection=bz.Centered(2),
+                                        time_discretization=td)
+        state = compressible_initial_state(
+            model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                -((x - 6400.0) ** 2 / 1500.0 ** 2
+                  + (z - 800.0) ** 2 / 300.0 ** 2)),
+            u=lambda x, y, z: 3.0 + 0 * x, pressure_balanced=False)
+        aux = compressible_diagnose(model, state)
+        return (g, model, stage_caches(model, state, aux),
+                slow_tendencies(model, state, aux))
+
+    def _pert(self, g):
+        from breeze_tpu.dynamics.compressible import Perturbations
+        rng = np.random.default_rng(0)
+        r = lambda: jnp.asarray(rng.normal(size=g.shape) * 1e-3, jnp.float32)
+        zero = jnp.zeros(g.shape, jnp.float32)
+        return Perturbations(rho=r(), rho_u=r(), rho_v=r(),
+                             rho_w=r().at[0].set(0.0), rho_theta=r(),
+                             sum_rho_u=zero, sum_rho_v=zero, sum_rho_w=zero)
+
+    def _compare(self, damping, gate_first):
+        from breeze_tpu.dynamics.compressible import acoustic_substep_loop
+        from breeze_tpu.pallas_kernels.acoustic import (
+            acoustic_substep_loop_pallas, supported)
+        g, model, caches, G = self.setup(damping_coefficient=damping)
+        assert supported(model)
+        pert = self._pert(g)
+        ref = acoustic_substep_loop(model, caches, G, pert, 0.5, 3,
+                                    gate_first=gate_first)
+        got = acoustic_substep_loop_pallas(model, caches, G, pert, 0.5, 3,
+                                           gate_first=gate_first,
+                                           interpret=True)
+        for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta",
+                     "sum_rho_u", "sum_rho_v", "sum_rho_w"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            scale = max(np.abs(b).max(), 1e-10)
+            assert np.abs(a - b).max() / scale < 5e-5, (
+                f"{name}: rel {np.abs(a - b).max() / scale:.2e}")
+
+    def test_thermal_damping_gated(self):
+        self._compare(damping=0.1, gate_first=True)
+
+    def test_no_damping_ungated(self):
+        self._compare(damping=0.0, gate_first=False)
+
+    def test_supported_envelope(self):
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, make_compressible_model)
+        from breeze_tpu.pallas_kernels.acoustic import supported
+        g = bz.make_grid(size=(128, 8, 16), extent=(12800.0, 800.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        ok = make_compressible_model(
+            g, time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        assert supported(ok)
+        bf16 = make_compressible_model(
+            g, time_discretization=SplitExplicitTimeDiscretization(
+                substeps=4, substep_floattype="bfloat16"))
+        assert not supported(bf16)
