@@ -50,9 +50,11 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 
 def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
-             inv_dz: float, dtau: float, omega: float):
+             inv_dz: float, dtau: float, omega: float,
+             store_dt=jnp.float32):
     wz = bz + 1          # one extra z row ABOVE the block (∂z shifts)
     wy = by + 2          # one y halo row each side
+    f32 = jnp.float32
 
     def kernel(ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
                thzf_hbm, gru_hbm, grv_hbm, grho_hbm, grt_hbm, pgf_ref,
@@ -80,13 +82,21 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         def xs(a, o):
             return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
 
+        # carried perturbations may be stored reduced-precision; upcast
+        # for the arithmetic (the jnp loop's substep_floattype semantics)
+        ru_p = ru_w[:].astype(f32)
+        rv_p = rv_w[:].astype(f32)
+        rw_p = rw_w[:].astype(f32)
+        rho_p = rho_w[:].astype(f32)
+        rt_p = rt_w[:].astype(f32)
+
         # ---- step A on all window rows (halo rows feed step B) ---------
-        pp = cl_w[:] * rt_w[:]                        # p' = C^L (ρθ)'
+        pp = cl_w[:] * rt_p                           # p' = C^L (ρθ)'
         dpdx = (pp - xs(pp, -1)) * inv_dx             # at x-faces, all rows
-        ru_new = ru_w[:] + dtau * (gru_w[:] - pgf * dpdx)
+        ru_new = ru_p + dtau * (gru_w[:] - pgf * dpdx)
         # y-faces m = 0..by (global j·by+m): pp rows m, m+1
         dpdy = (pp[:, 1:, :] - pp[:, :-1, :]) * inv_dy
-        rv_new = (rv_w[:, 1:, :]
+        rv_new = (rv_p[:, 1:, :]
                   + dtau * (grv_w[:, 1:, :] - pgf * dpdy))
 
         # ---- step B on block-interior rows (window rows 1..by) ---------
@@ -102,7 +112,7 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 
         # dz_fc_div with the +1 z row (next block's first row; zero at the
         # domain top — padded host-side)
-        rw = rw_w[:]
+        rw = rw_p
         thf = thzf_w[:]
         dzdiv = (rw[1:, :, :] - rw[:-1, :, :]) * inv_dz
         dzdiv_t = (thf[1:, :, :] * rw[1:, :, :]
@@ -111,9 +121,9 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         ci = lambda a: a[:bz, 1:1 + by, :]            # center-interior view
         ru_o[:] = ci(ru_new)
         rv_o[:] = rv_new[:bz, :by, :]                 # faces m = 0..by-1
-        rhos_o[:] = (ci(rho_w[:]) + dtau * (ci(grho_w[:]) - div_h)
+        rhos_o[:] = (ci(rho_p) + dtau * (ci(grho_w[:]) - div_h)
                      - dtau * (1.0 - omega) * ci_z(dzdiv, by))
-        rts_o[:] = (ci(rt_w[:]) + dtau * (ci(grt_w[:]) - div_ht)
+        rts_o[:] = (ci(rt_p) + dtau * (ci(grt_w[:]) - div_ht)
                     - dtau * (1.0 - omega) * ci_z(dzdiv_t, by))
 
     return kernel
@@ -126,10 +136,10 @@ def ci_z(a, by):
 
 @functools.partial(jax.jit, static_argnames=(
     "bz", "by", "nz", "ny", "nx", "inv_dx", "inv_dy", "inv_dz", "dtau",
-    "omega", "interpret"))
+    "omega", "store", "interpret"))
 def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
             bz, by, nz, ny, nx, inv_dx, inv_dy, inv_dz, dtau, omega,
-            interpret=False):
+            store="float32", interpret=False):
     """Inputs are interior (nz, ny, nx); this pads +1 top z row (zero for
     ρw, repeat otherwise — the repeat rows only multiply the zero ρw) and
     one periodic y row each side."""
@@ -142,13 +152,17 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
             padzy(rho, False), padzy(rt, False), padzy(cl, False),
             padzy(th, False), padzy(thzf, False), padzy(gru, False),
             padzy(grv, False), padzy(grho, False), padzy(grt, False)]
-    kernel = _make_k1(bz, by, nx, inv_dx, inv_dy, inv_dz, dtau, omega)
+    store_dt = jnp.dtype(store)
+    kernel = _make_k1(bz, by, nx, inv_dx, inv_dy, inv_dz, dtau, omega,
+                      store_dt=store_dt)
     wz, wy = bz + 1, by + 2
     grid = (nz // bz, ny // by)
-    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    win = lambda dt=jnp.float32: pltpu.VMEM((wz, wy, nx), dt)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     outspec = pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
+    # the five carried windows hold the (possibly reduced) storage dtype
+    carry_wins = [win(store_dt) for _ in range(5)]
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -156,7 +170,7 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[outspec] * 4,
         out_shape=[out] * 4,
-        scratch_shapes=[win() for _ in range(12)]
+        scratch_shapes=carry_wins + [win() for _ in range(7)]
         + [pltpu.SemaphoreType.DMA((12,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -170,12 +184,11 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
 
 def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
              dtau: float, omega: float, g_acc: float, dz: float,
-             damp_coef: float):
+             damp_coef: float, store_dt=jnp.float32):
     wy = by + 2
     od2 = omega * omega * dtau * dtau
     inv_dz = 1.0 / dz
-    inv_dx = 1.0 / dx
-    inv_dy = 1.0 / dy
+    f32 = jnp.float32
 
     def kernel(rhos_hbm, rts_hbm, rw_hbm, rhop_hbm, rtp_hbm, grw_hbm,
                cl_hbm, th_hbm, thzf_hbm, ru_hbm, rv_hbm,
@@ -206,9 +219,9 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         thf = thzf_w[:]
         rhos = rhos_w[:]
         rts = rts_w[:]
-        rw_p = rw_w[:]
-        rho_p = rhop_w[:]
-        rt_p = rtp_w[:]
+        rw_p = rw_w[:].astype(f32)
+        rho_p = rhop_w[:].astype(f32)
+        rt_p = rtp_w[:].astype(f32)
 
         # ---- CN tridiagonal coefficients (uniform Δz, flat terrain) ----
         C_b = below(cl)
@@ -268,40 +281,45 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
             # y-face m (output row m ↔ window face j·by+m): D rows m, m+1
             rv_out = rv_out - fac_y * (D[:, 1:1 + by, :] - D[:, :by, :])
 
-        ru_o[:] = ru_new[:, 1:1 + by, :]
-        rv_o[:] = rv_out
-        rw_o[:] = rw_new[:, 1:1 + by, :]
-        rho_o[:] = rho_new[:, 1:1 + by, :]
-        rt_o[:] = rt_new[:, 1:1 + by, :]
+        ru_o[:] = ru_new[:, 1:1 + by, :].astype(store_dt)
+        rv_o[:] = rv_out.astype(store_dt)
+        rw_o[:] = rw_new[:, 1:1 + by, :].astype(store_dt)
+        rho_o[:] = rho_new[:, 1:1 + by, :].astype(store_dt)
+        rt_o[:] = rt_new[:, 1:1 + by, :].astype(store_dt)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
     "by", "nz", "ny", "nx", "dx", "dy", "dtau", "omega", "g_acc", "dz",
-    "damp_coef", "interpret"))
+    "damp_coef", "store", "interpret"))
 def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
             by, nz, ny, nx, dx, dy, dtau, omega, g_acc, dz, damp_coef,
-            interpret=False):
+            store="float32", interpret=False):
     def pady(a):
         return jnp.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
 
     args = [pady(x) for x in (rhos, rts, rw_p, rho_p, rt_p, grw, cl, th,
                               thzf, ru_new, rv_new)]
-    kernel = _make_k2(by, nz, nx, dx, dy, dtau, omega, g_acc, dz, damp_coef)
+    store_dt = jnp.dtype(store)
+    kernel = _make_k2(by, nz, nx, dx, dy, dtau, omega, g_acc, dz, damp_coef,
+                      store_dt=store_dt)
     wy = by + 2
     grid = (ny // by,)
-    win = lambda: pltpu.VMEM((nz, wy, nx), jnp.float32)
-    out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    win = lambda dt=jnp.float32: pltpu.VMEM((nz, wy, nx), dt)
+    out = jax.ShapeDtypeStruct((nz, ny, nx), store_dt)
     outspec = pl.BlockSpec((nz, by, nx), lambda j: (0, j, 0),
                            memory_space=pltpu.VMEM)
+    # carried inputs (rw', rho', rt') arrive in the storage dtype
+    wins = ([win(), win(), win(store_dt), win(store_dt), win(store_dt)]
+            + [win() for _ in range(6)])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11,
         out_specs=[outspec] * 5,
         out_shape=[out] * 5,
-        scratch_shapes=[win() for _ in range(11)]
+        scratch_shapes=wins
         + [win(), win(), pltpu.SemaphoreType.DMA((11,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
@@ -336,7 +354,7 @@ def supported(model) -> bool:
             and g.z_topology == Topology.BOUNDED
             and g.uniform_z
             and g.dtype == jnp.float32
-            and td.substep_floattype is None
+            and td.substep_floattype in (None, "bfloat16")
             and td.sponge is None
             and isinstance(strategy,
                            (NoDivergenceDamping, ThermalDivergenceDamping))
@@ -365,6 +383,9 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     bz = _pick(nz, (16, 8, 4))
     by = _pick(ny, (8, 4))
     dtau = float(dtau)
+    store = td.substep_floattype or "float32"
+    store_dt = jnp.dtype(store)
+    work_dt = g.dtype
 
     cl = caches.C_L.astype(jnp.float32)
     th = caches.theta_L.astype(jnp.float32)
@@ -377,19 +398,36 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
             cl, th, thzf, G.rho_u, G.rho_v, G.rho, G.rho_theta, pgf,
             bz=bz, by=by, nz=nz, ny=ny, nx=nx,
             inv_dx=float(1.0 / g.dx), inv_dy=float(1.0 / g.dy),
-            inv_dz=float(1.0 / dz), dtau=dtau, omega=omega,
+            inv_dz=float(1.0 / dz), dtau=dtau, omega=omega, store=store,
             interpret=interpret)
         ru2, rv2, rw_new, rho_new, rt_new = _run_k2(
             rhos, rts, p.rho_w, p.rho, p.rho_theta, G.rho_w, cl, th, thzf,
             ru_new, rv_new,
             by=by, nz=nz, ny=ny, nx=nx, dx=float(g.dx), dy=float(g.dy),
             dtau=dtau, omega=omega, g_acc=g_acc, dz=dz, damp_coef=damp,
-            interpret=interpret)
+            store=store, interpret=interpret)
         return Perturbations(
             rho=rho_new, rho_u=ru2, rho_v=rv2, rho_w=rw_new,
             rho_theta=rt_new,
-            sum_rho_u=p.sum_rho_u + ru2,
-            sum_rho_v=p.sum_rho_v + rv2,
-            sum_rho_w=p.sum_rho_w + rw_new)
+            sum_rho_u=p.sum_rho_u + ru2.astype(work_dt),
+            sum_rho_v=p.sum_rho_v + rv2.astype(work_dt),
+            sum_rho_w=p.sum_rho_w + rw_new.astype(work_dt))
 
-    return jax.lax.fori_loop(0, n_tau, body, pert)
+    if store_dt != work_dt:
+        pert = Perturbations(
+            rho=pert.rho.astype(store_dt),
+            rho_u=pert.rho_u.astype(store_dt),
+            rho_v=pert.rho_v.astype(store_dt),
+            rho_w=pert.rho_w.astype(store_dt),
+            rho_theta=pert.rho_theta.astype(store_dt),
+            sum_rho_u=pert.sum_rho_u, sum_rho_v=pert.sum_rho_v,
+            sum_rho_w=pert.sum_rho_w)
+    out = jax.lax.fori_loop(0, n_tau, body, pert)
+    if store_dt != work_dt:
+        out = Perturbations(
+            rho=out.rho.astype(work_dt), rho_u=out.rho_u.astype(work_dt),
+            rho_v=out.rho_v.astype(work_dt), rho_w=out.rho_w.astype(work_dt),
+            rho_theta=out.rho_theta.astype(work_dt),
+            sum_rho_u=out.sum_rho_u, sum_rho_v=out.sum_rho_v,
+            sum_rho_w=out.sum_rho_w)
+    return out

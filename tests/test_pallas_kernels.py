@@ -201,4 +201,49 @@ class TestFusedAcousticSubstep:
         bf16 = make_compressible_model(
             g, time_discretization=SplitExplicitTimeDiscretization(
                 substeps=4, substep_floattype="bfloat16"))
-        assert not supported(bf16)
+        assert supported(bf16)   # bf16 carries are in-scope
+        from breeze_tpu.dynamics.compressible import UpperSponge
+        sponged = make_compressible_model(
+            g, time_discretization=SplitExplicitTimeDiscretization(
+                substeps=4, sponge=UpperSponge()))
+        assert not supported(sponged)
+
+    def test_bf16_substep_storage(self):
+        """bf16-carry variant tracks the jnp loop's substep_floattype
+        semantics (compare against the jnp bf16 loop, tight; and against
+        the f32 loop, loose)."""
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_substep_loop,
+            compressible_diagnose, compressible_initial_state,
+            make_compressible_model, slow_tendencies, stage_caches)
+        from breeze_tpu.pallas_kernels.acoustic import (
+            acoustic_substep_loop_pallas, supported)
+        g = bz.make_grid(size=(128, 8, 16), extent=(12800.0, 800.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        td = SplitExplicitTimeDiscretization(substeps=4,
+                                             substep_floattype="bfloat16")
+        model = make_compressible_model(g, advection=bz.Centered(2),
+                                        time_discretization=td)
+        assert supported(model)
+        state = compressible_initial_state(
+            model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                -((x - 6400.0) ** 2 / 1500.0 ** 2
+                  + (z - 800.0) ** 2 / 300.0 ** 2)),
+            pressure_balanced=False)
+        aux = compressible_diagnose(model, state)
+        caches = stage_caches(model, state, aux)
+        G = slow_tendencies(model, state, aux)
+        pert = self._pert(g)
+        ref = acoustic_substep_loop(model, caches, G, pert, 0.5, 3,
+                                    gate_first=True)
+        got = acoustic_substep_loop_pallas(model, caches, G, pert, 0.5, 3,
+                                           gate_first=True, interpret=True)
+        for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta"):
+            a = np.asarray(getattr(got, name), np.float64)
+            b = np.asarray(getattr(ref, name), np.float64)
+            scale = max(np.abs(b).max(), 1e-10)
+            # both paths quantize to bf16 between substeps but with
+            # different intermediate rounding: agree to bf16 epsilon-ish
+            assert np.abs(a - b).max() / scale < 3e-2, (
+                f"{name}: rel {np.abs(a - b).max() / scale:.2e}")
