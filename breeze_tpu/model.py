@@ -671,6 +671,24 @@ def pressure_projection(model: AtmosphereModel, rho_u, rho_v, rho_w, dt):
         rho_v = rho_v * ib.mask_v
         rho_w = rho_w * ib.mask_w
 
+    from .pallas_kernels import projection as pproj
+    from .pallas_kernels.advection import enabled as _pallas_enabled
+    use_pallas = (_pallas_enabled() and model.immersed is None
+                  and pproj.supported(g)
+                  and bool(os.environ.get("BREEZE_TPU_PALLAS_PROJ")))
+    rho_c = model.reference.rho_col
+    rho_f = model.reference.rho_f_col
+
+    if use_pallas:
+        # Fused single-pass divergence + gradient-correct kernels
+        # (pallas_kernels/projection.py); interpret-verified, opt-in via
+        # BREEZE_TPU_PALLAS_PROJ=1 until TPU-verified.
+        div = pproj.divergence_pallas(g, rho_u, rho_v, rho_w)
+        phi = model.solver.solve(div, dt)
+        return (*pproj.gradient_correct_pallas(
+            g, phi, rho_u, rho_v, rho_w, rho_c[:, 0, 0],
+            rho_f[: g.nz, 0, 0], dt), phi)
+
     # δ = ∇·(ρu) at centers (1-wide halos suffice).
     ru_pad = fl.pad(rho_u, g, fl.CCF)
     rv_pad = fl.pad(rho_v, g, fl.CFC)
@@ -680,8 +698,6 @@ def pressure_projection(model: AtmosphereModel, rho_u, rho_v, rho_w, dt):
     phi = model.solver.solve(div, dt)
 
     phi_pad = fl.pad(phi, g, fl.CCC)
-    rho_c = model.reference.rho_col
-    rho_f = model.reference.rho_f_col
     rho_u = rho_u - dt * rho_c * so.dx_cf(phi_pad)
     rho_v = rho_v - dt * rho_c * so.dy_cf(phi_pad)
     rho_w = rho_w - dt * rho_f * so.dz_cf(phi_pad)

@@ -247,3 +247,71 @@ class TestFusedAcousticSubstep:
             # different intermediate rounding: agree to bf16 epsilon-ish
             assert np.abs(a - b).max() / scale < 3e-2, (
                 f"{name}: rel {np.abs(a - b).max() / scale:.2e}")
+
+
+class TestFusedProjection:
+    """Fused divergence + gradient-correct kernels vs the jnp projection
+    path (interpret mode)."""
+
+    def setup_fields(self):
+        from breeze_tpu.model import make_model
+        g = bz.make_grid(size=(128, 16, 16), extent=(12800.0, 1600.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        model = make_model(g, advection=adv.WENO(5),
+                           potential_temperature=300.0)
+        rng = np.random.default_rng(1)
+        r = lambda: jnp.asarray(rng.normal(size=g.shape), jnp.float32)
+        return g, model, r(), r(), r().at[0].set(0.0), r()
+
+    def test_divergence_matches(self):
+        from breeze_tpu.pallas_kernels.projection import (divergence_pallas,
+                                                          supported)
+        g, model, ru, rv, rw, _ = self.setup_fields()
+        assert supported(g)
+        so = StencilOps(g)
+        ref = so.div_c(fl.pad(ru, g, fl.CCF), fl.pad(rv, g, fl.CFC),
+                       fl.pad(rw, g, fl.FCC))
+        got = divergence_pallas(g, ru, rv, rw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-5)
+
+    def test_gradient_correct_matches(self):
+        from breeze_tpu.pallas_kernels.projection import (
+            gradient_correct_pallas)
+        g, model, ru, rv, rw, phi = self.setup_fields()
+        so = StencilOps(g)
+        ref_st = model.reference
+        dt = 0.5
+        phi_pad = fl.pad(phi, g, fl.CCC)
+        ru_r = ru - dt * ref_st.rho_col * so.dx_cf(phi_pad)
+        rv_r = rv - dt * ref_st.rho_col * so.dy_cf(phi_pad)
+        rw_r = rw - dt * ref_st.rho_f_col * so.dz_cf(phi_pad)
+        ru_r, rv_r, rw_r = fl.enforce_wall_normals(g, ru_r, rv_r, rw_r)
+        gu, gv, gw = gradient_correct_pallas(
+            g, phi, ru, rv, rw, ref_st.rho_col[:, 0, 0],
+            ref_st.rho_f_col[: g.nz, 0, 0], dt, interpret=True)
+        for a, b in ((gu, ru_r), (gv, rv_r), (gw, rw_r)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_stretched_z_divergence(self):
+        from breeze_tpu.pallas_kernels.projection import (divergence_pallas,
+                                                          supported)
+        z_faces = bz.piecewise_stretched_z(16, surface_layer_height=400.0,
+                                           surface_layer_spacing=50.0,
+                                           top=1600.0)
+        g = bz.make_grid(size=(128, 16, len(z_faces) - 1),
+                         x=(0.0, 12800.0), y=(0.0, 1600.0), z=z_faces,
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        assert supported(g)
+        so = StencilOps(g)
+        rng = np.random.default_rng(2)
+        r = lambda: jnp.asarray(rng.normal(size=g.shape), jnp.float32)
+        ru, rv, rw = r(), r(), r().at[0].set(0.0)
+        ref = so.div_c(fl.pad(ru, g, fl.CCF), fl.pad(rv, g, fl.CFC),
+                       fl.pad(rw, g, fl.FCC))
+        got = divergence_pallas(g, ru, rv, rw, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-4)
