@@ -3,8 +3,24 @@
 # and run the suite on CPU with 8 virtual devices (conftest.py enforces both).
 # xdist workers (-n 2) both parallelize and isolate the sporadic XLA:CPU
 # compile segfaults of this host's jaxlib (see CLAUDE.md) — a crashed worker
-# is reported and replaced instead of killing the whole run.
+# is reported and replaced instead of killing the whole run.  Any test that
+# FAILED (usually because its worker crashed mid-compile) is retried once
+# serially; the retry verdict is final.
+set -o pipefail
 if [ $# -eq 0 ]; then
     set -- tests/ -n 2
 fi
-PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu exec python -m pytest "$@" -q
+export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
+LOG=$(mktemp /tmp/runtests.XXXXXX.log)
+python -m pytest "$@" -q 2>&1 | tee "$LOG"
+status=$?
+if [ $status -ne 0 ]; then
+    mapfile -t failed < <(grep -E "^FAILED " "$LOG" | awk '{print $2}' | sort -u)
+    if [ ${#failed[@]} -gt 0 ] && [ ${#failed[@]} -le 20 ]; then
+        echo "--- retrying ${#failed[@]} failed test(s) serially (XLA:CPU segfault flake isolation) ---"
+        python -m pytest "${failed[@]}" -q -p no:xdist
+        status=$?
+    fi
+fi
+rm -f "$LOG"
+exit $status
