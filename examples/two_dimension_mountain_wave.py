@@ -8,7 +8,7 @@ in Gal-Chen σ-coordinates (acoustic substepper terrain dispatch, reference
 ``terrain_compressible_physics.jl:486-659``); ``--explicit`` selects the
 fully explicit acoustic-CFL-limited validation path instead.
 
-Run:  python examples/two_dimension_mountain_wave.py [--quick] [--explicit]
+Run:  python examples/two_dimension_mountain_wave.py [--quick] [--explicit] [--sleve]
 """
 
 import argparse
@@ -32,6 +32,8 @@ def main():
     p.add_argument("--quick", action="store_true")
     p.add_argument("--explicit", action="store_true",
                    help="fully explicit compressible path (validation)")
+    p.add_argument("--sleve", action="store_true",
+                   help="SLEVE (TwoLevelDecay) terrain-following coordinates")
     args = p.parse_args()
 
     nx, nz = (64, 20) if args.quick else (256, 64)
@@ -43,10 +45,13 @@ def main():
     const = ThermodynamicConstants()
 
     h0, a = 250.0, 3_000.0
+    sleve_kw = (dict(large_scale_height=8_000.0, small_scale_height=4_000.0,
+                     sleve_smoothing_passes=8) if args.sleve else {})
     terrain = make_terrain(
         grid, const,
         lambda x, y: h0 / (1.0 + ((x - 20_000.0) / a) ** 2),
-        potential_temperature=lambda z: 288.0 * np.exp(1e-4 / 9.81 * z))
+        potential_temperature=lambda z: 288.0 * np.exp(1e-4 / 9.81 * z),
+        **sleve_kw)
 
     model = make_compressible_model(
         grid, advection=bz.Centered(2),
