@@ -95,6 +95,8 @@ def main():
     p.add_argument("--dynamics", choices=("anelastic", "compressible"),
                    default="anelastic")
     p.add_argument("--substep-floattype", default=None)
+    p.add_argument("--moist", action="store_true",
+                   help="saturation-adjustment moist thermodynamics")
     args = p.parse_args()
     nx, ny, nz = (int(s) for s in args.size.split("x"))
 
@@ -110,10 +112,15 @@ def main():
     grid = bz.make_grid(size=(nx, ny, nz), extent=(12800.0, 12800.0, 3200.0),
                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
                         halo=3, dtype=jnp.float32)
-    model = bz.make_model(grid, advection=bz.WENO(5), potential_temperature=300.0)
+    micro = (bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium())
+             if args.moist else None)
+    model = bz.make_model(grid, advection=bz.WENO(5),
+                          potential_temperature=300.0, microphysics=micro)
     state = bz.initial_state(
         model, theta=lambda x, y, z: 300.0 + 0.5 * jnp.exp(
-            -((x - 6400.0) ** 2 + (y - 6400.0) ** 2 + (z - 800.0) ** 2) / 500.0 ** 2))
+            -((x - 6400.0) ** 2 + (y - 6400.0) ** 2 + (z - 800.0) ** 2) / 500.0 ** 2),
+        qt=(lambda x, y, z: 0.012 * jnp.exp(-z / 2000.0)) if args.moist
+        else None)
 
     npts = nx * ny * nz
 
