@@ -486,9 +486,26 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     v_pad = fl.pad(aux.v, g, fl.CFC)
     w_pad = fl.pad(aux.w, g, fl.FCC)
 
-    adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
-        so, model.momentum_advection,
-        rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad)
+    # Fused Pallas WENO kernels (same TPU-default kernels as the anelastic
+    # path; here the advecting momenta are the true prognostic ρu fields).
+    from ..pallas_kernels import advection as padv
+    from ..pallas_kernels import momentum as pmom
+    use_pallas_mom = (padv.enabled()
+                      and pmom.supported(g, model.momentum_advection))
+    use_pallas_scal = padv.available(g, model.scalar_advection)
+    if use_pallas_mom or use_pallas_scal:
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        pzu, pzv, pzw = (pz(aux.u, fl.CCF), pz(aux.v, fl.CFC),
+                         pz(aux.w, fl.FCC))
+
+    if use_pallas_mom:
+        adv_u, adv_v, adv_w = pmom.momentum_div_pallas(
+            g, pz(state.rho_u, fl.CCF), pz(state.rho_v, fl.CFC),
+            pz(state.rho_w, fl.FCC), pzu, pzv, pzw)
+    else:
+        adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
+            so, model.momentum_advection,
+            rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad)
     cor_x, cor_y, cor_z = coriolis_terms(
         model.coriolis, so, rho_u_pad, rho_v_pad, rho_w_pad, g)
 
@@ -497,10 +514,16 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     G_rho = -so.div_c(rho_u_pad, rho_v_pad, rho_w_pad)
 
     # ρθ: full advection scheme at stage entry (specific θ against ρ).
-    theta_pad = fl.pad(aux.theta, g, fl.CCC)
-    rho_pad = fl.pad(state.rho, g, fl.CCC)
-    G_rho_theta = -adv.div_rho_u_c(
-        so, model.scalar_advection, rho_pad, u_pad, v_pad, w_pad, theta_pad)
+    if use_pallas_scal:
+        G_rho_theta = padv.div_rho_u_c_pallas(
+            g, pz(aux.theta, fl.CCC), pzu, pzv, pzw,
+            pz(state.rho, fl.CCC))
+    else:
+        theta_pad = fl.pad(aux.theta, g, fl.CCC)
+        rho_pad = fl.pad(state.rho, g, fl.CCC)
+        G_rho_theta = -adv.div_rho_u_c(
+            so, model.scalar_advection, rho_pad, u_pad, v_pad, w_pad,
+            theta_pad)
 
     # Frozen horizontal PGF (p_r is z-only, so ∂x p^L ≡ ∂x(p^L − p_r)).
     p_pad = fl.pad(aux.p, g, fl.CCC)

@@ -196,7 +196,7 @@ def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
     inv_dz = float(grid.nz / grid.Lz)
     return _run(c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy, rho_pad_zy,
                 float(1.0 / grid.dx), float(1.0 / grid.dy), inv_dz,
-                nz, ny, nx, bz, by, interpret=interpret)
+                nz, ny, nx, bz, by, interpret=interpret or force_interpret())
 
 
 def pad_zy(a, grid, loc):
@@ -207,6 +207,15 @@ def pad_zy(a, grid, loc):
     return fl.pad(out, grid, loc, halo=HY, axes=(1,))
 
 
+def force_interpret() -> bool:
+    """CI hook: ``BREEZE_TPU_PALLAS_INTERPRET=1`` makes ``enabled()`` true
+    on any backend and runs every kernel in interpret mode — lets the
+    CPU test suite exercise the exact production wiring."""
+    import os
+
+    return bool(os.environ.get("BREEZE_TPU_PALLAS_INTERPRET"))
+
+
 def enabled() -> bool:
     """Pallas kernels are the DEFAULT on TPU backends (verified compiled +
     bitwise-equal on v5e through the axon tunnel); set
@@ -215,6 +224,8 @@ def enabled() -> bool:
 
     if os.environ.get("BREEZE_TPU_DISABLE_PALLAS"):
         return False
+    if force_interpret():
+        return True
     return jax.default_backend() in ("tpu", "axon")
 
 

@@ -34,6 +34,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+def _force_interpret():
+    from .advection import force_interpret
+    return force_interpret()
+
+
 H = 3   # WENO5 z-halo
 HY = 4  # y-halo: one extra row so VMEM window sublane count is 8-aligned
 
@@ -283,7 +288,8 @@ def momentum_div_pallas(grid, ru_pad_zy, rv_pad_zy, rw_pad_zy,
     inv_dz = float(grid.nz / grid.Lz)   # uniform z (checked by `supported`)
     return _run(ru_pad_zy, rv_pad_zy, rw_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
                 float(1.0 / grid.dx), float(1.0 / grid.dy), inv_dz, inv_dz,
-                nz, ny, nx, bz, by, interpret=interpret)
+                nz, ny, nx, bz, by,
+                interpret=interpret or _force_interpret())
 
 
 def momentum_div_pallas_cols(grid, u_pad_zy, v_pad_zy, w_pad_zy,
@@ -302,4 +308,5 @@ def momentum_div_pallas_cols(grid, u_pad_zy, v_pad_zy, w_pad_zy,
     return _run_cols(u_pad_zy, v_pad_zy, w_pad_zy,
                      colc.astype(jnp.float32), colf.astype(jnp.float32),
                      float(1.0 / grid.dx), float(1.0 / grid.dy),
-                     inv_dz, inv_dz, nz, ny, nx, bz, by, interpret=interpret)
+                     inv_dz, inv_dz, nz, ny, nx, bz, by,
+                     interpret=interpret or _force_interpret())

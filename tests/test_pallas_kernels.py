@@ -315,3 +315,44 @@ class TestFusedProjection:
         got = divergence_pallas(g, ru, rv, rw, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-4)
+
+
+class TestCompressibleSlowTendencyWiring:
+    def test_pallas_wiring_matches_jnp(self):
+        """The compressible slow_tendencies Pallas dispatch (true-ρ
+        momentum + θ kernels) equals the jnp path — exercises the exact
+        production wiring via BREEZE_TPU_PALLAS_INTERPRET."""
+        import os
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, compressible_diagnose,
+            compressible_initial_state, make_compressible_model,
+            slow_tendencies)
+        g = bz.make_grid(size=(128, 8, 16), extent=(12800.0, 800.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        model = make_compressible_model(
+            g, advection=adv.WENO(5), coriolis=bz.FPlane(1e-4),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        state = compressible_initial_state(
+            model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                -((x - 6400.0) ** 2 / 1500.0 ** 2
+                  + (z - 800.0) ** 2 / 300.0 ** 2)),
+            u=lambda x, y, z: 3.0 + 0 * x, pressure_balanced=False)
+        aux = compressible_diagnose(model, state)
+        ref = slow_tendencies(model, state, aux)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            got = slow_tendencies(model, state, aux)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            if name == "rho_w":
+                a, b = a[1:], b[1:]      # wall row overwritten downstream
+            scale = max(np.abs(b).max(), 1e-10)
+            err = np.abs(a - b).max()
+            # the θ tendency is a small residual of large canceling
+            # fluxes (|ρuθ|/Δx ~ 10): allow f32 cancellation noise
+            assert err / scale < 5e-4 or err < 1e-5, (
+                f"{name}: rel {err / scale:.2e} abs {err:.2e}")
