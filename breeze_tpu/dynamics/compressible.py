@@ -1237,20 +1237,37 @@ def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
         v_pad = fl.pad(avg_rv / rho_safe, g, fl.CFC)
         w_pad = fl.pad(avg_rw / rho_safe, g, fl.FCC)
 
+    # Fused Pallas scalar kernel on the flat Cartesian WENO5 envelope
+    # (same TPU-default gating as the slow-tendency path).
+    from ..pallas_kernels import advection as padv
+    use_pallas = (terrain is None
+                  and padv.available(g, model.scalar_advection))
+    if use_pallas:
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        pzu = pz(avg_ru / rho_safe, fl.CCF)
+        pzv = pz(avg_rv / rho_safe, fl.CFC)
+        pzw = pz(avg_rw / rho_safe, fl.FCC)
+        pzrho = pz(state_L.rho, fl.CCC)
+
+        def G_scalar(rho_c_field):
+            return padv.div_rho_u_c_pallas(
+                g, pz(rho_c_field / state_L.rho, fl.CCC),
+                pzu, pzv, pzw, pzrho)
+    else:
+        def G_scalar(rho_c_field):
+            c_pad = fl.pad(rho_c_field / state_L.rho, g, fl.CCC)
+            return -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
+                                    u_pad, v_pad, w_pad, c_pad) * invJ
+
     updates = {}
     if state_L.rho_qt is not None:
-        q_pad = fl.pad(state_L.rho_qt / state_L.rho, g, fl.CCC)
-        Gq = -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
-                              u_pad, v_pad, w_pad, q_pad) * invJ
+        Gq = G_scalar(state_L.rho_qt)
         if G_qt_slow is not None:
             Gq = Gq + G_qt_slow
         updates["rho_qt"] = state_n.rho_qt + beta_dt * Gq
     tr = {}
     for name, val in state_L.tracers.items():
-        c_pad = fl.pad(val / state_L.rho, g, fl.CCC)
-        Gc = -adv.div_rho_u_c(so, model.scalar_advection, rho_pad,
-                              u_pad, v_pad, w_pad, c_pad) * invJ
-        tr[name] = state_n.tracers[name] + beta_dt * Gc
+        tr[name] = state_n.tracers[name] + beta_dt * G_scalar(val)
     if tr:
         updates["tracers"] = tr
     return new_state.replace(**updates)

@@ -356,3 +356,38 @@ class TestCompressibleSlowTendencyWiring:
             # fluxes (|ρuθ|/Δx ~ 10): allow f32 cancellation noise
             assert err / scale < 5e-4 or err < 1e-5, (
                 f"{name}: rel {err / scale:.2e} abs {err:.2e}")
+
+    def test_scalar_advance_wiring_matches_jnp(self):
+        """_advance_scalars' Pallas dispatch equals the jnp path through a
+        full moist acoustic step (BREEZE_TPU_PALLAS_INTERPRET)."""
+        import os
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_rk3_step,
+            compressible_initial_state, make_compressible_model)
+        from breeze_tpu.physics.microphysics import SaturationAdjustment
+        g = bz.make_grid(size=(128, 8, 16), extent=(12800.0, 800.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        model = make_compressible_model(
+            g, advection=adv.WENO(5),
+            microphysics=SaturationAdjustment(),
+            time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        state = compressible_initial_state(
+            model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                -((x - 6400.0) ** 2 / 1500.0 ** 2
+                  + (z - 800.0) ** 2 / 300.0 ** 2)),
+            qt=lambda x, y, z: 0.008 * jnp.exp(-z / 2000.0),
+            u=lambda x, y, z: 3.0 + 0 * x)
+        ref = acoustic_rk3_step(model, state, 1.0)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            got = acoustic_rk3_step(model, state, 1.0)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        for name in ("rho", "rho_u", "rho_theta", "rho_qt"):
+            a = np.asarray(getattr(got, name), np.float64)
+            b = np.asarray(getattr(ref, name), np.float64)
+            scale = max(np.abs(b).max(), 1e-10)
+            err = np.abs(a - b).max()
+            assert err / scale < 1e-4 or err < 1e-5, (
+                f"{name}: rel {err / scale:.2e} abs {err:.2e}")
