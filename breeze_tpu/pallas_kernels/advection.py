@@ -224,6 +224,14 @@ def enabled() -> bool:
 
     if os.environ.get("BREEZE_TPU_DISABLE_PALLAS"):
         return False
+    # Under shard_map the kernels' whole-axis assumptions break: the
+    # in-kernel periodic x rolls (and the acoustic/projection kernels' own
+    # wrap pads) act on the LOCAL shard, not the global axis.  fl.pad
+    # reroutes through ppermute, but the lane-resident x wrap cannot —
+    # fall back to the shard-aware jnp path inside sharded contexts.
+    from ..parallel.halo import _current_axes
+    if _current_axes():
+        return False
     if force_interpret():
         return True
     return jax.default_backend() in ("tpu", "axon")

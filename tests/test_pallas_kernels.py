@@ -391,3 +391,19 @@ class TestCompressibleSlowTendencyWiring:
             err = np.abs(a - b).max()
             assert err / scale < 1e-4 or err < 1e-5, (
                 f"{name}: rel {err / scale:.2e} abs {err:.2e}")
+
+
+def test_pallas_disabled_inside_shard_map_context():
+    """The kernels' whole-axis x rolls are wrong on a sharded axis; the
+    enable gate must force the shard-aware jnp fallback inside
+    shard_axes contexts, even with the interpret override set."""
+    import os
+    from breeze_tpu.parallel.halo import shard_axes
+    os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        assert padv.enabled()
+        with shard_axes({2: "x"}):
+            assert not padv.enabled()
+        assert padv.enabled()
+    finally:
+        del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
