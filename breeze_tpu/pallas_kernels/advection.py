@@ -207,6 +207,24 @@ def pad_zy(a, grid, loc):
     return fl.pad(out, grid, loc, halo=HY, axes=(1,))
 
 
+import contextlib
+
+_DISABLE_DEPTH = 0
+
+
+@contextlib.contextmanager
+def disabled():
+    """Context manager forcing the jnp fallback (e.g. while tracing a
+    GSPMD multi-device step, where ``pallas_call`` has no partitioning
+    rules)."""
+    global _DISABLE_DEPTH
+    _DISABLE_DEPTH += 1
+    try:
+        yield
+    finally:
+        _DISABLE_DEPTH -= 1
+
+
 def force_interpret() -> bool:
     """CI hook: ``BREEZE_TPU_PALLAS_INTERPRET=1`` makes ``enabled()`` true
     on any backend and runs every kernel in interpret mode — lets the
@@ -222,7 +240,7 @@ def enabled() -> bool:
     ``BREEZE_TPU_DISABLE_PALLAS=1`` to force the jnp fallback."""
     import os
 
-    if os.environ.get("BREEZE_TPU_DISABLE_PALLAS"):
+    if os.environ.get("BREEZE_TPU_DISABLE_PALLAS") or _DISABLE_DEPTH:
         return False
     # Under shard_map the kernels' whole-axis assumptions break: the
     # in-kernel periodic x rolls (and the acoustic/projection kernels' own

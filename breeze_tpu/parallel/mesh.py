@@ -75,11 +75,28 @@ def model_sharding(mesh: Mesh, model):
 
 
 def shard_step(step_fn, mesh: Mesh, model, state, donate: bool = True):
-    """jit ``step_fn(model, state, dt) -> state`` over the mesh (GSPMD path)."""
+    """jit ``step_fn(model, state, dt) -> state`` over the mesh (GSPMD path).
+
+    The Pallas kernels are disabled inside the traced step when the mesh
+    has more than one device: ``pallas_call`` carries no SPMD partitioning
+    rules, so under GSPMD it would force gathers (or mis-partition); the
+    shard_map path gates them the same way via ``halo.shard_axes``.
+    Single-device meshes keep the kernels.
+    """
+    from ..pallas_kernels.advection import disabled as _pallas_disabled
+
     ms = model_sharding(mesh, model)
     ss = state_sharding(mesh, state)
+    multi = mesh.devices.size > 1
+
+    def stepped(model, state, dt):
+        if multi:
+            with _pallas_disabled():
+                return step_fn(model, state, dt)
+        return step_fn(model, state, dt)
+
     return jax.jit(
-        step_fn,
+        stepped,
         in_shardings=(ms, ss, None),
         out_shardings=ss,
         donate_argnums=(1,) if donate else (),
