@@ -357,6 +357,34 @@ class NetCDFWriter:
                     np.asarray(nc.variables[field][:]))
 
 
+def FieldTimeSeries(path: str, field: str):
+    """Load a saved time series as ``(times, array)`` — the reference's
+    ``FieldTimeSeries(filename, name)`` readback, dispatching on the output
+    format: an ``.nc`` file (:class:`NetCDFWriter`), an ``.h5``/``.hdf5``
+    file (:class:`HDF5Writer`), or a snapshot DIRECTORY
+    (:class:`FieldWriter` npz snapshots)."""
+    if os.path.isdir(path):
+        snaps = sorted(f for f in os.listdir(path) if f.startswith("snap_"))
+        times, arrs = [], []
+        for s in snaps:
+            with np.load(os.path.join(path, s)) as z:
+                times.append(float(z["time"]))
+                arrs.append(z[field])
+        return np.asarray(times), np.stack(arrs)
+    if path.endswith((".h5", ".hdf5")):
+        import h5py
+
+        with h5py.File(path, "r") as f:
+            return np.asarray(f["time"]), np.asarray(f[f"fields/{field}"])
+    if path.endswith(".nc"):
+        from scipy.io import netcdf_file
+
+        with netcdf_file(path, "r", mmap=False) as nc:
+            return (np.asarray(nc.variables["time"][:]),
+                    np.asarray(nc.variables[field][:]))
+    raise ValueError(f"unrecognized time-series container: {path!r}")
+
+
 @dataclasses.dataclass
 class Checkpointer:
     """Checkpoint/restore the full prognostic state (+ clock).

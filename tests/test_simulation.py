@@ -222,3 +222,36 @@ class TestDynamicDt:
         state = initial_state(model, qt=0.005)
         sim = Simulation(model, state, dt=1.0, verbose=False)
         assert sim._dt_static
+
+
+def test_field_time_series_reader_dispatch(tmp_path):
+    """FieldTimeSeries(path, name) reads back all three writer formats."""
+    import breeze_tpu as bz
+    from breeze_tpu.model import initial_state, make_model
+    from breeze_tpu.simulation import (FieldTimeSeries, FieldWriter,
+                                       HDF5Writer, IterationInterval,
+                                       NetCDFWriter, Simulation)
+    g = bz.make_grid(size=(16, 1, 8), extent=(1600.0, 1.0, 800.0),
+                     topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED))
+    model = make_model(g, advection=bz.Centered(2),
+                       potential_temperature=300.0)
+    state = initial_state(model, u=1.0 * jnp.ones(g.shape))
+    sim = Simulation(model, state, dt=1.0, stop_iteration=4, verbose=False,
+                     nan_check_interval=0)
+    npz_dir = str(tmp_path / "snaps")
+    h5 = str(tmp_path / "out.h5")
+    nc = str(tmp_path / "out.nc")
+    sim.add_output_writer(FieldWriter(path=npz_dir,
+                                      schedule=IterationInterval(2)))
+    sim.add_output_writer(HDF5Writer(path=h5,
+                                     schedule=IterationInterval(2)))
+    sim.add_output_writer(NetCDFWriter(path=nc,
+                                       schedule=IterationInterval(2)))
+    sim.run()
+    for w in sim.output_writers:
+        if hasattr(w, "close"):
+            w.close()
+    for path in (npz_dir, h5, nc):
+        times, arr = FieldTimeSeries(path, "u")
+        assert len(times) == 2 and arr.shape[0] == 2
+        np.testing.assert_allclose(arr[0].mean(), 1.0, rtol=1e-5)
