@@ -28,5 +28,9 @@ from .physics.microphysics import SaturationAdjustment
 from .physics.coriolis import (BetaPlane, ConstantCartesianCoriolis, FPlane,
                                HydrostaticSphericalCoriolis,
                                NonTraditionalBetaPlane, SphericalCoriolis)
+from .simulation import (Checkpointer, FieldTimeSeries, FieldWriter,
+                         HDF5Writer, IterationInterval, NetCDFWriter,
+                         Simulation, SpecifiedTimes, TimeInterval,
+                         WallTimeInterval, conjure_time_step_wizard)
 
 __version__ = "0.1.0"
