@@ -29,7 +29,7 @@ stored 0..N-1 = lower edges):
   i.e. rv output row m ↔ window row m+1 of center-located fields.
 
 Scope (jnp fallback otherwise): flat terrain, Cartesian periodic x/y,
-bounded z, uniform Δz, no upper sponge, damping ∈ {None,
+bounded z (uniform or stretched Δz), no upper sponge, damping ∈ {None,
 ThermalDivergenceDamping}, float32 working precision, no open-boundary
 relaxation.  Numerics identical to the jnp loop (interpret-verified in
 ``tests/test_pallas_kernels.py``).
@@ -50,17 +50,17 @@ from jax.experimental.pallas import tpu as pltpu
 # ---------------------------------------------------------------------------
 
 def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
-             inv_dz: float, dtau: float, omega: float,
-             store_dt=jnp.float32):
+             dtau: float, omega: float, store_dt=jnp.float32):
     wz = bz + 1          # one extra z row ABOVE the block (∂z shifts)
     wy = by + 2          # one y halo row each side
     f32 = jnp.float32
 
     def kernel(ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
-               thzf_hbm, gru_hbm, grv_hbm, grho_hbm, grt_hbm, pgf_ref,
+               thzf_hbm, gru_hbm, grv_hbm, grho_hbm, grt_hbm, invdzc_hbm,
+               pgf_ref,
                ru_o, rv_o, rhos_o, rts_o,
                ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
-               gru_w, grv_w, grho_w, grt_w, sems):
+               gru_w, grv_w, grho_w, grt_w, invdzc_w, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -72,10 +72,14 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
             pltpu.make_async_copy(
                 src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                 dst, sems.at[n]).start()
+        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)], invdzc_w,
+                              sems.at[12]).start()
         for n, (src, dst) in enumerate(zip(srcs, dsts)):
             pltpu.make_async_copy(
                 src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                 dst, sems.at[n]).wait()
+        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)], invdzc_w,
+                              sems.at[12]).wait()
 
         pgf = pgf_ref[0]
 
@@ -114,9 +118,10 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         # domain top — padded host-side)
         rw = rw_p
         thf = thzf_w[:]
-        dzdiv = (rw[1:, :, :] - rw[:-1, :, :]) * inv_dz
+        inv_dzc = invdzc_w[:].reshape(bz, 1, 1)
+        dzdiv = (rw[1:, :, :] - rw[:-1, :, :]) * inv_dzc
         dzdiv_t = (thf[1:, :, :] * rw[1:, :, :]
-                   - thf[:-1, :, :] * rw[:-1, :, :]) * inv_dz
+                   - thf[:-1, :, :] * rw[:-1, :, :]) * inv_dzc
 
         ci = lambda a: a[:bz, 1:1 + by, :]            # center-interior view
         ru_o[:] = ci(ru_new)
@@ -135,10 +140,11 @@ def ci_z(a, by):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "bz", "by", "nz", "ny", "nx", "inv_dx", "inv_dy", "inv_dz", "dtau",
+    "bz", "by", "nz", "ny", "nx", "inv_dx", "inv_dy", "dtau",
     "omega", "store", "interpret"))
-def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
-            bz, by, nz, ny, nx, inv_dx, inv_dy, inv_dz, dtau, omega,
+def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt,
+            inv_dzc_col, pgf,
+            bz, by, nz, ny, nx, inv_dx, inv_dy, dtau, omega,
             store="float32", interpret=False):
     """Inputs are interior (nz, ny, nx); this pads +1 top z row (zero for
     ρw, repeat otherwise — the repeat rows only multiply the zero ρw) and
@@ -153,7 +159,7 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
             padzy(th, False), padzy(thzf, False), padzy(gru, False),
             padzy(grv, False), padzy(grho, False), padzy(grt, False)]
     store_dt = jnp.dtype(store)
-    kernel = _make_k1(bz, by, nx, inv_dx, inv_dy, inv_dz, dtau, omega,
+    kernel = _make_k1(bz, by, nx, inv_dx, inv_dy, dtau, omega,
                       store_dt=store_dt)
     wz, wy = bz + 1, by + 2
     grid = (nz // bz, ny // by)
@@ -166,16 +172,18 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 12
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 13
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[outspec] * 4,
         out_shape=[out] * 4,
         scratch_shapes=carry_wins + [win() for _ in range(7)]
-        + [pltpu.SemaphoreType.DMA((12,))],
+        + [pltpu.VMEM((bz, 1), jnp.float32),
+           pltpu.SemaphoreType.DMA((13,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*args, jnp.asarray(pgf, jnp.float32).reshape(1))
+    )(*args, inv_dzc_col.reshape(nz, 1),
+      jnp.asarray(pgf, jnp.float32).reshape(1))
 
 
 # ---------------------------------------------------------------------------
@@ -183,18 +191,18 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt, pgf,
 # ---------------------------------------------------------------------------
 
 def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
-             dtau: float, omega: float, g_acc: float, dz: float,
+             dtau: float, omega: float, g_acc: float,
              damp_coef: float, store_dt=jnp.float32):
     wy = by + 2
     od2 = omega * omega * dtau * dtau
-    inv_dz = 1.0 / dz
     f32 = jnp.float32
 
     def kernel(rhos_hbm, rts_hbm, rw_hbm, rhop_hbm, rtp_hbm, grw_hbm,
-               cl_hbm, th_hbm, thzf_hbm, ru_hbm, rv_hbm,
+               cl_hbm, th_hbm, thzf_hbm, ru_hbm, rv_hbm, invdzc_hbm,
+               invdzf_hbm,
                ru_o, rv_o, rw_o, rho_o, rt_o,
                rhos_w, rts_w, rw_w, rhop_w, rtp_w, grw_w, cl_w, th_w,
-               thzf_w, ru_w, rv_w, cp_s, dp_s, sems):
+               thzf_w, ru_w, rv_w, invdzc_w, invdzf_w, cp_s, dp_s, sems):
         j = pl.program_id(0)
 
         srcs = (rhos_hbm, rts_hbm, rw_hbm, rhop_hbm, rtp_hbm, grw_hbm,
@@ -204,9 +212,13 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         for n, (src, dst) in enumerate(zip(srcs, dsts)):
             pltpu.make_async_copy(
                 src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).start()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[11]).start()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[12]).start()
         for n, (src, dst) in enumerate(zip(srcs, dsts)):
             pltpu.make_async_copy(
                 src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).wait()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[11]).wait()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[12]).wait()
 
         def xs(a, o):
             return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
@@ -223,22 +235,27 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         rho_p = rhop_w[:].astype(f32)
         rt_p = rtp_w[:].astype(f32)
 
-        # ---- CN tridiagonal coefficients (uniform Δz, flat terrain) ----
+        # ---- CN tridiagonal coefficients (stretched Δz via the spacing
+        # columns; flat terrain) ------------------------------------------
+        inv_dzc = invdzc_w[:].reshape(nz, 1, 1)     # 1/Δz_c[k]
+        inv_dzc_b = jnp.concatenate([inv_dzc[:1], inv_dzc[:-1]], axis=0)
+        inv_dzf = invdzf_w[:].reshape(nz, 1, 1)     # 1/Δz_f[k]
         C_b = below(cl)
         thf_a = jnp.concatenate([thf[1:], thf[-1:]], axis=0)
-        a_co = (0.5 * g_acc * od2 * inv_dz
-                - od2 * inv_dz * inv_dz * C_b * below(thf))
-        b_co = 1.0 + od2 * inv_dz * inv_dz * thf * (cl + C_b)
-        c_co = (-0.5 * g_acc * od2 * inv_dz
-                - od2 * inv_dz * inv_dz * cl * thf_a)
+        a_co = (0.5 * g_acc * od2 * inv_dzc_b
+                - od2 * inv_dzf * C_b * below(thf) * inv_dzc_b)
+        b_co = (1.0 - 0.5 * g_acc * od2 * (inv_dzc_b - inv_dzc)
+                + od2 * inv_dzf * thf * (cl * inv_dzc + C_b * inv_dzc_b))
+        c_co = (-0.5 * g_acc * od2 * inv_dzc
+                - od2 * inv_dzf * cl * thf_a * inv_dzc)
 
         # ---- RHS --------------------------------------------------------
         rho_star_zf = 0.5 * (rhos + below(rhos))
         rho_tau_zf = 0.5 * (rho_p + below(rho_p))
         Crt_tau = cl * rt_p
         Crt_star = cl * rts
-        dz_Crt_tau = (Crt_tau - below(Crt_tau)) * inv_dz
-        dz_Crt_star = (Crt_star - below(Crt_star)) * inv_dz
+        dz_Crt_tau = (Crt_tau - below(Crt_tau)) * inv_dzf
+        dz_Crt_star = (Crt_star - below(Crt_star)) * inv_dzf
         d = (rw_p + dtau * grw_w[:]
              - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
                                + omega * rho_star_zf)
@@ -266,9 +283,9 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         rw_new = dp_s[:]
 
         # ---- recovery ----------------------------------------------------
-        rho_new = rhos - omega * dtau * (above0(rw_new) - rw_new) * inv_dz
+        rho_new = rhos - omega * dtau * (above0(rw_new) - rw_new) * inv_dzc
         thw = thf * rw_new
-        rt_new = rts - omega * dtau * (above0(thw) - thw) * inv_dz
+        rt_new = rts - omega * dtau * (above0(thw) - thw) * inv_dzc
 
         # ---- thermal divergence damping (block-local halo) ---------------
         ru_new = ru_w[:]
@@ -291,18 +308,20 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "by", "nz", "ny", "nx", "dx", "dy", "dtau", "omega", "g_acc", "dz",
+    "by", "nz", "ny", "nx", "dx", "dy", "dtau", "omega", "g_acc",
     "damp_coef", "store", "interpret"))
 def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
-            by, nz, ny, nx, dx, dy, dtau, omega, g_acc, dz, damp_coef,
+            inv_dzc_col, inv_dzf_col,
+            by, nz, ny, nx, dx, dy, dtau, omega, g_acc, damp_coef,
             store="float32", interpret=False):
     def pady(a):
         return jnp.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
 
     args = [pady(x) for x in (rhos, rts, rw_p, rho_p, rt_p, grw, cl, th,
                               thzf, ru_new, rv_new)]
+    args += [inv_dzc_col.reshape(nz, 1), inv_dzf_col.reshape(nz, 1)]
     store_dt = jnp.dtype(store)
-    kernel = _make_k2(by, nz, nx, dx, dy, dtau, omega, g_acc, dz, damp_coef,
+    kernel = _make_k2(by, nz, nx, dx, dy, dtau, omega, g_acc, damp_coef,
                       store_dt=store_dt)
     wy = by + 2
     grid = (ny // by,)
@@ -313,14 +332,15 @@ def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
     # carried inputs (rw', rho', rt') arrive in the storage dtype
     wins = ([win(), win(), win(store_dt), win(store_dt), win(store_dt)]
             + [win() for _ in range(6)])
+    col = lambda: pltpu.VMEM((nz, 1), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 11,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 13,
         out_specs=[outspec] * 5,
         out_shape=[out] * 5,
-        scratch_shapes=wins
-        + [win(), win(), pltpu.SemaphoreType.DMA((11,))],
+        scratch_shapes=wins + [col(), col()]
+        + [win(), win(), pltpu.SemaphoreType.DMA((13,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -352,7 +372,6 @@ def supported(model) -> bool:
             and g.x_topology == Topology.PERIODIC
             and g.y_topology == Topology.PERIODIC
             and g.z_topology == Topology.BOUNDED
-            and g.uniform_z
             and g.dtype == jnp.float32
             and td.substep_floattype in (None, "bfloat16")
             and td.sponge is None
@@ -376,7 +395,6 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     omega = float(td.forward_weight)
     g_acc = float(model.constants.gravitational_acceleration)
     nz, ny, nx = g.shape
-    dz = float(g.Lz / g.nz)
     strategy = td.damping_strategy()
     damp = (float(strategy.coefficient)
             if isinstance(strategy, ThermalDivergenceDamping) else 0.0)
@@ -390,21 +408,24 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     cl = caches.C_L.astype(jnp.float32)
     th = caches.theta_L.astype(jnp.float32)
     thzf = caches.theta_L_zf.astype(jnp.float32)
+    inv_dzc = (1.0 / jnp.asarray(g.dz_c)).astype(jnp.float32)
+    inv_dzf = (1.0 / jnp.asarray(g.dz_f)[:nz]).astype(jnp.float32)
 
     def body(i, p):
         pgf = jnp.where(jnp.logical_or(i > 0, not gate_first), 1.0, 0.0)
         ru_new, rv_new, rhos, rts = _run_k1(
             p.rho_u, p.rho_v, p.rho_w, p.rho, p.rho_theta,
-            cl, th, thzf, G.rho_u, G.rho_v, G.rho, G.rho_theta, pgf,
+            cl, th, thzf, G.rho_u, G.rho_v, G.rho, G.rho_theta,
+            inv_dzc, pgf,
             bz=bz, by=by, nz=nz, ny=ny, nx=nx,
             inv_dx=float(1.0 / g.dx), inv_dy=float(1.0 / g.dy),
-            inv_dz=float(1.0 / dz), dtau=dtau, omega=omega, store=store,
+            dtau=dtau, omega=omega, store=store,
             interpret=interpret)
         ru2, rv2, rw_new, rho_new, rt_new = _run_k2(
             rhos, rts, p.rho_w, p.rho, p.rho_theta, G.rho_w, cl, th, thzf,
-            ru_new, rv_new,
+            ru_new, rv_new, inv_dzc, inv_dzf,
             by=by, nz=nz, ny=ny, nx=nx, dx=float(g.dx), dy=float(g.dy),
-            dtau=dtau, omega=omega, g_acc=g_acc, dz=dz, damp_coef=damp,
+            dtau=dtau, omega=omega, g_acc=g_acc, damp_coef=damp,
             store=store, interpret=interpret)
         return Perturbations(
             rho=rho_new, rho_u=ru2, rho_v=rv2, rho_w=rw_new,

@@ -249,6 +249,46 @@ class TestFusedAcousticSubstep:
                 f"{name}: rel {np.abs(a - b).max() / scale:.2e}")
 
 
+    def test_stretched_z_substep(self):
+        """Stretched vertical grid through the fused substep kernels."""
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, acoustic_substep_loop,
+            compressible_diagnose, compressible_initial_state,
+            make_compressible_model, slow_tendencies, stage_caches)
+        from breeze_tpu.pallas_kernels.acoustic import (
+            acoustic_substep_loop_pallas, supported)
+        z_faces = bz.piecewise_stretched_z(16, surface_layer_height=400.0,
+                                           surface_layer_spacing=50.0,
+                                           top=1600.0)
+        g = bz.make_grid(size=(128, 8, len(z_faces) - 1),
+                         x=(0.0, 12800.0), y=(0.0, 800.0), z=z_faces,
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        td = SplitExplicitTimeDiscretization(substeps=4)
+        model = make_compressible_model(g, advection=bz.Centered(2),
+                                        time_discretization=td)
+        assert supported(model)
+        state = compressible_initial_state(
+            model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                -((x - 6400.0) ** 2 / 1500.0 ** 2
+                  + (z - 800.0) ** 2 / 300.0 ** 2)),
+            pressure_balanced=False)
+        aux = compressible_diagnose(model, state)
+        caches = stage_caches(model, state, aux)
+        G = slow_tendencies(model, state, aux)
+        pert = self._pert(g)
+        ref = acoustic_substep_loop(model, caches, G, pert, 0.5, 3,
+                                    gate_first=True)
+        got = acoustic_substep_loop_pallas(model, caches, G, pert, 0.5, 3,
+                                           gate_first=True, interpret=True)
+        for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            scale = max(np.abs(b).max(), 1e-10)
+            assert np.abs(a - b).max() / scale < 5e-5, (
+                f"{name}: rel {np.abs(a - b).max() / scale:.2e}")
+
+
 class TestFusedProjection:
     """Fused divergence + gradient-correct kernels vs the jnp projection
     path (interpret mode)."""
