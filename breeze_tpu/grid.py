@@ -61,7 +61,7 @@ def _uniform_spacing(extent: float, n: int) -> float:
         "x_topology", "y_topology", "z_topology",
         "x0", "y0", "z0", "Lx", "Ly", "Lz",
         "dx", "dy", "halo", "dtype_name", "uniform_z", "dz_min",
-        "z_c_meta", "radius",
+        "z_c_meta", "dz_c_meta", "dz_f_meta", "radius",
     ],
 )
 @dataclasses.dataclass(frozen=True)
@@ -107,6 +107,10 @@ class Grid:
     #: static copy of the cell-center heights (Python floats) — usable for
     #: compile-time interpolation weights under jit, where ``z_c`` is a tracer.
     z_c_meta: tuple = ()
+    #: static cell thicknesses / center-to-center hops (Python floats) —
+    #: the Pallas kernels build their Δz columns from these under jit.
+    dz_c_meta: tuple = ()
+    dz_f_meta: tuple = ()
     radius: float | None = None
     coslat_c: jax.Array | None = None   # (ny,) at y-centers
     coslat_f: jax.Array | None = None   # (ny+1,) at y-faces
@@ -240,6 +244,8 @@ def make_grid(
         uniform_z=uniform_z,
         dz_min=float(dz_c.min()),
         z_c_meta=tuple(float(v) for v in z_c),
+        dz_c_meta=tuple(float(v) for v in dz_c),
+        dz_f_meta=tuple(float(v) for v in dz_f),
         z_c=jnp.asarray(z_c, fdtype),
         z_f=jnp.asarray(z_f, fdtype),
         dz_c=jnp.asarray(dz_c, fdtype),

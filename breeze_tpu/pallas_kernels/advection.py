@@ -73,12 +73,11 @@ def _weno_face(cell, sign):
     return _weno5_plus(lambda o: jnp.where(up, cell(o), cell(1 - o)))
 
 
-def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
-                 inv_dz: float):
+def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float):
     wz, wy = bz + 2 * H, by + 2 * HY
 
-    def kernel(c_hbm, u_hbm, v_hbm, w_hbm, rho_hbm, out_ref,
-               c_w, u_w, v_w, w_w, rho_w, sems):
+    def kernel(c_hbm, u_hbm, v_hbm, w_hbm, rho_hbm, invdz_hbm, out_ref,
+               c_w, u_w, v_w, w_w, rho_w, invdz_w, sems):
         i = pl.program_id(0)
         j = pl.program_id(1)
 
@@ -88,10 +87,14 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
             pltpu.make_async_copy(
                 src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                 dst, sems.at[n]).start()
+        pltpu.make_async_copy(invdz_hbm.at[pl.ds(i * bz, bz)], invdz_w,
+                              sems.at[5]).start()
         for n, (src, dst) in enumerate(zip(srcs, dsts)):
             pltpu.make_async_copy(
                 src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                 dst, sems.at[n]).wait()
+        pltpu.make_async_copy(invdz_hbm.at[pl.ds(i * bz, bz)], invdz_w,
+                              sems.at[5]).wait()
 
         c = c_w[:]
         u = u_w[:]
@@ -133,17 +136,18 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         mfz = mfz * wz_
         cz = _weno_face(lambda o: zc(c, o), mfz)
         Fz = mfz * cz
-        acc = acc + (Fz[1:, :, :] - Fz[:-1, :, :])[:, HY:HY + by, :] * inv_dz
+        acc = acc + ((Fz[1:, :, :] - Fz[:-1, :, :])[:, HY:HY + by, :]
+                     * invdz_w[:].reshape(bz, 1, 1))
 
         out_ref[:] = -acc
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("inv_dx", "inv_dy", "inv_dz", "nz", "ny", "nx", "bz", "by", "interpret"))
-def _run(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dx, inv_dy, inv_dz,
+@functools.partial(jax.jit, static_argnames=("inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "interpret"))
+def _run(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dz_col, inv_dx, inv_dy,
          nz, ny, nx, bz, by, interpret=False):
-    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, inv_dz)
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
 
@@ -151,16 +155,17 @@ def _run(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dx, inv_dy, inv_dz,
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
         out_specs=pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
         scratch_shapes=[win(), win(), win(), win(), win(),
-                        pltpu.SemaphoreType.DMA((5,))],
+                        pltpu.VMEM((bz, 1), jnp.float32),
+                        pltpu.SemaphoreType.DMA((6,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(c_pad, u_pad, v_pad, w_pad, rho_pad)
+    )(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dz_col.reshape(nz, 1))
 
 
 def _pick_block(n, candidates):
@@ -177,7 +182,6 @@ def supported(grid, scheme) -> bool:
     return (isinstance(scheme, WENO) and scheme.order == 5
             and grid.x_topology == Topology.PERIODIC
             and grid.y_topology == Topology.PERIODIC
-            and grid.uniform_z
             and grid.dtype == jnp.float32
             and grid.halo >= H
             and grid.nx >= 128 and grid.ny >= 8 and grid.nz >= 8
@@ -191,11 +195,12 @@ def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
     nz, ny, nx = grid.shape
     bz = _pick_block(nz, (8, 16, 4))
     by = _pick_block(ny, (32, 16, 8, 64))
-    # uniform z (checked by `supported`): dz from static metadata so
-    # this works under an outer jit trace (dz_c may be a tracer there)
-    inv_dz = float(grid.nz / grid.Lz)
+    # Δz column from STATIC metadata (grid.dz_c may be a tracer under an
+    # outer jit; dz_c_meta is the concrete tuple)
+    inv_dz_col = 1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32)
     return _run(c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy, rho_pad_zy,
-                float(1.0 / grid.dx), float(1.0 / grid.dy), inv_dz,
+                inv_dz_col,
+                float(1.0 / grid.dx), float(1.0 / grid.dy),
                 nz, ny, nx, bz, by, interpret=interpret or force_interpret())
 
 

@@ -80,10 +80,11 @@ def _weno_sel(cell, sign):
 
 
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
-                 inv_dz_c: float, inv_dz_f: float, with_cols: bool = False):
+                 with_cols: bool = False):
     wz, wy = bz + 2 * H, by + 2 * HY
 
-    def body(i, j, ru, rv, rw, u, v, w, du_ref, dv_ref, dw_ref):
+    def body(i, j, ru, rv, rw, u, v, w, invdzc, invdzf,
+             du_ref, dv_ref, dw_ref):
 
         # periodic x shift: xs(a, o)[..., i] = a[..., (i+o) mod nx]
         def xs(a, o):
@@ -116,7 +117,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         rwc = sz(rw, 0, 0)                     # ρw at (zf, xf)
         mf = 0.5 * (rwc + xs(rwc, -1))
         F = mf * _weno_sel(lambda o: sz(u, o - 1, 0), mf)
-        du_ref[:] = du + difz(F) * inv_dz_c
+        du_ref[:] = du + difz(F) * invdzc
 
         # ============ y momentum: v at (zc, yf, xc) ====================
         mf = 0.5 * (s(ru, 0, 0) + s(ru, 0, -1))   # ρu at (yf, xf) corners
@@ -130,7 +131,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 
         mf = 0.5 * (sz(rw, 0, 0) + sz(rw, 0, -1))  # ρw at (zf, yf)
         F = mf * _weno_sel(lambda o: sz(v, o - 1, 0), mf)
-        dv_ref[:] = dv + difz(F) * inv_dz_c
+        dv_ref[:] = dv + difz(F) * invdzc
 
         # ============ z momentum: w at (zf, yc, xc) ====================
         mf = 0.5 * (s(ru, 0, 0) + s(ru, -1, 0))    # ρu at (zf, xf)
@@ -147,15 +148,15 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         # same contract as the jnp path)
         mf = 0.5 * (sz(rw, -1, 0) + sz(rw, 0, 0))
         F = mf * _weno_sel(lambda o: sz(w, o - 1, 0), mf)
-        dw_ref[:] = dw + difz(F) * inv_dz_f
+        dw_ref[:] = dw + difz(F) * invdzf
 
     if with_cols:
         # ρu = ρᵣ(z)·u with z-only reference columns: DMA only the three
         # velocity fields and form the momenta in VMEM — halves the
         # kernel's HBM reads and skips materializing ρu/ρv/ρw in HBM.
-        def kernel(u_hbm, v_hbm, w_hbm, colc_ref, colf_ref,
-                   du_ref, dv_ref, dw_ref,
-                   u_w, v_w, w_w, sems):
+        def kernel(u_hbm, v_hbm, w_hbm, colc_ref, colf_ref, invdzc_hbm,
+                   invdzf_hbm, du_ref, dv_ref, dw_ref,
+                   u_w, v_w, w_w, invdzc_w, invdzf_w, sems):
             i = pl.program_id(0)
             j = pl.program_id(1)
             srcs = (u_hbm, v_hbm, w_hbm)
@@ -164,21 +165,33 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                 pltpu.make_async_copy(
                     src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                     dst, sems.at[n]).start()
+            pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzc_w, sems.at[3]).start()
+            pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzf_w, sems.at[4]).start()
             for n, (src, dst) in enumerate(zip(srcs, dsts)):
                 pltpu.make_async_copy(
                     src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                     dst, sems.at[n]).wait()
+            pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzc_w, sems.at[3]).wait()
+            pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzf_w, sems.at[4]).wait()
             u, v, w = u_w[:], v_w[:], w_w[:]
             colc = colc_ref[pl.ds(i * bz, wz), :, :]      # (wz, 1, 1)
             colf = colf_ref[pl.ds(i * bz, wz), :, :]
             ru = u * colc
             rv = v * colc
             rw = w * colf
-            body(i, j, ru, rv, rw, u, v, w, du_ref, dv_ref, dw_ref)
+            body(i, j, ru, rv, rw, u, v, w,
+                 invdzc_w[:].reshape(bz, 1, 1),
+                 invdzf_w[:].reshape(bz, 1, 1),
+                 du_ref, dv_ref, dw_ref)
     else:
         def kernel(ru_hbm, rv_hbm, rw_hbm, u_hbm, v_hbm, w_hbm,
-                   du_ref, dv_ref, dw_ref,
-                   ru_w, rv_w, rw_w, u_w, v_w, w_w, sems):
+                   invdzc_hbm, invdzf_hbm, du_ref, dv_ref, dw_ref,
+                   ru_w, rv_w, rw_w, u_w, v_w, w_w, invdzc_w, invdzf_w,
+                   sems):
             i = pl.program_id(0)
             j = pl.program_id(1)
             srcs = (ru_hbm, rv_hbm, rw_hbm, u_hbm, v_hbm, w_hbm)
@@ -187,68 +200,85 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                 pltpu.make_async_copy(
                     src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                     dst, sems.at[n]).start()
+            pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzc_w, sems.at[6]).start()
+            pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzf_w, sems.at[7]).start()
             for n, (src, dst) in enumerate(zip(srcs, dsts)):
                 pltpu.make_async_copy(
                     src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
                     dst, sems.at[n]).wait()
+            pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzc_w, sems.at[6]).wait()
+            pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                                  invdzf_w, sems.at[7]).wait()
             body(i, j, ru_w[:], rv_w[:], rw_w[:], u_w[:], v_w[:], w_w[:],
+                 invdzc_w[:].reshape(bz, 1, 1),
+                 invdzf_w[:].reshape(bz, 1, 1),
                  du_ref, dv_ref, dw_ref)
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "inv_dx", "inv_dy", "inv_dz_c", "inv_dz_f", "nz", "ny", "nx", "bz", "by",
-    "interpret"))
-def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad,
-         inv_dx, inv_dy, inv_dz_c, inv_dz_f, nz, ny, nx, bz, by,
-         interpret=False):
-    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, inv_dz_c, inv_dz_f)
+    "inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "interpret"))
+def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad, invdzc, invdzf,
+         inv_dx, inv_dy, nz, ny, nx, bz, by, interpret=False):
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    col = lambda: pltpu.VMEM((bz, 1), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 8,
         out_specs=[pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=[out, out, out],
-        scratch_shapes=[win() for _ in range(6)]
-        + [pltpu.SemaphoreType.DMA((6,))],
+        scratch_shapes=[win() for _ in range(6)] + [col(), col()]
+        + [pltpu.SemaphoreType.DMA((8,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad)
+    )(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad,
+      invdzc.reshape(nz, 1), invdzf.reshape(nz, 1))
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "inv_dx", "inv_dy", "inv_dz_c", "inv_dz_f", "nz", "ny", "nx", "bz", "by",
-    "interpret"))
-def _run_cols(u_pad, v_pad, w_pad, colc, colf,
-              inv_dx, inv_dy, inv_dz_c, inv_dz_f, nz, ny, nx, bz, by,
-              interpret=False):
-    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, inv_dz_c, inv_dz_f,
-                          with_cols=True)
+    "inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "interpret"))
+def _run_cols(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf,
+              inv_dx, inv_dy, nz, ny, nx, bz, by, interpret=False):
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, with_cols=True)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    col = lambda: pltpu.VMEM((bz, 1), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=[out, out, out],
-        scratch_shapes=[win() for _ in range(3)]
-        + [pltpu.SemaphoreType.DMA((3,))],
+        scratch_shapes=[win() for _ in range(3)] + [col(), col()]
+        + [pltpu.SemaphoreType.DMA((5,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u_pad, v_pad, w_pad, colc, colf)
+    )(u_pad, v_pad, w_pad, colc, colf,
+      invdzc.reshape(nz, 1), invdzf.reshape(nz, 1))
+
+
+def _inv_dz_cols(grid):
+    """(1/Δz_c, 1/Δz_f) columns from STATIC metadata (jit-safe)."""
+    invdzc = 1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32)
+    invdzf = 1.0 / jnp.asarray(grid.dz_f_meta[: grid.nz], jnp.float32)
+    return invdzc, invdzf
 
 
 def _pick_block(n, candidates):
@@ -266,7 +296,6 @@ def supported(grid, scheme) -> bool:
             and not scheme.bounds_preserving
             and grid.x_topology == Topology.PERIODIC
             and grid.y_topology == Topology.PERIODIC
-            and grid.uniform_z
             and not grid.is_latlon
             and grid.dtype == jnp.float32
             and grid.halo >= H
@@ -285,9 +314,10 @@ def momentum_div_pallas(grid, ru_pad_zy, rv_pad_zy, rw_pad_zy,
     nz, ny, nx = grid.shape
     bz = _pick_block(nz, (8, 16, 4))
     by = _pick_block(ny, (32, 16, 8, 64))
-    inv_dz = float(grid.nz / grid.Lz)   # uniform z (checked by `supported`)
+    invdzc, invdzf = _inv_dz_cols(grid)
     return _run(ru_pad_zy, rv_pad_zy, rw_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
-                float(1.0 / grid.dx), float(1.0 / grid.dy), inv_dz, inv_dz,
+                invdzc, invdzf,
+                float(1.0 / grid.dx), float(1.0 / grid.dy),
                 nz, ny, nx, bz, by,
                 interpret=interpret or _force_interpret())
 
@@ -304,9 +334,10 @@ def momentum_div_pallas_cols(grid, u_pad_zy, v_pad_zy, w_pad_zy,
     nz, ny, nx = grid.shape
     bz = _pick_block(nz, (8, 16, 4))
     by = _pick_block(ny, (32, 16, 8, 64))
-    inv_dz = float(grid.nz / grid.Lz)
+    invdzc, invdzf = _inv_dz_cols(grid)
     return _run_cols(u_pad_zy, v_pad_zy, w_pad_zy,
                      colc.astype(jnp.float32), colf.astype(jnp.float32),
+                     invdzc, invdzf,
                      float(1.0 / grid.dx), float(1.0 / grid.dy),
-                     inv_dz, inv_dz, nz, ny, nx, bz, by,
+                     nz, ny, nx, bz, by,
                      interpret=interpret or _force_interpret())

@@ -447,3 +447,48 @@ def test_pallas_disabled_inside_shard_map_context():
         assert padv.enabled()
     finally:
         del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+
+
+def test_weno_kernels_stretched_z():
+    """Scalar + momentum fused kernels on a stretched vertical grid
+    (BOMEX/RICO-style) match the jnp path in interpret mode."""
+    from breeze_tpu.model import make_model
+    z_faces = bz.piecewise_stretched_z(16, surface_layer_height=400.0,
+                                       surface_layer_spacing=50.0,
+                                       top=1600.0)
+    g = bz.make_grid(size=(128, 8, len(z_faces) - 1),
+                     x=(0.0, 12800.0), y=(0.0, 800.0), z=z_faces,
+                     topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                     halo=3, dtype=jnp.float32)
+    assert padv.supported(g, adv.WENO(5))
+    from breeze_tpu.pallas_kernels import momentum as pmom
+    assert pmom.supported(g, adv.WENO(5))
+    so = StencilOps(g)
+    rng = np.random.default_rng(4)
+    r = lambda: jnp.asarray(rng.normal(size=g.shape), jnp.float32)
+    c, u, v, w = r(), r(), r(), r().at[0].set(0.0)
+    rho = 1.0 + 0.1 * jnp.abs(r())
+    pz = lambda a, loc: padv.pad_zy(a, g, loc)
+    got = padv.div_rho_u_c_pallas(g, pz(c, fl.CCC), pz(u, fl.CCF),
+                                  pz(v, fl.CFC), pz(w, fl.FCC),
+                                  pz(rho, fl.CCC), interpret=True)
+    ref = -adv.div_rho_u_c(so, adv.WENO(5), fl.pad(rho, g, fl.CCC),
+                           fl.pad(u, g, fl.CCF), fl.pad(v, g, fl.CFC),
+                           fl.pad(w, g, fl.FCC), fl.pad(c, g, fl.CCC))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    ru, rv, rw = 1.1 * u, 1.1 * v, 1.1 * w
+    a3 = pmom.momentum_div_pallas(g, pz(ru, fl.CCF), pz(rv, fl.CFC),
+                                  pz(rw, fl.FCC), pz(u, fl.CCF),
+                                  pz(v, fl.CFC), pz(w, fl.FCC),
+                                  interpret=True)
+    m3 = adv.momentum_flux_divergence(
+        so, adv.WENO(5), fl.pad(ru, g, fl.CCF), fl.pad(rv, g, fl.CFC),
+        fl.pad(rw, g, fl.FCC), fl.pad(u, g, fl.CCF), fl.pad(v, g, fl.CFC),
+        fl.pad(w, g, fl.FCC))
+    for n, (x1, x2) in enumerate(zip(a3, m3)):
+        x1, x2 = np.asarray(x1), np.asarray(x2)
+        if n == 2:
+            x1, x2 = x1[1:], x2[1:]
+        np.testing.assert_allclose(x1, x2, rtol=5e-4, atol=5e-4,
+                                   err_msg=f"momentum[{n}]")
