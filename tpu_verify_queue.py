@@ -77,6 +77,28 @@ for n, (x1, x2) in enumerate(zip(a6, m_ref)):
     d = np.abs(x1 - x2).max(); s = np.abs(x2).max()
     print(f'momentum[{n}] rel {d/s:.2e}', flush=True)
     assert d/s < 1e-4
+# stretched-z variants (spacing-column path)
+z_faces = bz.piecewise_stretched_z(32, surface_layer_height=400.0,
+                                   surface_layer_spacing=25.0, top=1600.0)
+gs = bz.make_grid(size=(256, 64, len(z_faces) - 1), x=(0., 12800.),
+                  y=(0., 3200.), z=z_faces,
+                  topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                  halo=3, dtype=jnp.float32)
+sos = StencilOps(gs)
+cs, us, vs = (jnp.asarray(rng.normal(size=gs.shape), jnp.float32)
+              for _ in range(3))
+ws = jnp.asarray(rng.normal(size=gs.shape), jnp.float32).at[0].set(0.0)
+rhos = 1.0 + 0.1 * jnp.abs(jnp.asarray(rng.normal(size=gs.shape), jnp.float32))
+pzs = lambda a, loc: padv.pad_zy(a, gs, loc)
+gots = padv.div_rho_u_c_pallas(gs, pzs(cs, fl.CCC), pzs(us, fl.CCF),
+                               pzs(vs, fl.CFC), pzs(ws, fl.FCC),
+                               pzs(rhos, fl.CCC))
+refs = -adv.div_rho_u_c(sos, adv.WENO(5), fl.pad(rhos, gs, fl.CCC),
+                        fl.pad(us, gs, fl.CCF), fl.pad(vs, gs, fl.CFC),
+                        fl.pad(ws, gs, fl.FCC), fl.pad(cs, gs, fl.CCC))
+d = float(jnp.abs(gots - refs).max()); s = float(jnp.abs(refs).max())
+print(f'stretched scalar kernel rel {d/s:.2e}', flush=True)
+assert d/s < 2e-4
 print('kernels OK elapsed', round(time.time()-t0, 1), flush=True)
 """
 
