@@ -118,7 +118,7 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         # domain top — padded host-side)
         rw = rw_p
         thf = thzf_w[:]
-        inv_dzc = invdzc_w[:].reshape(bz, 1, 1)
+        inv_dzc = invdzc_w[:]                       # (bz, 1, nx)
         dzdiv = (rw[1:, :, :] - rw[:-1, :, :]) * inv_dzc
         dzdiv_t = (thf[1:, :, :] * rw[1:, :, :]
                    - thf[:-1, :, :] * rw[:-1, :, :]) * inv_dzc
@@ -177,13 +177,12 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt,
         out_specs=[outspec] * 4,
         out_shape=[out] * 4,
         scratch_shapes=carry_wins + [win() for _ in range(7)]
-        + [pltpu.VMEM((bz, 1), jnp.float32),
+        + [pltpu.VMEM((bz, 1, nx), jnp.float32),
            pltpu.SemaphoreType.DMA((13,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(*args, inv_dzc_col.reshape(nz, 1),
-      jnp.asarray(pgf, jnp.float32).reshape(1))
+    )(*args, inv_dzc_col, jnp.asarray(pgf, jnp.float32).reshape(1))
 
 
 # ---------------------------------------------------------------------------
@@ -237,9 +236,9 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
 
         # ---- CN tridiagonal coefficients (stretched Δz via the spacing
         # columns; flat terrain) ------------------------------------------
-        inv_dzc = invdzc_w[:].reshape(nz, 1, 1)     # 1/Δz_c[k]
+        inv_dzc = invdzc_w[:]                       # 1/Δz_c[k], (nz, 1, nx)
         inv_dzc_b = jnp.concatenate([inv_dzc[:1], inv_dzc[:-1]], axis=0)
-        inv_dzf = invdzf_w[:].reshape(nz, 1, 1)     # 1/Δz_f[k]
+        inv_dzf = invdzf_w[:]                       # 1/Δz_f[k]
         C_b = below(cl)
         thf_a = jnp.concatenate([thf[1:], thf[-1:]], axis=0)
         a_co = (0.5 * g_acc * od2 * inv_dzc_b
@@ -319,7 +318,7 @@ def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
 
     args = [pady(x) for x in (rhos, rts, rw_p, rho_p, rt_p, grw, cl, th,
                               thzf, ru_new, rv_new)]
-    args += [inv_dzc_col.reshape(nz, 1), inv_dzf_col.reshape(nz, 1)]
+    args += [inv_dzc_col, inv_dzf_col]
     store_dt = jnp.dtype(store)
     kernel = _make_k2(by, nz, nx, dx, dy, dtau, omega, g_acc, damp_coef,
                       store_dt=store_dt)
@@ -332,7 +331,7 @@ def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
     # carried inputs (rw', rho', rt') arrive in the storage dtype
     wins = ([win(), win(), win(store_dt), win(store_dt), win(store_dt)]
             + [win() for _ in range(6)])
-    col = lambda: pltpu.VMEM((nz, 1), jnp.float32)
+    col = lambda: pltpu.VMEM((nz, 1, nx), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -405,11 +404,13 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     store_dt = jnp.dtype(store)
     work_dt = g.dtype
 
+    from .advection import bcast_col
+
     cl = caches.C_L.astype(jnp.float32)
     th = caches.theta_L.astype(jnp.float32)
     thzf = caches.theta_L_zf.astype(jnp.float32)
-    inv_dzc = (1.0 / jnp.asarray(g.dz_c)).astype(jnp.float32)
-    inv_dzf = (1.0 / jnp.asarray(g.dz_f)[:nz]).astype(jnp.float32)
+    inv_dzc = bcast_col(1.0 / jnp.asarray(g.dz_c), nx)
+    inv_dzf = bcast_col(1.0 / jnp.asarray(g.dz_f)[:nz], nx)
 
     def body(i, p):
         pgf = jnp.where(jnp.logical_or(i > 0, not gate_first), 1.0, 0.0)

@@ -33,6 +33,19 @@ H = 3   # WENO5 halo (z)
 HY = 4  # y-halo: one extra row so the VMEM window sublane count is 8-aligned
 
 
+def bcast_col(col, nx):
+    """Lane-replicated ``(n, 1, nx)`` form of a z-column.
+
+    Mosaic rejects memref slices of lane-width 1 ("Slice shape along
+    dimension 1 must be aligned to tiling (128)"), so per-level spacing /
+    density columns are streamed replicated across the lane dimension and
+    broadcast against ``(bz, by, nx)`` blocks on the sublane axis.  The
+    extra HBM traffic is ``nx`` floats per z-row per block — noise next to
+    the field windows."""
+    col = jnp.asarray(col, jnp.float32).reshape(-1, 1, 1)
+    return jnp.broadcast_to(col, (col.shape[0], 1, nx))
+
+
 def _weno5_plus(g):
     """Left-biased WENO5 given cell getter g(o) (o=0 upwind cell)."""
     qm2, qm1, q0, q1, q2 = g(-2), g(-1), g(0), g(1), g(2)
@@ -137,7 +150,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float):
         cz = _weno_face(lambda o: zc(c, o), mfz)
         Fz = mfz * cz
         acc = acc + ((Fz[1:, :, :] - Fz[:-1, :, :])[:, HY:HY + by, :]
-                     * invdz_w[:].reshape(bz, 1, 1))
+                     * invdz_w[:])
 
         out_ref[:] = -acc
 
@@ -160,12 +173,12 @@ def _run(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dz_col, inv_dx, inv_dy,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
         scratch_shapes=[win(), win(), win(), win(), win(),
-                        pltpu.VMEM((bz, 1), jnp.float32),
+                        pltpu.VMEM((bz, 1, nx), jnp.float32),
                         pltpu.SemaphoreType.DMA((6,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
-    )(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dz_col.reshape(nz, 1))
+    )(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dz_col)
 
 
 def _pick_block(n, candidates):
@@ -197,7 +210,7 @@ def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
     by = _pick_block(ny, (32, 16, 8, 64))
     # Δz column from STATIC metadata (grid.dz_c may be a tracer under an
     # outer jit; dz_c_meta is the concrete tuple)
-    inv_dz_col = 1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32)
+    inv_dz_col = bcast_col(1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32), nx)
     return _run(c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy, rho_pad_zy,
                 inv_dz_col,
                 float(1.0 / grid.dx), float(1.0 / grid.dy),

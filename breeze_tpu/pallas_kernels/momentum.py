@@ -178,14 +178,13 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
             pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
                                   invdzf_w, sems.at[4]).wait()
             u, v, w = u_w[:], v_w[:], w_w[:]
-            colc = colc_ref[pl.ds(i * bz, wz), :, :]      # (wz, 1, 1)
+            colc = colc_ref[pl.ds(i * bz, wz), :, :]      # (wz, 1, nx)
             colf = colf_ref[pl.ds(i * bz, wz), :, :]
             ru = u * colc
             rv = v * colc
             rw = w * colf
             body(i, j, ru, rv, rw, u, v, w,
-                 invdzc_w[:].reshape(bz, 1, 1),
-                 invdzf_w[:].reshape(bz, 1, 1),
+                 invdzc_w[:], invdzf_w[:],
                  du_ref, dv_ref, dw_ref)
     else:
         def kernel(ru_hbm, rv_hbm, rw_hbm, u_hbm, v_hbm, w_hbm,
@@ -213,8 +212,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
             pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
                                   invdzf_w, sems.at[7]).wait()
             body(i, j, ru_w[:], rv_w[:], rw_w[:], u_w[:], v_w[:], w_w[:],
-                 invdzc_w[:].reshape(bz, 1, 1),
-                 invdzf_w[:].reshape(bz, 1, 1),
+                 invdzc_w[:], invdzf_w[:],
                  du_ref, dv_ref, dw_ref)
 
     return kernel
@@ -228,7 +226,7 @@ def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad, invdzc, invdzf,
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
-    col = lambda: pltpu.VMEM((bz, 1), jnp.float32)
+    col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     return pl.pallas_call(
         kernel,
@@ -242,8 +240,7 @@ def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad, invdzc, invdzf,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad,
-      invdzc.reshape(nz, 1), invdzf.reshape(nz, 1))
+    )(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad, invdzc, invdzf)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -254,7 +251,7 @@ def _run_cols(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf,
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
-    col = lambda: pltpu.VMEM((bz, 1), jnp.float32)
+    col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     return pl.pallas_call(
         kernel,
@@ -270,14 +267,18 @@ def _run_cols(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(u_pad, v_pad, w_pad, colc, colf,
-      invdzc.reshape(nz, 1), invdzf.reshape(nz, 1))
+    )(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf)
 
 
 def _inv_dz_cols(grid):
-    """(1/Δz_c, 1/Δz_f) columns from STATIC metadata (jit-safe)."""
-    invdzc = 1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32)
-    invdzf = 1.0 / jnp.asarray(grid.dz_f_meta[: grid.nz], jnp.float32)
+    """Lane-replicated (1/Δz_c, 1/Δz_f) columns from STATIC metadata
+    (jit-safe; ``(nz, 1, nx)`` — see :func:`.advection.bcast_col`)."""
+    from .advection import bcast_col
+
+    invdzc = bcast_col(1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32),
+                       grid.nx)
+    invdzf = bcast_col(
+        1.0 / jnp.asarray(grid.dz_f_meta[: grid.nz], jnp.float32), grid.nx)
     return invdzc, invdzf
 
 
@@ -331,12 +332,14 @@ def momentum_div_pallas_cols(grid, u_pad_zy, v_pad_zy, w_pad_zy,
     momenta are formed in VMEM — 3 field reads instead of 6, and no
     materialized ρu/ρv/ρw in HBM (the anelastic hot path).
     """
+    from .advection import bcast_col
+
     nz, ny, nx = grid.shape
     bz = _pick_block(nz, (8, 16, 4))
     by = _pick_block(ny, (32, 16, 8, 64))
     invdzc, invdzf = _inv_dz_cols(grid)
     return _run_cols(u_pad_zy, v_pad_zy, w_pad_zy,
-                     colc.astype(jnp.float32), colf.astype(jnp.float32),
+                     bcast_col(colc, nx), bcast_col(colf, nx),
                      invdzc, invdzf,
                      float(1.0 / grid.dx), float(1.0 / grid.dy),
                      nz, ny, nx, bz, by,

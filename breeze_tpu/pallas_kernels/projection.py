@@ -59,7 +59,7 @@ def _make_div(bz, by, nx, inv_dx, inv_dy):
         rv = rv_w[:]
         dy_part = (rv[:bz, 1:, :] - rv[:bz, :by, :]) * inv_dy
         rw = rw_w[:]
-        dz_part = (rw[1:, :by, :] - rw[:-1, :by, :]) * invdz_w[:].reshape(bz, 1, 1)
+        dz_part = (rw[1:, :by, :] - rw[:-1, :by, :]) * invdz_w[:]
         out_ref[:] = dx_part + dy_part + dz_part
 
     return kernel
@@ -80,7 +80,6 @@ def _run_div(ru, rv, rw, inv_dz_col, bz, by, nz, ny, nx, inv_dx, inv_dy,
     wz, wy = bz + 1, by + 1
     grid = (nz // bz, ny // by)
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
-    inv_dz_col = inv_dz_col.reshape(nz, 1)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -89,7 +88,7 @@ def _run_div(ru, rv, rw, inv_dz_col, bz, by, nz, ny, nx, inv_dx, inv_dy,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
         scratch_shapes=[win(), win(), win(),
-                        pltpu.VMEM((bz, 1), jnp.float32),
+                        pltpu.VMEM((bz, 1, nx), jnp.float32),
                         pltpu.SemaphoreType.DMA((4,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -137,11 +136,11 @@ def _make_grad(bz, by, nx, inv_dx, inv_dy, dt):
         # window: z rows [i·bz−1 .. i·bz+bz−1], y rows [j·by−1 .. j·by+by−1]
         phi = phi_w[:]
         phi_c = phi[1:, 1:, :]                       # block cells
-        rhoc = rhoc_w[:].reshape(bz, 1, 1)
-        rhof = rhof_w[:].reshape(bz, 1, 1)
+        rhoc = rhoc_w[:]
+        rhof = rhof_w[:]
         ru_o[:] = ru_w[:] - dt * rhoc * (phi_c - xs(phi_c, -1)) * inv_dx
         rv_o[:] = rv_w[:] - dt * rhoc * (phi_c - phi[1:, :by, :]) * inv_dy
-        dzphi = (phi_c - phi[:bz, 1:, :]) * invdzf_w[:].reshape(bz, 1, 1)
+        dzphi = (phi_c - phi[:bz, 1:, :]) * invdzf_w[:]
         rw_new = rw_w[:] - dt * rhof * dzphi
         # bottom wall: face row 0 of block i=0 pinned to zero
         @pl.when(i == 0)
@@ -171,10 +170,7 @@ def _run_grad(phi, ru, rv, rw, rho_c_col, rho_f_col, inv_dz_f_col,
     outspec = pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)
     win_b = lambda: pltpu.VMEM((bz, by, nx), jnp.float32)
-    col = lambda: pltpu.VMEM((bz, 1), jnp.float32)
-    rho_c_col = rho_c_col.reshape(nz, 1)
-    rho_f_col = rho_f_col.reshape(nz, 1)
-    inv_dz_f_col = inv_dz_f_col.reshape(nz, 1)
+    col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -213,10 +209,12 @@ def supported(grid) -> bool:
 def divergence_pallas(grid, ru, rv, rw, interpret=False):
     """∇·(ρu) at centers — fused replacement for the pad + ``so.div_c``
     pair in ``pressure_projection`` (implicit-zero top wall flux)."""
+    from .advection import bcast_col
+
     nz, ny, nx = grid.shape
     bz = _pick(nz, (16, 8, 4))
     by = _pick(ny, (16, 8, 4))
-    inv_dz = (1.0 / jnp.asarray(grid.dz_c)).astype(jnp.float32)
+    inv_dz = bcast_col(1.0 / jnp.asarray(grid.dz_c), nx)
     return _run_div(ru, rv, rw, inv_dz, bz=bz, by=by, nz=nz, ny=ny, nx=nx,
                     inv_dx=float(1.0 / grid.dx), inv_dy=float(1.0 / grid.dy),
                     interpret=interpret)
@@ -226,13 +224,14 @@ def gradient_correct_pallas(grid, phi, ru, rv, rw, rho_c_col, rho_f_col, dt,
                             interpret=False):
     """ρu ← ρu − Δt ρᵣ∇φ with the bottom wall face pinned — fused
     replacement for the pad + three gradient ops + wall enforcement."""
+    from .advection import bcast_col
+
     nz, ny, nx = grid.shape
     bz = _pick(nz, (16, 8, 4))
     by = _pick(ny, (16, 8, 4))
-    inv_dz_f = (1.0 / jnp.asarray(grid.dz_f)[:nz]).astype(jnp.float32)
-    rc = jnp.broadcast_to(rho_c_col.reshape(-1), (nz,)).astype(jnp.float32)
-    rf = jnp.broadcast_to(rho_f_col.reshape(-1)[:nz], (nz,)).astype(
-        jnp.float32)
+    inv_dz_f = bcast_col(1.0 / jnp.asarray(grid.dz_f)[:nz], nx)
+    rc = bcast_col(jnp.broadcast_to(rho_c_col.reshape(-1), (nz,)), nx)
+    rf = bcast_col(jnp.broadcast_to(rho_f_col.reshape(-1)[:nz], (nz,)), nx)
     return _run_grad(phi, ru, rv, rw, rc, rf, inv_dz_f,
                      bz=bz, by=by, nz=nz, ny=ny, nx=nx,
                      inv_dx=float(1.0 / grid.dx),
