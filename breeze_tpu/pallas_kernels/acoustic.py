@@ -52,7 +52,10 @@ from jax.experimental.pallas import tpu as pltpu
 def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
              dtau: float, omega: float, store_dt=jnp.float32):
     wz = bz + 1          # one extra z row ABOVE the block (∂z shifts)
-    wy = by + 2          # one y halo row each side
+    wy = by + 8          # one y halo row each side + 6 slack rows so the
+    #                      DMA window sublane count is 8-aligned (Mosaic);
+    #                      the kernel only uses rows 0..by+1
+    ly = by + 2          # logical window rows (global j·by−1 .. j·by+by)
     f32 = jnp.float32
 
     def kernel(ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
@@ -86,29 +89,35 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         def xs(a, o):
             return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
 
+        # logical-window views (rows 0..by+1; the DMA slack rows are unused)
+        lv = lambda r: r[:, :ly, :]
         # carried perturbations may be stored reduced-precision; upcast
         # for the arithmetic (the jnp loop's substep_floattype semantics)
-        ru_p = ru_w[:].astype(f32)
-        rv_p = rv_w[:].astype(f32)
-        rw_p = rw_w[:].astype(f32)
-        rho_p = rho_w[:].astype(f32)
-        rt_p = rt_w[:].astype(f32)
+        ru_p = lv(ru_w).astype(f32)
+        rv_p = lv(rv_w).astype(f32)
+        rw_p = lv(rw_w).astype(f32)
+        rho_p = lv(rho_w).astype(f32)
+        rt_p = lv(rt_w).astype(f32)
+        gru = lv(gru_w)
+        grv = lv(grv_w)
+        grho = lv(grho_w)
+        grt = lv(grt_w)
 
         # ---- step A on all window rows (halo rows feed step B) ---------
-        pp = cl_w[:] * rt_p                           # p' = C^L (ρθ)'
+        pp = lv(cl_w) * rt_p                          # p' = C^L (ρθ)'
         dpdx = (pp - xs(pp, -1)) * inv_dx             # at x-faces, all rows
-        ru_new = ru_p + dtau * (gru_w[:] - pgf * dpdx)
+        ru_new = ru_p + dtau * (gru - pgf * dpdx)
         # y-faces m = 0..by (global j·by+m): pp rows m, m+1
         dpdy = (pp[:, 1:, :] - pp[:, :-1, :]) * inv_dy
         rv_new = (rv_p[:, 1:, :]
-                  + dtau * (grv_w[:, 1:, :] - pgf * dpdy))
+                  + dtau * (grv[:, 1:, :] - pgf * dpdy))
 
         # ---- step B on block-interior rows (window rows 1..by) ---------
         div_h = ((xs(ru_new, 1) - ru_new)[:bz, 1:1 + by, :] * inv_dx
                  + (rv_new[:, 1:, :] - rv_new[:, :-1, :])[:bz, :, :]
                  * inv_dy)
 
-        th = th_w[:]
+        th = lv(th_w)
         fx = 0.5 * (th + xs(th, -1)) * ru_new
         fy = 0.5 * (th[:, 1:, :] + th[:, :-1, :]) * rv_new
         div_ht = ((xs(fx, 1) - fx)[:bz, 1:1 + by, :] * inv_dx
@@ -117,7 +126,7 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         # dz_fc_div with the +1 z row (next block's first row; zero at the
         # domain top — padded host-side)
         rw = rw_p
-        thf = thzf_w[:]
+        thf = lv(thzf_w)
         inv_dzc = invdzc_w[:]                       # (bz, 1, nx)
         dzdiv = (rw[1:, :, :] - rw[:-1, :, :]) * inv_dzc
         dzdiv_t = (thf[1:, :, :] * rw[1:, :, :]
@@ -126,9 +135,9 @@ def _make_k1(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         ci = lambda a: a[:bz, 1:1 + by, :]            # center-interior view
         ru_o[:] = ci(ru_new)
         rv_o[:] = rv_new[:bz, :by, :]                 # faces m = 0..by-1
-        rhos_o[:] = (ci(rho_p) + dtau * (ci(grho_w[:]) - div_h)
+        rhos_o[:] = (ci(rho_p) + dtau * (ci(grho) - div_h)
                      - dtau * (1.0 - omega) * ci_z(dzdiv, by))
-        rts_o[:] = (ci(rt_p) + dtau * (ci(grt_w[:]) - div_ht)
+        rts_o[:] = (ci(rt_p) + dtau * (ci(grt) - div_ht)
                     - dtau * (1.0 - omega) * ci_z(dzdiv_t, by))
 
     return kernel
@@ -148,11 +157,12 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt,
             store="float32", interpret=False):
     """Inputs are interior (nz, ny, nx); this pads +1 top z row (zero for
     ρw, repeat otherwise — the repeat rows only multiply the zero ρw) and
-    one periodic y row each side."""
+    periodic y rows: 1 below + 7 above (1 used + 6 slack so the DMA
+    window sublane count by+8 is 8-aligned)."""
     def padzy(a, zero_top):
         top = jnp.zeros_like(a[:1]) if zero_top else a[-1:]
         a = jnp.concatenate([a, top], axis=0)
-        return jnp.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
+        return jnp.concatenate([a[:, -1:, :], a, a[:, :7, :]], axis=1)
 
     args = [padzy(ru, False), padzy(rv, False), padzy(rw, True),
             padzy(rho, False), padzy(rt, False), padzy(cl, False),
@@ -161,7 +171,7 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt,
     store_dt = jnp.dtype(store)
     kernel = _make_k1(bz, by, nx, inv_dx, inv_dy, dtau, omega,
                       store_dt=store_dt)
-    wz, wy = bz + 1, by + 2
+    wz, wy = bz + 1, by + 8
     grid = (nz // bz, ny // by)
     win = lambda dt=jnp.float32: pltpu.VMEM((wz, wy, nx), dt)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
@@ -192,7 +202,8 @@ def _run_k1(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grho, grt,
 def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
              dtau: float, omega: float, g_acc: float,
              damp_coef: float, store_dt=jnp.float32):
-    wy = by + 2
+    wy = by + 8          # DMA window (8-aligned sublane count; Mosaic)
+    ly = by + 2          # logical rows used (global j·by−1 .. j·by+by)
     od2 = omega * omega * dtau * dtau
     f32 = jnp.float32
 
@@ -201,7 +212,8 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
                invdzf_hbm,
                ru_o, rv_o, rw_o, rho_o, rt_o,
                rhos_w, rts_w, rw_w, rhop_w, rtp_w, grw_w, cl_w, th_w,
-               thzf_w, ru_w, rv_w, invdzc_w, invdzf_w, cp_s, dp_s, sems):
+               thzf_w, ru_w, rv_w, invdzc_w, invdzf_w, cp_s, dp_s,
+               aco_s, bco_s, cco_s, rhs_s, sems):
         j = pl.program_id(0)
 
         srcs = (rhos_hbm, rts_hbm, rw_hbm, rhop_hbm, rtp_hbm, grw_hbm,
@@ -226,13 +238,15 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         above0 = lambda a: jnp.concatenate(
             [a[1:], jnp.zeros_like(a[:1])], axis=0)
 
-        cl = cl_w[:]
-        thf = thzf_w[:]
-        rhos = rhos_w[:]
-        rts = rts_w[:]
-        rw_p = rw_w[:].astype(f32)
-        rho_p = rhop_w[:].astype(f32)
-        rt_p = rtp_w[:].astype(f32)
+        lv = lambda r: r[:, :ly, :]   # logical rows; DMA slack unused
+        cl = lv(cl_w)
+        thf = lv(thzf_w)
+        rhos = lv(rhos_w)
+        rts = lv(rts_w)
+        rw_p = lv(rw_w).astype(f32)
+        rho_p = lv(rhop_w).astype(f32)
+        rt_p = lv(rtp_w).astype(f32)
+        grw = lv(grw_w)
 
         # ---- CN tridiagonal coefficients (stretched Δz via the spacing
         # columns; flat terrain) ------------------------------------------
@@ -255,20 +269,28 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         Crt_star = cl * rts
         dz_Crt_tau = (Crt_tau - below(Crt_tau)) * inv_dzf
         dz_Crt_star = (Crt_star - below(Crt_star)) * inv_dzf
-        d = (rw_p + dtau * grw_w[:]
+        d = (rw_p + dtau * grw
              - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
                                + omega * rho_star_zf)
              - dtau * ((1.0 - omega) * dz_Crt_tau + omega * dz_Crt_star))
 
         # ---- Thomas solve along z (Dirichlet bottom row folded in) ------
+        # Coefficients/RHS are staged through VMEM scratch: Mosaic cannot
+        # lower lax.dynamic_slice on register VALUES (a_co[k] with a traced
+        # loop k), but dynamic-k Ref loads are fine.
+        aco_s[:] = a_co
+        bco_s[:] = b_co
+        cco_s[:] = c_co
+        rhs_s[:] = d
         # row 0: a=c=0, b=1, d=0  →  cp[0]=0, dp[0]=0
-        cp_s[0] = jnp.zeros((wy, nx), jnp.float32)
-        dp_s[0] = jnp.zeros((wy, nx), jnp.float32)
+        cp_s[0] = jnp.zeros((ly, nx), jnp.float32)
+        dp_s[0] = jnp.zeros((ly, nx), jnp.float32)
 
         def fwd(k, _):
-            denom = b_co[k] - a_co[k] * cp_s[k - 1]
-            cp_s[k] = c_co[k] / denom
-            dp_s[k] = (d[k] - a_co[k] * dp_s[k - 1]) / denom
+            a_k = aco_s[k]
+            denom = bco_s[k] - a_k * cp_s[k - 1]
+            cp_s[k] = cco_s[k] / denom
+            dp_s[k] = (rhs_s[k] - a_k * dp_s[k - 1]) / denom
             return 0
 
         jax.lax.fori_loop(1, nz, fwd, 0, unroll=False)
@@ -287,10 +309,10 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         rt_new = rts - omega * dtau * (above0(thw) - thw) * inv_dzc
 
         # ---- thermal divergence damping (block-local halo) ---------------
-        ru_new = ru_w[:]
+        ru_new = lv(ru_w)
         rv_out = rv_w[:, 1:1 + by, :]
         if damp_coef:
-            D = (rt_new - rt_p) / th_w[:]
+            D = (rt_new - rt_p) / lv(th_w)
             fac_x = damp_coef * dx / dtau
             fac_y = damp_coef * dy / dtau
             ru_new = ru_new - fac_x * (D - xs(D, -1))
@@ -314,7 +336,9 @@ def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
             by, nz, ny, nx, dx, dy, dtau, omega, g_acc, damp_coef,
             store="float32", interpret=False):
     def pady(a):
-        return jnp.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
+        # 1 periodic row below + 7 above (1 used + 6 slack: the DMA window
+        # sublane count by+8 must be 8-aligned on Mosaic)
+        return jnp.concatenate([a[:, -1:, :], a, a[:, :7, :]], axis=1)
 
     args = [pady(x) for x in (rhos, rts, rw_p, rho_p, rt_p, grw, cl, th,
                               thzf, ru_new, rv_new)]
@@ -322,9 +346,10 @@ def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
     store_dt = jnp.dtype(store)
     kernel = _make_k2(by, nz, nx, dx, dy, dtau, omega, g_acc, damp_coef,
                       store_dt=store_dt)
-    wy = by + 2
+    wy, ly = by + 8, by + 2
     grid = (ny // by,)
     win = lambda dt=jnp.float32: pltpu.VMEM((nz, wy, nx), dt)
+    lwin = lambda: pltpu.VMEM((nz, ly, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), store_dt)
     outspec = pl.BlockSpec((nz, by, nx), lambda j: (0, j, 0),
                            memory_space=pltpu.VMEM)
@@ -339,7 +364,8 @@ def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
         out_specs=[outspec] * 5,
         out_shape=[out] * 5,
         scratch_shapes=wins + [col(), col()]
-        + [win(), win(), pltpu.SemaphoreType.DMA((13,))],
+        + [lwin(), lwin(), lwin(), lwin(), lwin(), lwin(),
+           pltpu.SemaphoreType.DMA((13,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -378,7 +404,7 @@ def supported(model) -> bool:
                            (NoDivergenceDamping, ThermalDivergenceDamping))
             and g.nx >= 128 and g.ny >= 8 and g.nz >= 8
             and _pick(g.nz, (16, 8, 4)) is not None
-            and _pick(g.ny, (8, 4)) is not None)
+            and _pick(g.ny, (8,)) is not None)
 
 
 def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
@@ -398,7 +424,7 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     damp = (float(strategy.coefficient)
             if isinstance(strategy, ThermalDivergenceDamping) else 0.0)
     bz = _pick(nz, (16, 8, 4))
-    by = _pick(ny, (8, 4))
+    by = _pick(ny, (8,))
     dtau = float(dtau)
     store = td.substep_floattype or "float32"
     store_dt = jnp.dtype(store)
