@@ -1,7 +1,13 @@
-"""Benchmark: anelastic LES throughput in grid-points/s on one chip.
+"""Benchmark: LES throughput in grid-points/s on one chip.
 
-Canonical configuration mirrors the reference benchmark harness
-(``benchmarking/README.md:300-320``): WENO5, float32, no closure,
+Canonical case (the ``vs_baseline`` metric, per BASELINE.json): **256^3
+BOMEX LES** — saturation-adjustment moist thermodynamics, Smagorinsky-Lilly
+SGS closure, prescribed bulk surface fluxes, geostrophic + subsidence
+forcing, WENO5 float32 (reference ``benchmarking/README.md:193-208`` defines
+the harness; ``examples/bomex.jl`` the physics).  A dry thermal-bubble case
+(the reference CI matrix config, ``.github/workflows/Benchmarks.yml:29-50``)
+stays available via ``--case bubble``.
+
 10 warmup + 100 timed steps; metric = Nx*Ny*Nz / time_per_step
 (``benchmarking/src/result.jl:18-20``).
 
@@ -38,12 +44,20 @@ def main() -> int:
 
 def _parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", type=str, default="256x256x128")
+    p.add_argument("--case", choices=("bomex", "bubble"), default="bomex",
+                   help="bomex = canonical 256^3 BOMEX LES (the vs_baseline "
+                        "metric); bubble = dry/moist thermal bubble (the "
+                        "reference CI matrix config)")
+    p.add_argument("--size", type=str, default=None,
+                   help="NxNyNz override (default: 256x256x256 for bomex, "
+                        "256x256x128 for bubble)")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--warmup", type=int, default=10)
-    p.add_argument("--dt", type=float, default=0.5)
+    p.add_argument("--dt", type=float, default=None,
+                   help="default: 1.0 for bomex, 0.5 for bubble")
     p.add_argument("--moist", action="store_true",
-                   help="enable saturation-adjustment moist thermodynamics")
+                   help="bubble case: enable saturation-adjustment moist "
+                        "thermodynamics (bomex is always moist)")
     p.add_argument("--dynamics", choices=("anelastic", "compressible"),
                    default="anelastic")
     p.add_argument("--svp", choices=("clausius_clapeyron", "flatau", "tetens"),
@@ -53,8 +67,82 @@ def _parse_args():
     p.add_argument("--substep-floattype", default=None,
                    help="compressible acoustic working-field dtype (e.g. bfloat16)")
     args = p.parse_args()
+    if args.dynamics == "compressible":
+        args.case = "bubble"      # the compressible bench is the bubble case
+    if args.size is None:
+        args.size = "256x256x256" if args.case == "bomex" else "256x256x128"
+    if args.dt is None:
+        args.dt = 1.0 if args.case == "bomex" else 0.5
     args.pallas_fallback = False
     return args
+
+
+def _build_bomex(args, nx, ny, nz):
+    """256^3 BOMEX: Siebesma et al. (2003) trade-cumulus intercomparison
+    (reference examples/bomex.jl), at benchmark resolution."""
+    import jax
+    import jax.numpy as jnp
+
+    import breeze_tpu as bz
+    from breeze_tpu.physics.closures import SmagorinskyLilly
+    from breeze_tpu.physics.forcings import (DrySubsidenceTendency,
+                                             GeostrophicForcing,
+                                             SubsidenceForcing, UpperSponge)
+    from breeze_tpu.physics.surface import PrescribedSurfaceFluxes
+
+    f_cor = 3.76e-5
+    grid = bz.make_grid(size=(nx, ny, nz), extent=(6_400.0, 6_400.0, 3_000.0),
+                        topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                        halo=3, dtype=jnp.float32)
+    constants = bz.ThermodynamicConstants(saturation_formulation=args.svp)
+    model = bz.make_model(
+        grid,
+        advection=bz.WENO(5),
+        potential_temperature=298.7,
+        surface_pressure=101_500.0,
+        constants=constants,
+        microphysics=bz.SaturationAdjustment(
+            equilibrium=bz.WarmPhaseEquilibrium()),
+        closure=SmagorinskyLilly(),
+        coriolis=bz.FPlane(f=f_cor),
+        boundary_fluxes=PrescribedSurfaceFluxes(
+            theta_flux=8.0e-3, qt_flux=5.2e-5, friction_velocity=0.28),
+        forcings=(
+            GeostrophicForcing(f=f_cor,
+                               u_g=lambda z: -10.0 + 1.8e-3 * z, v_g=0.0),
+            SubsidenceForcing(w_profile=lambda z: jnp.where(
+                z < 1500.0, -0.0065 * z / 1500.0,
+                jnp.where(z < 2100.0,
+                          -0.0065 * (1 - (z - 1500.0) / 600.0), 0.0))),
+            DrySubsidenceTendency(tendency_profile=lambda z: jnp.where(
+                z < 300.0, -1.2e-8,
+                jnp.where(z < 500.0,
+                          -1.2e-8 * (1 - (z - 300.0) / 200.0), 0.0))),
+            UpperSponge(rate=0.05, bottom=2400.0),
+        ))
+
+    def theta0(x, y, z):
+        return jnp.where(z < 520.0, 298.7,
+               jnp.where(z < 1480.0, 298.7 + (z - 520.0) * (302.4 - 298.7) / 960.0,
+               jnp.where(z < 2000.0, 302.4 + (z - 1480.0) * (308.2 - 302.4) / 520.0,
+                         308.2 + (z - 2000.0) * 3.65e-3)))
+
+    def qt0(x, y, z):
+        return jnp.where(z < 520.0, 17.0e-3 + z * (16.3e-3 - 17.0e-3) / 520.0,
+               jnp.where(z < 1480.0, 16.3e-3 + (z - 520.0) * (10.7e-3 - 16.3e-3) / 960.0,
+               jnp.where(z < 2000.0, 10.7e-3 + (z - 1480.0) * (4.2e-3 - 10.7e-3) / 520.0,
+                         jnp.maximum(4.2e-3 - (z - 2000.0) * 1.2e-6, 1e-4))))
+
+    def u0(x, y, z):
+        return jnp.where(z < 700.0, -8.75, -8.75 + (z - 700.0) * 1.8e-3)
+
+    state = bz.initial_state(model, theta=theta0, qt=qt0, u=u0)
+    noise = 0.1 * jax.random.normal(jax.random.key(1), grid.shape,
+                                    dtype=jnp.float32)
+    damp = jnp.exp(-grid.z_c_col / 500.0)
+    state = state.replace(
+        rho_theta=state.rho_theta + model.reference.rho_col * noise * damp)
+    return grid, model, state
 
 
 def _build_and_run(args) -> int:
@@ -65,6 +153,14 @@ def _build_and_run(args) -> int:
     from breeze_tpu.timesteppers import ssp_rk3_step
 
     nx, ny, nz = (int(s) for s in args.size.split("x"))
+
+    if args.case == "bomex" and args.dynamics == "anelastic":
+        grid, model, state = _build_bomex(args, nx, ny, nz)
+        chunk = jax.jit(
+            lambda m, s, dt: jax.lax.fori_loop(
+                0, 10, lambda _, st: ssp_rk3_step(m, st, dt), s),
+            donate_argnums=(1,))
+        return _run_bench(args, grid, model, state, chunk, nx, ny, nz)
 
     # FastEddy CBL-like domain (reference benchmarking/README.md:193-208):
     # 12.8 km x 12.8 km x 3.2 km.
@@ -149,16 +245,18 @@ def _run_bench(args, grid, model, state, chunk, nx, ny, nz) -> int:
 
     # The reference publishes no absolute numbers (BASELINE.json "published": {});
     # vs_baseline reports against the north-star working target of 1e9
-    # grid-points/s/chip for the canonical 256x256x128 WENO5 f32 config.
+    # grid-points/s/chip on the canonical case (256^3 BOMEX for --case bomex).
     result = {
         "metric": "grid_points_per_second",
         "value": round(gps, 1),
         "unit": "points/s",
         "vs_baseline": round(gps / 1.0e9, 4),
         "config": {
+            "case": args.case,
             "size": args.size, "advection": "WENO5",
             "dynamics": args.dynamics,
-            "dtype": "float32", "moist": bool(args.moist),
+            "dtype": "float32",
+            "moist": bool(args.moist or args.case == "bomex"),
             "steps": steps, "time_per_step_seconds": round(time_per_step, 6),
             "device": str(jax.devices()[0]).replace(" ", "_"),
         },

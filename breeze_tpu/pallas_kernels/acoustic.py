@@ -430,13 +430,16 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     store_dt = jnp.dtype(store)
     work_dt = g.dtype
 
-    from .advection import bcast_col
+    from .advection import bcast_col, force_interpret
 
+    interpret = interpret or force_interpret()
     cl = caches.C_L.astype(jnp.float32)
     th = caches.theta_L.astype(jnp.float32)
     thzf = caches.theta_L_zf.astype(jnp.float32)
-    inv_dzc = bcast_col(1.0 / jnp.asarray(g.dz_c), nx)
-    inv_dzf = bcast_col(1.0 / jnp.asarray(g.dz_f)[:nz], nx)
+    # Static spacing metadata (g.dz_c/dz_f become tracers under an outer jit)
+    inv_dzc = bcast_col(1.0 / jnp.asarray(g.dz_c_meta, jnp.float32), nx)
+    inv_dzf = bcast_col(
+        1.0 / jnp.asarray(g.dz_f_meta[:nz], jnp.float32), nx)
 
     def body(i, p):
         pgf = jnp.where(jnp.logical_or(i > 0, not gate_first), 1.0, 0.0)

@@ -12,8 +12,10 @@ relay cannot take the whole queue down; results append to
 4. profile   — anelastic per-component + compressible per-phase profiles
 5. proj      — BREEZE_TPU_PALLAS_PROJ=1 bench (fused projection)
 6. acoustic  — BREEZE_TPU_PALLAS_ACOUSTIC=1 compressible bench
-7. cols      — BREEZE_TPU_PALLAS_MOM_COLS=1 bench (the kernel that hung
-               the relay once — LAST, strict timeout)
+7. cols      — BREEZE_TPU_DISABLE_PALLAS_MOM_COLS=1 comparison bench (the
+               cols kernel is the DEFAULT; this stage records the
+               premultiplied-kernel number.  The cols kernel once hung the
+               relay — LAST, strict timeout)
 
 Usage:  python tpu_verify_queue.py [--from STAGE] [--only STAGE]
 """
@@ -121,7 +123,7 @@ STAGES = [
                        "compressible", "--substep-floattype", "bfloat16"],
      {"BREEZE_TPU_PALLAS_ACOUSTIC": "1"}, 1800),
     ("cols", [sys.executable, "bench.py"],
-     {"BREEZE_TPU_PALLAS_MOM_COLS": "1"}, 1200),
+     {"BREEZE_TPU_DISABLE_PALLAS_MOM_COLS": "1"}, 1200),
 ]
 
 
