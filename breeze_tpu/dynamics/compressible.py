@@ -517,7 +517,9 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     if use_pallas_scal:
         G_rho_theta = padv.div_rho_u_c_pallas(
             g, pz(aux.theta, fl.CCC), pzu, pzv, pzw,
-            pz(state.rho, fl.CCC))
+            pz(state.rho, fl.CCC),
+            bounds=getattr(model.scalar_advection, "bounds_preserving",
+                           False))
     else:
         theta_pad = fl.pad(aux.theta, g, fl.CCC)
         rho_pad = fl.pad(state.rho, g, fl.CCC)
@@ -776,8 +778,12 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         jac_yf3 = terrain.jac_yf3
         sx_zf = terrain.slope_x(at_zface=True)          # (nz,·,·) at x-faces
         sy_zf = terrain.slope_y(at_zface=True)
-        sx_c_zf = 0.5 * (sx_zf + jnp.roll(sx_zf, -1, axis=2))   # x-centers
-        sy_c_zf = 0.5 * (sy_zf + jnp.roll(sy_zf, -1, axis=1))
+        # shard-aware wraps: under shard_map a raw jnp.roll would roll the
+        # LOCAL shard only (latent decomposition bug) — route through
+        # wrap_roll so terrain metrics exchange like every other field.
+        from ..parallel.halo import wrap_roll as _wroll
+        sx_c_zf = 0.5 * (sx_zf + _wroll(sx_zf, -1, 2))   # x-centers
+        sy_c_zf = 0.5 * (sy_zf + _wroll(sy_zf, -1, 1))
         sx_cf = terrain.slope_x(at_zface=False)         # ζ-centers, x-faces
         sy_cf = terrain.slope_y(at_zface=False)
     else:
@@ -872,8 +878,9 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
             dpz_f = (vv(pp) - vv(pp, dz=-1)) / dz_f * invJ_f    # ζ-faces
             dpz_c = 0.5 * (dpz_f + jnp.concatenate(
                 [dpz_f[1:], dpz_f[-1:]], axis=0))               # ζ-centers
-            dpdx = dpdx - sx_cf * 0.5 * (dpz_c + jnp.roll(dpz_c, 1, axis=2))
-            dpdy = dpdy - sy_cf * 0.5 * (dpz_c + jnp.roll(dpz_c, 1, axis=1))
+            from ..parallel.halo import wrap_roll as _wroll2
+            dpdx = dpdx - sx_cf * 0.5 * (dpz_c + _wroll2(dpz_c, 1, 2))
+            dpdy = dpdy - sy_cf * 0.5 * (dpz_c + _wroll2(dpz_c, 1, 1))
         apply_pgf = jnp.logical_or(i > 0, jnp.asarray(not gate_first))
         pgf_fac = jnp.where(apply_pgf, 1.0, 0.0).astype(ru_p.dtype)
         ru_new = ru_p + dtau * (G.rho_u - pgf_fac * dpdx)
@@ -1249,10 +1256,12 @@ def _advance_scalars(model, state_n, state_L, new_state, avg_ru, avg_rv,
         pzw = pz(avg_rw / rho_safe, fl.FCC)
         pzrho = pz(state_L.rho, fl.CCC)
 
+        _bounds = getattr(model.scalar_advection, "bounds_preserving", False)
+
         def G_scalar(rho_c_field):
             return padv.div_rho_u_c_pallas(
                 g, pz(rho_c_field / state_L.rho, fl.CCC),
-                pzu, pzv, pzw, pzrho)
+                pzu, pzv, pzw, pzrho, bounds=_bounds)
     else:
         def G_scalar(rho_c_field):
             c_pad = fl.pad(rho_c_field / state_L.rho, g, fl.CCC)

@@ -323,8 +323,9 @@ def contravariant_rho_w(terrain: TerrainMetrics, so: StencilOps,
     rv_czf = 0.25 * (so.v(rho_v_pad) + so.v(rho_v_pad, dy=1)
                      + so.v(rho_v_pad, dz=-1) + so.v(rho_v_pad, dy=1, dz=-1))
     # slope at x-face must also move to center-x: average sx to centers
-    sx_c = 0.5 * (sx + jnp.roll(sx, -1, axis=2))
-    sy_c = 0.5 * (sy + jnp.roll(sy, -1, axis=1))
+    from ..parallel.halo import wrap_roll as _wr
+    sx_c = 0.5 * (sx + _wr(sx, -1, 2))
+    sy_c = 0.5 * (sy + _wr(sy, -1, 1))
     return rho_w - sx_c * ru_czf - sy_c * rv_czf
 
 
@@ -334,10 +335,14 @@ def kinematic_bottom_rho_w(terrain: TerrainMetrics, so: StencilOps,
     ρw|₀ = sx·ℑ(ρu)|₀ + sy·ℑ(ρv)|₀ with the slope at the bottom ζ-face."""
     sx0 = terrain.slope_x(at_zface=True)[0]
     sy0 = terrain.slope_y(at_zface=True)[0]
-    sx_c0 = 0.5 * (sx0 + jnp.roll(sx0, -1, axis=1))
-    sy_c0 = 0.5 * (sy0 + jnp.roll(sy0, -1, axis=0))
-    ru0 = 0.5 * (rho_u[0] + jnp.roll(rho_u[0], -1, axis=1))
-    rv0 = 0.5 * (rho_v[0] + jnp.roll(rho_v[0], -1, axis=0))
+    # 2-D (y, x) slabs: axes 1/0 here are global axes 2/1 — keep the
+    # shard-aware wrap on 3-D forms, then slice (wrap_roll needs the axis
+    # numbering of the shard context, which is registered in 3-D terms).
+    from ..parallel.halo import wrap_roll as _wr
+    sx_c0 = 0.5 * (sx0 + _wr(sx0[None], -1, 2)[0])
+    sy_c0 = 0.5 * (sy0 + _wr(sy0[None], -1, 1)[0])
+    ru0 = 0.5 * (rho_u[0] + _wr(rho_u[:1], -1, 2)[0])
+    rv0 = 0.5 * (rho_v[0] + _wr(rho_v[:1], -1, 1)[0])
     return sx_c0 * ru0 + sy_c0 * rv0
 
 
@@ -355,8 +360,9 @@ def terrain_pressure_gradients(terrain: TerrainMetrics, so: StencilOps,
     # interpolate to x-faces / y-faces and back to ζ-centers
     dpdz_cc = 0.5 * (dpdz_true_f + jnp.concatenate(
         [dpdz_true_f[1:], dpdz_true_f[-1:]], axis=0))     # ζ-centers
-    dpdz_xf = 0.5 * (dpdz_cc + jnp.roll(dpdz_cc, 1, axis=2))
-    dpdz_yf = 0.5 * (dpdz_cc + jnp.roll(dpdz_cc, 1, axis=1))
+    from ..parallel.halo import wrap_roll as _wr2
+    dpdz_xf = 0.5 * (dpdz_cc + _wr2(dpdz_cc, 1, 2))
+    dpdz_yf = 0.5 * (dpdz_cc + _wr2(dpdz_cc, 1, 1))
     sx = terrain.slope_x(at_zface=False)
     sy = terrain.slope_y(at_zface=False)
     dpdx_true = dpdx_zeta - sx * dpdz_xf

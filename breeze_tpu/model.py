@@ -447,6 +447,42 @@ def _padded_reference_columns(model: AtmosphereModel, halo: int | None = None):
     return c_pad[:, None, None], f_pad[:, None, None]
 
 
+def _pad_center_column(grid, col, h):
+    """z-halo-pad a 1-D center-located column (even mirror / wrap)."""
+    from .grid import Topology
+    col = jnp.asarray(col).reshape(-1)
+    if grid.z_topology == Topology.BOUNDED:
+        out = jnp.concatenate([col[:h][::-1], col, col[-h:][::-1]])
+    else:
+        out = jnp.concatenate([col[-h:], col, col[:h]])
+    return out[:, None, None]
+
+
+def _dry_buoyancy_columns(model: AtmosphereModel, halo: int):
+    """(T_eff, Π, gρᵣ) padded center columns for the in-kernel dry buoyancy.
+
+    The fused tendency kernel evaluates b = gρᵣ(1 − T_eff/(Π·θ)) — the
+    q ≡ 0 closed form of the perturbation buoyancy in :func:`diagnose`,
+    with T_eff = RᵐᵣTᵣ/Rᵐ₀ folding a (possibly moist) reference's gas
+    constant against the dry state's (all column arithmetic, traced but
+    O(nz)).
+    """
+    from .thermo.states import exner_function
+    ref = model.reference
+    c = model.constants
+    q0 = MoistureMassFractions.vapor_only(jnp.zeros_like(ref.p_c))
+    Pi = exner_function(ref.p_c, q0, c, model.p_standard)
+    grho = c.gravitational_acceleration * ref.rho_c
+    q_ref = ref.moisture_fractions_col()
+    Rm_ref = c.mixture_gas_constant(q_ref)[:, 0, 0]
+    Rm0 = c.mixture_gas_constant(
+        MoistureMassFractions.vapor_only(jnp.zeros_like(ref.p_c)))
+    T_eff = Rm_ref * ref.T_c / Rm0
+    return (_pad_center_column(model.grid, T_eff, halo),
+            _pad_center_column(model.grid, Pi, halo),
+            _pad_center_column(model.grid, grho, halo))
+
+
 # ---------------------------------------------------------------------------
 # Tendencies
 # ---------------------------------------------------------------------------
@@ -504,13 +540,24 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     # Fused Pallas kernels (default on TPU; see pallas_kernels/)
     from .pallas_kernels import advection as padv
     from .pallas_kernels import momentum as pmom
-    use_pallas_mom = (padv.enabled() and z_scales_mom is None
+    from .pallas_kernels import tendency as ptend
+
+    # The tendency mega-kernel fuses momentum + all scalars + FPlane
+    # Coriolis + buoyancy into ONE pass (pallas_kernels/tendency.py);
+    # BREEZE_TPU_DISABLE_PALLAS_FUSED=1 restores the round-2 split kernels.
+    use_fused = (padv.enabled() and z_scales_mom is None
+                 and z_scale_scal is None and pcb is None
+                 and ptend.supported(g, mom_scheme, scal_scheme,
+                                     model.coriolis)
+                 and not os.environ.get("BREEZE_TPU_DISABLE_PALLAS_FUSED"))
+    use_pallas_mom = (not use_fused and padv.enabled()
+                      and z_scales_mom is None
                       and pcb is None and pmom.supported(g, mom_scheme))
-    use_pallas_scalar = (padv.available(g, scal_scheme)
+    use_pallas_scalar = (not use_fused and padv.available(g, scal_scheme)
                          and z_scale_scal is None and pcb is None)
     pz = lambda a, loc: padv.pad_zy(a, g, loc)
     pzu = pzv = pzw = None
-    if use_pallas_mom or use_pallas_scalar:
+    if use_fused or use_pallas_mom or use_pallas_scalar:
         pzu, pzv, pzw = pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC)
 
     # Anelastic: ρu = ρᵣ(z)·u with a z-only profile, so the padded momentum
@@ -519,10 +566,11 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     rho_c_padcol, rho_f_padcol = _padded_reference_columns(model)
 
     # The full halo pads are only needed by the jnp advection fallback,
-    # Coriolis, and the SGS closure — skip them entirely otherwise.
-    need_full_pads = ((not use_pallas_mom) or (not use_pallas_scalar)
-                      or model.coriolis is not None
-                      or model.closure is not None)
+    # the jnp Coriolis (non-FPlane), and the SGS closure.
+    need_full_pads = (model.closure is not None
+                      or (not use_fused
+                          and ((not use_pallas_mom) or (not use_pallas_scalar)
+                               or model.coriolis is not None)))
     u_pad = v_pad = w_pad = rho_u_pad = rho_v_pad = rho_w_pad = None
     if need_full_pads:
         u_pad = fl.pad(aux.u, g, fl.CCF)
@@ -532,38 +580,116 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         rho_v_pad = v_pad * rho_c_padcol
         rho_w_pad = w_pad * rho_f_padcol
 
-    # Momentum advection: ∇·(ρU ⊗ u)
-    if use_pallas_mom:
+    tracer_names = list(state.tracers.keys())
+
+    if use_fused:
         from .pallas_kernels.momentum import H as _PH
         col_c, col_f = _padded_reference_columns(model, halo=_PH)
-        if not os.environ.get("BREEZE_TPU_DISABLE_PALLAS_MOM_COLS"):
-            # Momenta formed in VMEM from the reference columns (3 HBM
-            # field reads instead of 6).  Verified compiled + faster on
-            # v5e (23.35 vs 23.87 ms/step, 256x256x128 WENO5 f32) — the
-            # DEFAULT; BREEZE_TPU_DISABLE_PALLAS_MOM_COLS=1 restores the
-            # premultiplied-momenta kernel.
-            adv_u, adv_v, adv_w = pmom.momentum_div_pallas_cols(
-                g, pzu, pzv, pzw, col_c, col_f)
+        chi = state.rho_theta / ref.rho_col
+        scalars = [chi]
+        if model.has_moisture:
+            scalars.append(aux.qt)
+        scalars += [state.tracers[k] / ref.rho_col for k in tracer_names]
+        dry_buoy = (not model.has_moisture
+                    and model.formulation == "theta_li")
+        if dry_buoy:
+            buoy_cols = _dry_buoyancy_columns(model, halo=_PH)
+            b_pad_in = None
         else:
-            adv_u, adv_v, adv_w = pmom.momentum_div_pallas(
-                g, pzu * col_c, pzv * col_c, pzw * col_f, pzu, pzv, pzw)
+            buoy_cols = None
+            b_pad_in = pz(aux.buoyancy_force, fl.CCC)
+        f_cor = None if model.coriolis is None else model.coriolis.f
+        G_rho_u, G_rho_v, G_rho_w, G_scal = ptend.fused_tendency_pallas(
+            g, pzu, pzv, pzw, [pz(s, fl.CCC) for s in scalars],
+            col_c, col_f, coriolis_f=f_cor, buoy_cols=buoy_cols,
+            b_pad=b_pad_in,
+            scal_bounds=getattr(scal_scheme, "bounds_preserving", False))
+        G_rho_theta = G_scal[0]
+        k0 = 1
+        G_rho_qt = None
+        if model.has_moisture:
+            G_rho_qt = G_scal[1]
+            k0 = 2
+        G_tracers = {k: G_scal[k0 + i] for i, k in enumerate(tracer_names)}
     else:
-        adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
-            so, mom_scheme,
-            rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad,
-            z_scales=z_scales_mom,
-            z_spacings=(None if pcb is None
-                        else (pcb.dz_u3, pcb.dz_v3, None)))
+        # Momentum advection: ∇·(ρU ⊗ u)
+        if use_pallas_mom:
+            from .pallas_kernels.momentum import H as _PH
+            col_c, col_f = _padded_reference_columns(model, halo=_PH)
+            if not os.environ.get("BREEZE_TPU_DISABLE_PALLAS_MOM_COLS"):
+                # Momenta formed in VMEM from the reference columns (3 HBM
+                # field reads instead of 6).  Verified compiled + faster on
+                # v5e (23.35 vs 23.87 ms/step, 256x256x128 WENO5 f32) — the
+                # DEFAULT; BREEZE_TPU_DISABLE_PALLAS_MOM_COLS=1 restores the
+                # premultiplied-momenta kernel.
+                adv_u, adv_v, adv_w = pmom.momentum_div_pallas_cols(
+                    g, pzu, pzv, pzw, col_c, col_f)
+            else:
+                adv_u, adv_v, adv_w = pmom.momentum_div_pallas(
+                    g, pzu * col_c, pzv * col_c, pzw * col_f, pzu, pzv, pzw)
+        else:
+            adv_u, adv_v, adv_w = adv.momentum_flux_divergence(
+                so, mom_scheme,
+                rho_u_pad, rho_v_pad, rho_w_pad, u_pad, v_pad, w_pad,
+                z_scales=z_scales_mom,
+                z_spacings=(None if pcb is None
+                            else (pcb.dz_u3, pcb.dz_v3, None)))
 
-    cor_x, cor_y, cor_z = coriolis_terms(
-        model.coriolis, so, rho_u_pad, rho_v_pad, rho_w_pad, g)
+        cor_x, cor_y, cor_z = coriolis_terms(
+            model.coriolis, so, rho_u_pad, rho_v_pad, rho_w_pad, g)
 
-    G_rho_u = -adv_u - cor_x
-    G_rho_v = -adv_v - cor_y
-    # Buoyancy interpolated center→z-face (buoyancy_forceᶜᶜᶠ,
-    # dynamics_kernel_functions.jl:42).
-    b_pad = fl.pad(aux.buoyancy_force, g, fl.CCC)
-    G_rho_w = -adv_w - cor_z + so.iz_cf(b_pad)
+        G_rho_u = -adv_u - cor_x
+        G_rho_v = -adv_v - cor_y
+        # Buoyancy interpolated center→z-face (buoyancy_forceᶜᶜᶠ,
+        # dynamics_kernel_functions.jl:42).
+        b_pad = fl.pad(aux.buoyancy_force, g, fl.CCC)
+        G_rho_w = -adv_w - cor_z + so.iz_cf(b_pad)
+
+        # Scalars: θ and qᵗ advected as specific quantities against ρᵣ
+        # (potential_temperature_tendency.jl:100-105; scalar_tendency
+        # dynamics_kernel_functions.jl:132-159).  The density is the z-padded
+        # reference COLUMN — broadcasting through the flux machinery without a
+        # full-field halo materialization.
+        rho_r_pad = rho_c_padcol
+
+        # Fused Pallas scalar-advection path (see pallas_kernels.advection)
+        if use_pallas_scalar:
+            rho_r_field = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
+            pz_args = (pzu, pzv, pzw, pz(rho_r_field, fl.CCC))
+            _bounds = getattr(scal_scheme, "bounds_preserving", False)
+
+            def scalar_div(c_spec):
+                return -padv.div_rho_u_c_pallas(g, pz(c_spec, fl.CCC),
+                                                *pz_args, bounds=_bounds)
+        else:
+            def scalar_div(c_spec):
+                c_pad = fl.pad(c_spec, g, fl.CCC)
+                return adv.div_rho_u_c(
+                    so, scal_scheme, rho_r_pad, u_pad, v_pad, w_pad, c_pad,
+                    z_flux_scale=z_scale_scal,
+                    z_spacing=None if pcb is None else pcb.dz_c3,
+                    face_fractions=None if pcb is None
+                    else (pcb.frac_u, pcb.frac_v, pcb.frac_c))
+
+        # Specific thermodynamic prognostic: θˡⁱ or e (formulation dispatch,
+        # reference formulation_interface.jl:22-208).
+        chi = state.rho_theta / ref.rho_col
+        G_rho_theta = -scalar_div(chi)
+
+        G_rho_qt = None
+        if model.has_moisture:
+            G_rho_qt = -scalar_div(aux.qt)
+
+        G_tracers = {}
+        for name in tracer_names:
+            G_tracers[name] = -scalar_div(state.tracers[name] / ref.rho_col)
+
+    if model.formulation == "static_energy":
+        # −ρwb buoyancy flux couples energy and momentum budgets in the
+        # anelastic limit (reference static_energy_tendency.jl:60-72).
+        b_f = so.iz_cf(fl.pad(aux.buoyancy_force, g, fl.CCC))  # ρb at z-faces
+        wb_pad = fl.pad(aux.w * b_f, g, fl.FCC)
+        G_rho_theta = G_rho_theta - so.iz_fc(wb_pad)
 
     # Closure (SGS) stress divergence and diffusive scalar fluxes.
     closure_fluxes = None
@@ -574,53 +700,10 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         G_rho_u = G_rho_u + closure_fluxes.G_u
         G_rho_v = G_rho_v + closure_fluxes.G_v
         G_rho_w = G_rho_w + closure_fluxes.G_w
-
-    # Scalars: θ and qᵗ advected as specific quantities against ρᵣ
-    # (potential_temperature_tendency.jl:100-105; scalar_tendency
-    # dynamics_kernel_functions.jl:132-159).  The density is the z-padded
-    # reference COLUMN — broadcasting through the flux machinery without a
-    # full-field halo materialization.
-    rho_r_field = jnp.broadcast_to(ref.rho_col, g.shape).astype(g.dtype)
-    rho_r_pad = rho_c_padcol
-
-    # Fused Pallas scalar-advection path (see pallas_kernels.advection)
-    if use_pallas_scalar:
-        pz_args = (pzu, pzv, pzw, pz(rho_r_field, fl.CCC))
-
-        def scalar_div(c_spec):
-            return -padv.div_rho_u_c_pallas(g, pz(c_spec, fl.CCC), *pz_args)
-    else:
-        def scalar_div(c_spec):
-            c_pad = fl.pad(c_spec, g, fl.CCC)
-            return adv.div_rho_u_c(
-                so, scal_scheme, rho_r_pad, u_pad, v_pad, w_pad, c_pad,
-                z_flux_scale=z_scale_scal,
-                z_spacing=None if pcb is None else pcb.dz_c3,
-                face_fractions=None if pcb is None
-                else (pcb.frac_u, pcb.frac_v, pcb.frac_c))
-
-    # Specific thermodynamic prognostic: θˡⁱ or e (formulation dispatch,
-    # reference formulation_interface.jl:22-208).
-    chi = state.rho_theta / ref.rho_col
-    G_rho_theta = -scalar_div(chi)
-    if model.formulation == "static_energy":
-        # −ρwb buoyancy flux couples energy and momentum budgets in the
-        # anelastic limit (reference static_energy_tendency.jl:60-72).
-        b_f = so.iz_cf(fl.pad(aux.buoyancy_force, g, fl.CCC))  # ρb at z-faces
-        wb_pad = fl.pad(aux.w * b_f, g, fl.FCC)
-        G_rho_theta = G_rho_theta - so.iz_fc(wb_pad)
-    if closure_fluxes is not None and closure_fluxes.G_theta is not None:
-        G_rho_theta = G_rho_theta + closure_fluxes.G_theta
-
-    G_rho_qt = None
-    if model.has_moisture:
-        G_rho_qt = -scalar_div(aux.qt)
-        if closure_fluxes is not None and closure_fluxes.G_qt is not None:
+        if closure_fluxes.G_theta is not None:
+            G_rho_theta = G_rho_theta + closure_fluxes.G_theta
+        if model.has_moisture and closure_fluxes.G_qt is not None:
             G_rho_qt = G_rho_qt + closure_fluxes.G_qt
-
-    G_tracers = {}
-    for name, rho_c_tr in state.tracers.items():
-        G_tracers[name] = -scalar_div(rho_c_tr / ref.rho_col)
 
     G = State(
         rho_u=G_rho_u, rho_v=G_rho_v, rho_w=G_rho_w,

@@ -76,17 +76,24 @@ def _weno5_plus(g):
     return (a0 * p0 + a1 * p1 + a2 * p2) / (a0 + a1 + a2)
 
 
-def _weno_face(cell, sign):
+def _weno_face(cell, sign, bounds: bool = False):
     """Upwind WENO5 interface value; ``cell(o)`` = cell at offset o from the
     interface's LEFT cell; ``sign`` = advecting velocity at the interface.
 
     Stencil-select: pick the upwind cells with 5 selects and evaluate the
-    WENO formula ONCE — half the arithmetic of compute-both-branches."""
+    WENO formula ONCE — half the arithmetic of compute-both-branches.
+    ``bounds``: clip the interface value to the adjacent-cell range
+    (bounds-preserving WENO, matching ``advection.reconstruct``)."""
     up = sign >= 0
-    return _weno5_plus(lambda o: jnp.where(up, cell(o), cell(1 - o)))
+    out = _weno5_plus(lambda o: jnp.where(up, cell(o), cell(1 - o)))
+    if bounds:
+        qL, qR = cell(0), cell(1)
+        out = jnp.clip(out, jnp.minimum(qL, qR), jnp.maximum(qL, qR))
+    return out
 
 
-def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float):
+def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
+                 bounds: bool = False):
     wz, wy = bz + 2 * H, by + 2 * HY
 
     def kernel(c_hbm, u_hbm, v_hbm, w_hbm, rho_hbm, invdz_hbm, out_ref,
@@ -122,7 +129,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float):
 
         # mass flux at x-face i: 0.5(ρ[i-1]+ρ[i]) u[i]
         mfx = 0.5 * (rho + xs(rho, -1)) * u
-        cx = _weno_face(lambda o: xs(c, o - 1), mfx)
+        cx = _weno_face(lambda o: xs(c, o - 1), mfx, bounds)
         Fx = mfx * cx
         div = (xs(Fx, 1) - Fx) * inv_dx          # at centers (all rows)
         acc = div[H:H + bz, HY:HY + by, :]
@@ -136,7 +143,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float):
         mfy = 0.5 * (yc(rho, 0) + yc(rho, 1))
         vy = v[:, HY: HY + by + 1, :]           # v at faces HY..HY+by
         mfy = mfy * vy
-        cy = _weno_face(lambda o: yc(c, o), mfy)
+        cy = _weno_face(lambda o: yc(c, o), mfy, bounds)
         Fy = mfy * cy
         acc = acc + (Fy[:, 1:, :] - Fy[:, :-1, :])[H:H + bz, :, :] * inv_dy
 
@@ -147,7 +154,7 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float):
         mfz = 0.5 * (zc(rho, 0) + zc(rho, 1))
         wz_ = w[H: H + bz + 1, :, :]
         mfz = mfz * wz_
-        cz = _weno_face(lambda o: zc(c, o), mfz)
+        cz = _weno_face(lambda o: zc(c, o), mfz, bounds)
         Fz = mfz * cz
         acc = acc + ((Fz[1:, :, :] - Fz[:-1, :, :])[:, HY:HY + by, :]
                      * invdz_w[:])
@@ -157,10 +164,10 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "interpret"))
+@functools.partial(jax.jit, static_argnames=("inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "bounds", "interpret"))
 def _run(c_pad, u_pad, v_pad, w_pad, rho_pad, inv_dz_col, inv_dx, inv_dy,
-         nz, ny, nx, bz, by, interpret=False):
-    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy)
+         nz, ny, nx, bz, by, bounds=False, interpret=False):
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, bounds)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
 
@@ -203,8 +210,10 @@ def supported(grid, scheme) -> bool:
 
 
 def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
-                       rho_pad_zy, interpret=False):
-    """Fused −∇·(ρuc); inputs pre-padded by H=3 in z and HY=4 in y (not x)."""
+                       rho_pad_zy, bounds=False, interpret=False):
+    """Fused −∇·(ρuc); inputs pre-padded by H=3 in z and HY=4 in y (not x).
+
+    ``bounds``: bounds-preserving clip (WENO(5, bounds_preserving=True))."""
     nz, ny, nx = grid.shape
     bz = _pick_block(nz, (8, 16, 4))
     by = _pick_block(ny, (32, 16, 8, 64))
@@ -214,7 +223,8 @@ def div_rho_u_c_pallas(grid, c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy,
     return _run(c_pad_zy, u_pad_zy, v_pad_zy, w_pad_zy, rho_pad_zy,
                 inv_dz_col,
                 float(1.0 / grid.dx), float(1.0 / grid.dy),
-                nz, ny, nx, bz, by, interpret=interpret or force_interpret())
+                nz, ny, nx, bz, by, bounds=bounds,
+                interpret=interpret or force_interpret())
 
 
 def pad_zy(a, grid, loc):

@@ -43,8 +43,17 @@ H = 3   # WENO5 z-halo
 HY = 4  # y-halo: one extra row so VMEM window sublane count is 8-aligned
 
 
-def _weno5(g):
-    """WENO5-JS given the (already upwind-selected) cell getter ``g``."""
+def _weno5(g, normalize: bool = True):
+    """WENO5-JS given the (already upwind-selected) cell getter ``g``.
+
+    ``normalize=False`` skips the max-normalization of the common-
+    denominator weights (saves ~9 VPU ops/face on this compute-bound
+    kernel).  SAFE ONLY for fields with |q| ≲ 3e3: the raw pair products
+    reach ~(17q²)⁴·q before the final normalization, hitting f32 overflow
+    near |q| ~ 3e3 — velocities (≤ sound speed ~ 3.4e2 m/s) qualify with
+    an order of magnitude of margin; scalars (tracers can be number
+    concentrations ~ 1e8) must keep the normalized form.
+    """
     qm2, qm1, q0, q1, q2 = g(-2), g(-1), g(0), g(1), g(2)
     p0 = (2.0 * qm2 - 7.0 * qm1 + 11.0 * q0) * (1.0 / 6.0)
     p1 = (-qm1 + 5.0 * q0 + 2.0 * q1) * (1.0 / 6.0)
@@ -53,30 +62,108 @@ def _weno5(g):
     b1 = (13.0 / 12.0) * (qm1 - 2.0 * q0 + q1) ** 2 + 0.25 * (qm1 - q1) ** 2
     b2 = (13.0 / 12.0) * (q0 - 2.0 * q1 + q2) ** 2 + 0.25 * (3.0 * q0 - 4.0 * q1 + q2) ** 2
     eps = 1e-6
-    # Common-denominator weights, max-normalized so the pair products stay
-    # in f32 range (see advection._weno5); two divides instead of four,
-    # ratios identical to the classic 0.1/(b+eps)^2.
+    # Common-denominator weights (two divides instead of four), ratios
+    # identical to the classic 0.1/(b+eps)^2 (see advection._weno5).
     e0 = b0 + eps
     e1 = b1 + eps
     e2 = b2 + eps
-    inv_m = 1.0 / jnp.maximum(e0, jnp.maximum(e1, e2))
-    # floor the normalized ratios: keeps the pair products out of the f32
-    # denormal-flush range (ratios < 1e-9 mean that stencil is >=1e9x
-    # rougher -- its weight split is already decided)
-    r0 = jnp.maximum(e0 * inv_m, 1e-9)
-    r1 = jnp.maximum(e1 * inv_m, 1e-9)
-    r2 = jnp.maximum(e2 * inv_m, 1e-9)
-    a0 = 0.1 * (r1 * r2) ** 2
-    a1 = 0.6 * (r0 * r2) ** 2
-    a2 = 0.3 * (r0 * r1) ** 2
+    if normalize:
+        # max-normalized so the pair products stay in f32 range
+        inv_m = 1.0 / jnp.maximum(e0, jnp.maximum(e1, e2))
+        # floor the normalized ratios: keeps the pair products out of the
+        # f32 denormal-flush range (ratios < 1e-9 mean that stencil is
+        # >=1e9x rougher -- its weight split is already decided)
+        e0 = jnp.maximum(e0 * inv_m, 1e-9)
+        e1 = jnp.maximum(e1 * inv_m, 1e-9)
+        e2 = jnp.maximum(e2 * inv_m, 1e-9)
+    a0 = 0.1 * (e1 * e2) ** 2
+    a1 = 0.6 * (e0 * e2) ** 2
+    a2 = 0.3 * (e0 * e1) ** 2
     return (a0 * p0 + a1 * p1 + a2 * p2) / (a0 + a1 + a2)
 
 
-def _weno_sel(cell, sign):
+def _weno_sel(cell, sign, normalize: bool = True):
     """Stencil-select upwind WENO5: ``cell(o)`` is the cell at offset ``o``
     from the interface's LEFT cell; ``sign`` selects the upwind branch."""
     up = sign >= 0
-    return _weno5(lambda o: jnp.where(up, cell(o), cell(1 - o)))
+    return _weno5(lambda o: jnp.where(up, cell(o), cell(1 - o)), normalize)
+
+
+def momentum_divs(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
+                  ru, rv, rw, u, v, w, invdzc, invdzf):
+    """The nine fused WENO5 momentum reconstructions + divergences on one
+    (z, y) block: windows are ``(bz+2H, by+2HY, nx)``; returns
+    ``(du, dv, dw)`` block-sized.  Shared by the momentum kernels here and
+    the fused tendency kernel (``tendency.py``)."""
+
+    # periodic x shift: xs(a, o)[..., i] = a[..., (i+o) mod nx]
+    def xs(a, o):
+        return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
+
+    # block-sized window slices at (z, y) offsets from the interior
+    def s(a, zo, yo):                      # (bz, by, nx)
+        return a[H + zo: H + zo + bz, HY + yo: HY + yo + by, :]
+
+    def sy(a, zo, y0):                     # (bz, by+1, nx) — y faces/centers
+        return a[H + zo: H + zo + bz, HY + y0: HY + y0 + by + 1, :]
+
+    def sz(a, z0, yo):                     # (bz+1, by, nx) — z faces/centers
+        return a[H + z0: H + z0 + bz + 1, HY + yo: HY + yo + by, :]
+
+    dify = lambda F: F[:, 1:, :] - F[:, :-1, :]
+    difz = lambda F: F[1:, :, :] - F[:-1, :, :]
+
+    # velocities are bounded (≲ sound speed), so the reconstructions can
+    # skip the overflow-guard weight normalization (see _weno5)
+    _wsel = lambda cell, sign: _weno_sel(cell, sign, normalize=False)
+
+    # ============ x momentum: u at (zc, yc, xf) ====================
+    rus, us = s(ru, 0, 0), s(u, 0, 0)
+    mf = 0.5 * (rus + xs(rus, 1))          # mass flux at x-centers ("fc")
+    F = mf * _wsel(lambda o: xs(us, o), mf)
+    du = (F - xs(F, -1)) * inv_dx          # div at x-faces
+
+    rvc = sy(rv, 0, 0)                     # ρv at (yf, xf) corners
+    mf = 0.5 * (rvc + xs(rvc, -1))
+    F = mf * _wsel(lambda o: sy(u, 0, o - 1), mf)
+    du = du + dify(F) * inv_dy
+
+    rwc = sz(rw, 0, 0)                     # ρw at (zf, xf)
+    mf = 0.5 * (rwc + xs(rwc, -1))
+    F = mf * _wsel(lambda o: sz(u, o - 1, 0), mf)
+    du = du + difz(F) * invdzc
+
+    # ============ y momentum: v at (zc, yf, xc) ====================
+    mf = 0.5 * (s(ru, 0, 0) + s(ru, 0, -1))   # ρu at (yf, xf) corners
+    vs = s(v, 0, 0)
+    F = mf * _wsel(lambda o: xs(vs, o - 1), mf)
+    dv = (xs(F, 1) - F) * inv_dx           # div at x-centers
+
+    mf = 0.5 * (sy(rv, 0, -1) + sy(rv, 0, 0))  # mass flux at y-centers
+    F = mf * _wsel(lambda o: sy(v, 0, o - 1), mf)
+    dv = dv + dify(F) * inv_dy             # div at y-faces
+
+    mf = 0.5 * (sz(rw, 0, 0) + sz(rw, 0, -1))  # ρw at (zf, yf)
+    F = mf * _wsel(lambda o: sz(v, o - 1, 0), mf)
+    dv = dv + difz(F) * invdzc
+
+    # ============ z momentum: w at (zf, yc, xc) ====================
+    mf = 0.5 * (s(ru, 0, 0) + s(ru, -1, 0))    # ρu at (zf, xf)
+    ws = s(w, 0, 0)
+    F = mf * _wsel(lambda o: xs(ws, o - 1), mf)
+    dw = (xs(F, 1) - F) * inv_dx
+
+    mf = 0.5 * (sy(rv, 0, 0) + sy(rv, -1, 0))  # ρv at (zf, yf)
+    F = mf * _wsel(lambda o: sy(w, 0, o - 1), mf)
+    dw = dw + dify(F) * inv_dy
+
+    # mass flux at z-centers; div at z-faces — the bottom row k=0
+    # references below-wall data (overwritten by the wall condition,
+    # same contract as the jnp path)
+    mf = 0.5 * (sz(rw, -1, 0) + sz(rw, 0, 0))
+    F = mf * _wsel(lambda o: sz(w, o - 1, 0), mf)
+    dw = dw + difz(F) * invdzf
+    return du, dv, dw
 
 
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
@@ -85,70 +172,11 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 
     def body(i, j, ru, rv, rw, u, v, w, invdzc, invdzf,
              du_ref, dv_ref, dw_ref):
-
-        # periodic x shift: xs(a, o)[..., i] = a[..., (i+o) mod nx]
-        def xs(a, o):
-            return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
-
-        # block-sized window slices at (z, y) offsets from the interior
-        def s(a, zo, yo):                      # (bz, by, nx)
-            return a[H + zo: H + zo + bz, HY + yo: HY + yo + by, :]
-
-        def sy(a, zo, y0):                     # (bz, by+1, nx) — y faces/centers
-            return a[H + zo: H + zo + bz, HY + y0: HY + y0 + by + 1, :]
-
-        def sz(a, z0, yo):                     # (bz+1, by, nx) — z faces/centers
-            return a[H + z0: H + z0 + bz + 1, HY + yo: HY + yo + by, :]
-
-        dify = lambda F: F[:, 1:, :] - F[:, :-1, :]
-        difz = lambda F: F[1:, :, :] - F[:-1, :, :]
-
-        # ============ x momentum: u at (zc, yc, xf) ====================
-        rus, us = s(ru, 0, 0), s(u, 0, 0)
-        mf = 0.5 * (rus + xs(rus, 1))          # mass flux at x-centers ("fc")
-        F = mf * _weno_sel(lambda o: xs(us, o), mf)
-        du = (F - xs(F, -1)) * inv_dx          # div at x-faces
-
-        rvc = sy(rv, 0, 0)                     # ρv at (yf, xf) corners
-        mf = 0.5 * (rvc + xs(rvc, -1))
-        F = mf * _weno_sel(lambda o: sy(u, 0, o - 1), mf)
-        du = du + dify(F) * inv_dy
-
-        rwc = sz(rw, 0, 0)                     # ρw at (zf, xf)
-        mf = 0.5 * (rwc + xs(rwc, -1))
-        F = mf * _weno_sel(lambda o: sz(u, o - 1, 0), mf)
-        du_ref[:] = du + difz(F) * invdzc
-
-        # ============ y momentum: v at (zc, yf, xc) ====================
-        mf = 0.5 * (s(ru, 0, 0) + s(ru, 0, -1))   # ρu at (yf, xf) corners
-        vs = s(v, 0, 0)
-        F = mf * _weno_sel(lambda o: xs(vs, o - 1), mf)
-        dv = (xs(F, 1) - F) * inv_dx           # div at x-centers
-
-        mf = 0.5 * (sy(rv, 0, -1) + sy(rv, 0, 0))  # mass flux at y-centers
-        F = mf * _weno_sel(lambda o: sy(v, 0, o - 1), mf)
-        dv = dv + dify(F) * inv_dy             # div at y-faces
-
-        mf = 0.5 * (sz(rw, 0, 0) + sz(rw, 0, -1))  # ρw at (zf, yf)
-        F = mf * _weno_sel(lambda o: sz(v, o - 1, 0), mf)
-        dv_ref[:] = dv + difz(F) * invdzc
-
-        # ============ z momentum: w at (zf, yc, xc) ====================
-        mf = 0.5 * (s(ru, 0, 0) + s(ru, -1, 0))    # ρu at (zf, xf)
-        ws = s(w, 0, 0)
-        F = mf * _weno_sel(lambda o: xs(ws, o - 1), mf)
-        dw = (xs(F, 1) - F) * inv_dx
-
-        mf = 0.5 * (sy(rv, 0, 0) + sy(rv, -1, 0))  # ρv at (zf, yf)
-        F = mf * _weno_sel(lambda o: sy(w, 0, o - 1), mf)
-        dw = dw + dify(F) * inv_dy
-
-        # mass flux at z-centers; div at z-faces — the bottom row k=0
-        # references below-wall data (overwritten by the wall condition,
-        # same contract as the jnp path)
-        mf = 0.5 * (sz(rw, -1, 0) + sz(rw, 0, 0))
-        F = mf * _weno_sel(lambda o: sz(w, o - 1, 0), mf)
-        dw_ref[:] = dw + difz(F) * invdzf
+        du, dv, dw = momentum_divs(bz, by, nx, inv_dx, inv_dy,
+                                   ru, rv, rw, u, v, w, invdzc, invdzf)
+        du_ref[:] = du
+        dv_ref[:] = dv
+        dw_ref[:] = dw
 
     if with_cols:
         # ρu = ρᵣ(z)·u with z-only reference columns: DMA only the three

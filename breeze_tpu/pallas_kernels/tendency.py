@@ -1,0 +1,293 @@
+"""Fused anelastic tendency mega-kernel.
+
+ONE Pallas kernel computes the entire advective tendency stage of the
+anelastic model: all nine WENO5 momentum reconstructions, the scalar WENO5
+flux divergences for every advected specific scalar (θ, qᵗ, tracers — all
+sharing the reference-column mass fluxes), the f-plane Coriolis terms, and
+the buoyancy force interpolated to z-faces — reading each velocity window
+from HBM exactly once.
+
+This replaces the round-2 structure (separate momentum + per-scalar
+kernels, jnp Coriolis over full halo pads, jnp buoyancy pad + interp) whose
+HBM traffic re-read the u/v/w windows per kernel and materialized full
+halo-padded copies whenever Coriolis was active.  The reference computes
+the same stage as a sequence of per-field KernelAbstractions kernels
+(``update_atmosphere_model_state.jl:294-387``, kernel functions in
+``dynamics_kernel_functions.jl``); here the whole stage is one VMEM pass.
+
+Anelastic structure exploited:
+- ρ is the z-only reference column → momenta and interface mass fluxes are
+  formed in VMEM from ρᵣ(z)·(u,v,w) (3 field reads, nothing materialized);
+- the scalar mass fluxes are SHARED across all advected scalars (the jnp
+  path re-interpolates them per scalar);
+- dry θˡⁱ buoyancy is a closed form of the θ window
+  (b = gρᵣ(1 − Tᵣ/(Π·θ)), exact for q ≡ 0), so the dry path needs NO
+  buoyancy input field; moist paths pass the precomputed buoyancy force as
+  one extra window.
+
+Restrictions (jnp fallback otherwise): periodic x/y, bounded or periodic z
+via the host-side pad, WENO5 (non-bounds) for momentum AND scalars,
+float32, rectilinear, Coriolis ∈ {None, FPlane}.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .advection import H, HY, _weno_face, bcast_col, force_interpret
+from .momentum import _pick_block, _weno_sel, momentum_divs
+
+
+def _scalar_div(bz, by, nx, inv_dx, inv_dy, c, ru, rv, rw_col_mf, invdzc,
+                bounds=False):
+    """−∇·(ρuc) on one block for a specific scalar ``c`` (window-shaped).
+
+    ``ru``/``rv`` are the in-VMEM momenta windows (they ARE the interface
+    mass fluxes: ρ is z-only so no x/y interpolation is needed);
+    ``rw_col_mf`` is the z-face mass-flux slab ``0.5(ρ[k-1]+ρ[k])·w``
+    (bz+1, by, nx) shared across scalars.  Numerics identical to
+    ``pallas_kernels.advection`` (same getters, same upwind rule).
+    """
+    def xs(a, o):
+        return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
+
+    def s(a, zo, yo):
+        return a[H + zo: H + zo + bz, HY + yo: HY + yo + by, :]
+
+    def sy(a, zo, y0):
+        return a[H + zo: H + zo + bz, HY + y0: HY + y0 + by + 1, :]
+
+    def sz(a, z0, yo):
+        return a[H + z0: H + z0 + bz + 1, HY + yo: HY + yo + by, :]
+
+    # x: mass flux at x-face i is ρᵣ(z)u[i] = ru[i]; F at faces, div at centers
+    cs = s(c, 0, 0)
+    mfx = s(ru, 0, 0)
+    Fx = mfx * _weno_face(lambda o: xs(cs, o - 1), mfx, bounds)
+    acc = (xs(Fx, 1) - Fx) * inv_dx
+
+    # y: faces jy..jy+by (by+1 rows)
+    mfy = sy(rv, 0, 0)
+    Fy = mfy * _weno_face(lambda o: sy(c, 0, o - 1), mfy, bounds)
+    acc = acc + (Fy[:, 1:, :] - Fy[:, :-1, :]) * inv_dy
+
+    # z: faces k..k+bz (bz+1 slabs); mass flux slab precomputed
+    Fz = rw_col_mf * _weno_face(lambda o: sz(c, o - 1, 0), rw_col_mf, bounds)
+    acc = acc + (Fz[1:, :, :] - Fz[:-1, :, :]) * invdzc
+    return -acc
+
+
+def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
+                 n_scalars: int, f_cor: float | None, dry_buoy: bool,
+                 has_b: bool, scal_bounds: bool):
+    wz, wy = bz + 2 * H, by + 2 * HY
+    n_win = 3 + n_scalars + (1 if has_b else 0)
+    n_cols = 3 if dry_buoy else 0    # Tref, Pi, gρ columns (VMEM-resident)
+
+    def kernel(*refs):
+        # layout: [u,v,w, s0..sK-1, (b), colc, colf, (Tref,Pi,grho),
+        #          invdzc, invdzf] HBM inputs; then 3+K output refs; then
+        #          n_win window scratch + invdzc_w/invdzf_w + sems.
+        it = iter(refs)
+        u_hbm, v_hbm, w_hbm = next(it), next(it), next(it)
+        s_hbm = [next(it) for _ in range(n_scalars)]
+        b_hbm = next(it) if has_b else None
+        colc_ref, colf_ref = next(it), next(it)
+        buoy_cols = [next(it) for _ in range(n_cols)]
+        invdzc_hbm, invdzf_hbm = next(it), next(it)
+        gu_ref, gv_ref, gw_ref = next(it), next(it), next(it)
+        gs_refs = [next(it) for _ in range(n_scalars)]
+        wins = [next(it) for _ in range(n_win)]
+        invdzc_w, invdzf_w = next(it), next(it)
+        sems = next(it)
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+
+        srcs = [u_hbm, v_hbm, w_hbm] + s_hbm + ([b_hbm] if has_b else [])
+        for n, (src, dst) in enumerate(zip(srcs, wins)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).start()
+        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                              invdzc_w, sems.at[n_win]).start()
+        pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                              invdzf_w, sems.at[n_win + 1]).start()
+        for n, (src, dst) in enumerate(zip(srcs, wins)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst, sems.at[n]).wait()
+        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                              invdzc_w, sems.at[n_win]).wait()
+        pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                              invdzf_w, sems.at[n_win + 1]).wait()
+
+        u, v, w = wins[0][:], wins[1][:], wins[2][:]
+        scal = [wins[3 + k][:] for k in range(n_scalars)]
+        b_win = wins[3 + n_scalars][:] if has_b else None
+
+        colc = colc_ref[pl.ds(i * bz, wz), :, :]      # (wz, 1, nx)
+        colf = colf_ref[pl.ds(i * bz, wz), :, :]
+        ru = u * colc
+        rv = v * colc
+        rw = w * colf
+        invdzc = invdzc_w[:]
+        invdzf = invdzf_w[:]
+
+        du, dv, dw = momentum_divs(bz, by, nx, inv_dx, inv_dy,
+                                   ru, rv, rw, u, v, w, invdzc, invdzf)
+
+        def xs(a, o):
+            return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
+
+        def s(a, zo, yo):
+            return a[H + zo: H + zo + bz, HY + yo: HY + yo + by, :]
+
+        def sy(a, zo, y0):
+            return a[H + zo: H + zo + bz, HY + y0: HY + y0 + by + 1, :]
+
+        def sz(a, z0, yo):
+            return a[H + z0: H + z0 + bz + 1, HY + yo: HY + yo + by, :]
+
+        gu = -du
+        gv = -dv
+        if f_cor is not None:
+            # FPlane f×ρU with 4-point transverse averages (matches
+            # physics.coriolis.coriolis_terms): G_u += f·ρv̄ˣʸ, G_v −= f·ρūˣʸ
+            rv_u = 0.25 * (s(rv, 0, 0) + s(rv, 0, 1)
+                           + xs(s(rv, 0, 0), -1) + xs(s(rv, 0, 1), -1))
+            ru_v = 0.25 * (s(ru, 0, 0) + xs(s(ru, 0, 0), 1)
+                           + s(ru, 0, -1) + xs(s(ru, 0, -1), 1))
+            gu = gu + f_cor * rv_u
+            gv = gv - f_cor * ru_v
+
+        # Buoyancy at z-faces: b centers k-1..k+bz-1 (bz+1 slab), then iz_cf
+        if dry_buoy:
+            Tref_ref, Pi_ref, grho_ref = buoy_cols
+            th_slab = sz(scal[0], -1, 0)
+            cw = lambda r: r[pl.ds(i * bz, wz), :, :][H - 1: H + bz, :, :]
+            # b = gρᵣ(1 − Tᵣ/(Π·θ)): same residual as the jnp form
+            # −gρᵣ(RᵣTᵣ/(R·Πθ) − 1) — verified equal at the rest state
+            # (both O(1e-6), absorbed by the projection; see model).
+            b_slab = cw(grho_ref) * (1.0 - cw(Tref_ref) / (cw(Pi_ref) * th_slab))
+        else:
+            b_slab = sz(b_win, -1, 0) if has_b else None
+        if b_slab is not None:
+            gw_b = 0.5 * (b_slab[:-1, :, :] + b_slab[1:, :, :])
+            gw = -dw + gw_b
+        else:
+            gw = -dw
+
+        gu_ref[:] = gu
+        gv_ref[:] = gv
+        gw_ref[:] = gw
+
+        if n_scalars:
+            # z-face mass-flux slab 0.5(ρᶜ[k-1]+ρᶜ[k])·w, shared by all
+            # scalars (the jnp path interpolates the broadcast ρ field).
+            colc_iw = colc[H - 1: H + bz + 1, :, :]
+            mfz = 0.5 * (colc_iw[:-1, :, :] + colc_iw[1:, :, :]) * sz(w, 0, 0)
+            for k in range(n_scalars):
+                gs_refs[k][:] = _scalar_div(bz, by, nx, inv_dx, inv_dy,
+                                            scal[k], ru, rv, mfz, invdzc,
+                                            scal_bounds)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "n_scalars",
+    "f_cor", "dry_buoy", "has_b", "scal_bounds", "interpret"))
+def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, colc, colf, buoy_cols,
+         invdzc, invdzf, inv_dx, inv_dy, nz, ny, nx, bz, by, n_scalars,
+         f_cor, dry_buoy, has_b, scal_bounds=False, interpret=False):
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, n_scalars, f_cor,
+                          dry_buoy, has_b, scal_bounds)
+    wz, wy = bz + 2 * H, by + 2 * HY
+    grid = (nz // bz, ny // by)
+    n_win = 3 + n_scalars + (1 if has_b else 0)
+    n_cols = 3 if dry_buoy else 0
+    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
+    out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    args = ([u_pad, v_pad, w_pad] + list(scalars_pad)
+            + ([b_pad] if has_b else []) + [colc, colf]
+            + list(buoy_cols) + [invdzc, invdzf])
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_win
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_cols)
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=[pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
+                                memory_space=pltpu.VMEM)] * (3 + n_scalars),
+        out_shape=[out] * (3 + n_scalars),
+        scratch_shapes=[win() for _ in range(n_win)] + [col(), col()]
+        + [pltpu.SemaphoreType.DMA((n_win + 2,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+
+
+def supported(grid, mom_scheme, scal_scheme, coriolis) -> bool:
+    from ..advection import WENO
+    from ..grid import Topology
+    from ..physics.coriolis import FPlane
+
+    def weno5(s, bounds_ok=False):
+        return (isinstance(s, WENO) and s.order == 5
+                and (bounds_ok or not s.bounds_preserving))
+
+    return (weno5(mom_scheme) and weno5(scal_scheme, bounds_ok=True)
+            and (coriolis is None or isinstance(coriolis, FPlane))
+            and grid.x_topology == Topology.PERIODIC
+            and grid.y_topology == Topology.PERIODIC
+            and not grid.is_latlon
+            and grid.dtype == jnp.float32
+            and grid.halo >= H
+            and grid.nx >= 128 and grid.ny >= 8 and grid.nz >= 8
+            and _pick_block(grid.nz, (8, 16, 4)) is not None
+            and _pick_block(grid.ny, (32, 16, 8, 64)) is not None)
+
+
+def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
+                          coriolis_f=None, buoy_cols=None, b_pad=None,
+                          scal_bounds=False, interpret=False):
+    """Fused advective tendencies: returns ``(G_ρu, G_ρv, G_ρw, [G_ρs...])``.
+
+    - ``u_pad``/``v_pad``/``w_pad``/``scalars_pad``: pre-padded by
+      :func:`~breeze_tpu.pallas_kernels.advection.pad_zy` (z by H, y by HY).
+    - ``colc``/``colf``: z-halo-padded ``(nz+2H, 1, 1)`` reference-density
+      columns at centers/faces.
+    - ``coriolis_f``: FPlane parameter or None.
+    - ``buoy_cols``: ``(T_ref, Π, gρᵣ)`` padded center columns for the dry
+      in-kernel buoyancy; mutually exclusive with ``b_pad`` (precomputed
+      buoyancy force field, pre-padded like a scalar).
+    - sign convention: G already includes the −∇·, Coriolis, and +b terms
+      (what :func:`breeze_tpu.model.compute_tendencies` assembles).
+    """
+    nz, ny, nx = grid.shape
+    bz = _pick_block(nz, (8, 16, 4))
+    by = _pick_block(ny, (32, 16, 8, 64))
+    from .momentum import _inv_dz_cols
+
+    invdzc, invdzf = _inv_dz_cols(grid)
+    dry_buoy = buoy_cols is not None
+    has_b = b_pad is not None
+    assert not (dry_buoy and has_b)
+    bc = (tuple(bcast_col(c, nx) for c in buoy_cols) if dry_buoy else ())
+    outs = _run(u_pad, v_pad, w_pad, tuple(scalars_pad), b_pad,
+                bcast_col(colc, nx), bcast_col(colf, nx), bc,
+                invdzc, invdzf,
+                float(1.0 / grid.dx), float(1.0 / grid.dy),
+                nz, ny, nx, bz, by, len(scalars_pad),
+                None if coriolis_f is None else float(coriolis_f),
+                dry_buoy, has_b, scal_bounds=scal_bounds,
+                interpret=interpret or force_interpret())
+    return outs[0], outs[1], outs[2], list(outs[3:])

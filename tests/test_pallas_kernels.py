@@ -492,3 +492,115 @@ def test_weno_kernels_stretched_z():
             x1, x2 = x1[1:], x2[1:]
         np.testing.assert_allclose(x1, x2, rtol=5e-4, atol=5e-4,
                                    err_msg=f"momentum[{n}]")
+
+
+class TestFusedTendencyKernel:
+    """The tendency mega-kernel (pallas_kernels/tendency.py) vs the jnp
+    path through the exact production wiring (compute_tendencies)."""
+
+    def _grid(self):
+        return bz.make_grid(size=(128, 32, 16), extent=(12800.0, 3200.0, 1600.0),
+                            topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                            halo=3, dtype=jnp.float32)
+
+    def _state(self, model, moist=False, tracers=None):
+        import jax
+        g = model.grid
+        theta = lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+            -((x - 6400.0) ** 2 / 1500.0 ** 2 + (z - 800.0) ** 2 / 300.0 ** 2))
+        qt = (lambda x, y, z: 0.008 * jnp.exp(-z / 800.0)) if moist else None
+        state = bz.initial_state(model, theta=theta, qt=qt,
+                                 u=lambda x, y, z: 3.0 + 0.5 * jnp.sin(
+                                     2 * jnp.pi * y / 3200.0),
+                                 w=lambda x, y, z: 0.2 * jnp.sin(
+                                     2 * jnp.pi * x / 12800.0) * jnp.sin(
+                                     jnp.pi * z / 1600.0),
+                                 tracers=tracers,
+                                 enforce_mass_conservation=False)
+        return state
+
+    def _compare(self, model, state, rtol=5e-4):
+        import os
+        from breeze_tpu import model as M
+        from breeze_tpu.pallas_kernels import tendency as ptend
+        assert ptend.supported(model.grid, model.momentum_advection,
+                               model.scalar_advection, model.coriolis)
+        ref = M.compute_tendencies(model, state)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            got = M.compute_tendencies(model, state)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        names = ["rho_u", "rho_v", "rho_w", "rho_theta"]
+        if state.rho_qt is not None:
+            names.append("rho_qt")
+        for name in names:
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            if name == "rho_w":
+                a, b = a[1:], b[1:]      # wall row overwritten downstream
+            scale = max(np.abs(b).max(), 1e-10)
+            err = np.abs(a - b).max()
+            assert err / scale < rtol or err < 1e-6, (
+                f"{name}: rel {err / scale:.2e} abs {err:.2e}")
+        for name in state.tracers:
+            a = np.asarray(got.tracers[name])
+            b = np.asarray(ref.tracers[name])
+            scale = max(np.abs(b).max(), 1e-10)
+            assert np.abs(a - b).max() / scale < rtol, name
+
+    def test_dry_fplane(self):
+        """Dry θˡⁱ path: in-kernel buoyancy + FPlane Coriolis."""
+        model = bz.make_model(self._grid(), advection=adv.WENO(5),
+                              potential_temperature=300.0,
+                              coriolis=bz.FPlane(1e-4))
+        self._compare(model, self._state(model))
+
+    def test_dry_no_coriolis_with_tracer(self):
+        model = bz.make_model(self._grid(), advection=adv.WENO(5),
+                              potential_temperature=300.0)
+        g = model.grid
+        tr = {"c1": jnp.asarray(
+            np.random.default_rng(3).normal(size=g.shape), jnp.float32)}
+        self._compare(model, self._state(model, tracers=tr))
+
+    def test_moist_saturation_adjustment(self):
+        """Moist path: precomputed buoyancy window + shared mass fluxes
+        across θ and qᵗ."""
+        model = bz.make_model(
+            self._grid(), advection=adv.WENO(5), potential_temperature=300.0,
+            coriolis=bz.FPlane(1e-4),
+            microphysics=bz.SaturationAdjustment(
+                equilibrium=bz.WarmPhaseEquilibrium()))
+        self._compare(model, self._state(model, moist=True))
+
+    def test_bounds_preserving_scalars(self):
+        """Bounds-preserving WENO clips scalar interface values in-kernel
+        (momentum advection non-bounds, the usual pairing)."""
+        model = bz.make_model(
+            self._grid(),
+            momentum_advection=adv.WENO(5),
+            scalar_advection=adv.WENO(5, bounds_preserving=True),
+            potential_temperature=300.0,
+            microphysics=bz.SaturationAdjustment(
+                equilibrium=bz.WarmPhaseEquilibrium()))
+        self._compare(model, self._state(model, moist=True))
+
+    def test_rest_state_fused(self):
+        """20 fused-kernel steps from rest stay at rest (the anelastic
+        rest-state contract through the mega-kernel path)."""
+        import os
+        from breeze_tpu.timesteppers import ssp_rk3_step
+        model = bz.make_model(self._grid(), advection=adv.WENO(5),
+                              potential_temperature=300.0)
+        state = bz.initial_state(model)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            for _ in range(20):
+                state = ssp_rk3_step(model, state, 0.5)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        assert float(jnp.abs(state.rho_u).max()) < 1e-8
+        assert float(jnp.abs(state.rho_w).max()) < 1e-8
+        theta = state.rho_theta / model.reference.rho_col
+        assert float(jnp.abs(theta - 300.0).max()) < 1e-4

@@ -14,7 +14,11 @@ Usage: python tools/bench_kernels.py [--size 256x256x128] [--loops 50]
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -118,11 +122,23 @@ def main():
         -((x - 6400.0)**2 + (y - 6400.0)**2 + (z - 800.0)**2) / 500.0**2))
 
     def tend(s):
+        # consume EVERY output (a partially-consumed G lets XLA dead-code
+        # eliminate whole kernels and fake the number)
         G = M.compute_tendencies(model, s)
-        return s.replace(rho_u=s.rho_u + 1e-6 * G.rho_u)
+        return s.replace(rho_u=s.rho_u + 1e-6 * G.rho_u,
+                         rho_v=s.rho_v + 1e-6 * G.rho_v,
+                         rho_w=s.rho_w + 1e-6 * G.rho_w,
+                         rho_theta=s.rho_theta + 1e-6 * G.rho_theta)
     t = amortized_time(tend, state, n)
     print(f"{'tendency stage (dry)':28s} {t*1e3:7.3f} ms  "
           f"({npts / t / 1e6:.0f} M pts/s per stage)", flush=True)
+
+    def step(s):
+        from breeze_tpu.timesteppers import ssp_rk3_step
+        return ssp_rk3_step(model, s, 0.5)
+    t = amortized_time(step, state, n)
+    print(f"{'full SSP-RK3 step':28s} {t*1e3:7.3f} ms  "
+          f"({npts / t / 1e6:.0f} M pts/s)", flush=True)
 
     # --- projection ---------------------------------------------------------
     def proj(s):
