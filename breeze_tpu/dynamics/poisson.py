@@ -94,8 +94,9 @@ def _axis_real_basis(n: int, delta: float, topology) -> tuple[np.ndarray, np.nda
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["lower", "c_prime", "inv_den", "zero_mode_mask", "dz_c",
-                 "dft_mats"],
-    meta_fields=["nz", "ny", "nxr", "use_matmul_dft", "transform"],
+                 "dft_mats", "z_eig"],
+    meta_fields=["nz", "ny", "nxr", "use_matmul_dft", "transform",
+                 "vertical_solve"],
 )
 @dataclasses.dataclass(frozen=True)
 class AnelasticPoissonSolver:
@@ -108,8 +109,10 @@ class AnelasticPoissonSolver:
     zero_mode_mask: jax.Array  # (ny, nxr) bool
     dz_c: jax.Array            # (nz,) cell heights (volume weighting of rows)
     dft_mats: dict             # matmul-DFT matrices (empty when unused)
+    z_eig: dict                # vertical eigenbasis factors (empty when unused)
     use_matmul_dft: bool
     transform: str = "fourier"  # "fourier" (rfft2/matmul-DFT) | "real"
+    vertical_solve: str = "scan"  # "scan" (Thomas) | "eigen" (MXU matmuls)
 
     # -- transforms ----------------------------------------------------
     def _forward(self, rhs):
@@ -156,9 +159,20 @@ class AnelasticPoissonSolver:
         """
         rhs = divergence * self.dz_c[:, None, None]
         rhs_hat = self._forward(rhs) / dt
-        x = fourier_tridiagonal_scan(rhs_hat, self.lower, self.inv_den,
-                                     self.c_prime, self.zero_mode_mask,
-                                     self.nz)
+        if self.vertical_solve == "eigen":
+            # Vertical diagonalization: x = A [(M − λ)⁻¹ ⊙ (Aᵀ b)] — two
+            # (nz, nz) MXU matmuls batched over all horizontal modes,
+            # replacing the 2·nz-step sequential Thomas scans.  The
+            # reciprocal table (nz, ny, nxr) bakes in the nullspace pin
+            # (the (0,0) mode's zero z-eigenvalue entry is 0).
+            ze = self.z_eig
+            coef = jnp.einsum("mz,zyx->myx", ze["AT"], rhs_hat)
+            coef = coef * ze["inv_tab"]
+            x = jnp.einsum("zm,myx->zyx", ze["A"], coef)
+        else:
+            x = fourier_tridiagonal_scan(rhs_hat, self.lower, self.inv_den,
+                                         self.c_prime, self.zero_mode_mask,
+                                         self.nz)
         phi = self._inverse(x, divergence.shape[1:])
         return phi.astype(divergence.dtype)
 
@@ -223,7 +237,8 @@ def _build_dft_matrices(nx: int, ny: int, dtype) -> dict:
 
 def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
                                    use_matmul_dft: bool | None = None,
-                                   transform: str | None = None) -> AnelasticPoissonSolver:
+                                   transform: str | None = None,
+                                   vertical_solve: str | None = None) -> AnelasticPoissonSolver:
     """Precompute Thomas factors for the ρᵣ-weighted Fourier-tridiagonal solve.
 
     ``rho_c``: reference density at centers ``(nz,)``; ``rho_f``: at faces
@@ -321,6 +336,50 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
     elif use_matmul_dft:
         dft_mats = _build_dft_matrices(nx, ny, grid.dtype)
 
+    if vertical_solve is None:
+        # Vertical eigenbasis (MXU) replaces the 2·nz-step Thomas scans on
+        # TPU backends; CPU keeps the backward-stable scan (the f64 contract
+        # tests pin manufactured solutions to 1e-9 through it).
+        import os
+        vertical_solve = (
+            "eigen" if (transform == "real"
+                        and jax.default_backend() in ("tpu", "axon")
+                        and not os.environ.get("BREEZE_TPU_POISSON_SCAN"))
+            else "scan")
+    if vertical_solve == "eigen" and transform != "real":
+        raise ValueError("vertical_solve='eigen' needs the real eigenbasis "
+                         "transform (real-valued mode space)")
+
+    z_eig = {}
+    if vertical_solve == "eigen":
+        # Generalized symmetric eigenproblem T0 v = μ D v via the standard
+        # form C = D^{-1/2} T0 D^{-1/2} (f64 host-side): the per-mode
+        # vertical operator is T0 − λD, so x = A (M − λ)⁻¹ Aᵀ b with
+        # A = D^{-1/2} U.  The (0,0) horizontal mode's zero eigenvalue is
+        # the Neumann nullspace: its reciprocal is set to 0 (picks the
+        # D-orthogonal solution — same ∇φ as the scan's pinned row).
+        T0 = np.zeros((nz, nz))
+        for k in range(nz):
+            lo = a[k] if k > 0 else 0.0
+            up = a[k + 1] if k < nz - 1 else 0.0
+            T0[k, k] = -(lo + up)
+            if k > 0:
+                T0[k, k - 1] = lo
+            if k < nz - 1:
+                T0[k, k + 1] = up
+        Dv = rho_c * dz_c
+        d_isqrt = 1.0 / np.sqrt(Dv)
+        C = d_isqrt[:, None] * T0 * d_isqrt[None, :]
+        M, U = np.linalg.eigh(C)
+        A = d_isqrt[:, None] * U
+        den = M[:, None, None] - lam[None, :, :]
+        m0 = int(np.argmax(M))           # eigenvalues ≤ 0; the ~0 one is max
+        den[m0][zero_mode] = 1.0         # avoid 0/0; masked next
+        inv_tab = 1.0 / den
+        inv_tab[m0][zero_mode] = 0.0
+        cast = lambda arr: jnp.asarray(arr, grid.dtype)
+        z_eig = {"A": cast(A), "AT": cast(A.T), "inv_tab": cast(inv_tab)}
+
     dt = grid.dtype
     return AnelasticPoissonSolver(
         nz=nz, ny=ny, nxr=nxr,
@@ -330,6 +389,8 @@ def build_anelastic_poisson_solver(grid: Grid, rho_c, rho_f,
         zero_mode_mask=jnp.asarray(zero_mode),
         dz_c=jnp.asarray(dz_c, dt),
         dft_mats=dft_mats,
+        z_eig=z_eig,
         use_matmul_dft=bool(use_matmul_dft),
         transform=transform,
+        vertical_solve=vertical_solve,
     )

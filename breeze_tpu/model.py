@@ -555,6 +555,14 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
                       and pcb is None and pmom.supported(g, mom_scheme))
     use_pallas_scalar = (not use_fused and padv.available(g, scal_scheme)
                          and z_scale_scal is None and pcb is None)
+    # Fused SGS closure kernel (pallas_kernels/closure.py): rides the same
+    # windows as the tendency mega-kernel.
+    from .pallas_kernels import closure as pclo
+    use_pallas_closure = (model.closure is not None and use_fused
+                          and model.formulation == "theta_li"
+                          and pclo.supported(g, model.closure)
+                          and not os.environ.get(
+                              "BREEZE_TPU_DISABLE_PALLAS_CLOSURE"))
     pz = lambda a, loc: padv.pad_zy(a, g, loc)
     pzu = pzv = pzw = None
     if use_fused or use_pallas_mom or use_pallas_scalar:
@@ -566,8 +574,8 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     rho_c_padcol, rho_f_padcol = _padded_reference_columns(model)
 
     # The full halo pads are only needed by the jnp advection fallback,
-    # the jnp Coriolis (non-FPlane), and the SGS closure.
-    need_full_pads = (model.closure is not None
+    # the jnp Coriolis (non-FPlane), and the jnp SGS closure.
+    need_full_pads = ((model.closure is not None and not use_pallas_closure)
                       or (not use_fused
                           and ((not use_pallas_mom) or (not use_pallas_scalar)
                                or model.coriolis is not None)))
@@ -599,8 +607,9 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             buoy_cols = None
             b_pad_in = pz(aux.buoyancy_force, fl.CCC)
         f_cor = None if model.coriolis is None else model.coriolis.f
+        scal_pads = [pz(s, fl.CCC) for s in scalars]
         G_rho_u, G_rho_v, G_rho_w, G_scal = ptend.fused_tendency_pallas(
-            g, pzu, pzv, pzw, [pz(s, fl.CCC) for s in scalars],
+            g, pzu, pzv, pzw, scal_pads,
             col_c, col_f, coriolis_f=f_cor, buoy_cols=buoy_cols,
             b_pad=b_pad_in,
             scal_bounds=getattr(scal_scheme, "bounds_preserving", False))
@@ -693,7 +702,26 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
 
     # Closure (SGS) stress divergence and diffusive scalar fluxes.
     closure_fluxes = None
-    if model.closure is not None:
+    if use_pallas_closure:
+        thb_pad_zy = None
+        if model.closure.buoyancy_correction and model.has_moisture:
+            # θᵥ with the sat-adjusted moisture partition (matches the jnp
+            # closure's Lilly correction input); dry reuses the θ window.
+            c = model.constants
+            delta_rv = c.Rv / c.Rd - 1.0
+            th_b = aux.theta * (1.0 + delta_rv * aux.q.vapor
+                                - aux.q.liquid - aux.q.ice)
+            thb_pad_zy = pz(th_b, fl.CCC)
+        Gu_c, Gv_c, Gw_c, Gth_c, Gqt_c = pclo.closure_tendencies_pallas(
+            model, pzu, pzv, pzw, scal_pads[0],
+            scal_pads[1] if model.has_moisture else None, thb_pad_zy)
+        G_rho_u = G_rho_u + Gu_c
+        G_rho_v = G_rho_v + Gv_c
+        G_rho_w = G_rho_w + Gw_c
+        G_rho_theta = G_rho_theta + Gth_c
+        if model.has_moisture and Gqt_c is not None:
+            G_rho_qt = G_rho_qt + Gqt_c
+    elif model.closure is not None:
         from .physics.closures import closure_tendencies
         closure_fluxes = closure_tendencies(
             model, so, aux, u_pad, v_pad, w_pad)

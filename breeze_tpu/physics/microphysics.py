@@ -291,12 +291,18 @@ def fix_negative_moisture(rho_q, dz_col=None):
     if nz == 1:
         return rho_q
 
-    def sweep(carry, layer):
-        new = layer + carry
-        return jnp.minimum(new, 0.0), jnp.maximum(new, 0.0)
-
-    # scan levels nz-1 .. 1 downward; carry lands in level 0
-    carry, out_rev = jax.lax.scan(sweep, jnp.zeros_like(m[0]), m[:0:-1])
+    # Top→bottom deficit push in closed form.  The sequential recurrence
+    #   newⱼ = aⱼ + cⱼ₋₁,  outⱼ = max(newⱼ, 0),  cⱼ = min(newⱼ, 0)
+    # telescopes to newⱼ = Sⱼ − max(0, max_{i<j} Sᵢ) with S = cumsum(a) —
+    # two log-depth cumulative ops instead of an nz-step lax.scan (the scan
+    # was ~5 ms/step at 256³ on v5e, pure sequential latency).
+    a = m[:0:-1]                      # levels nz-1 .. 1, scan order
+    S = jnp.cumsum(a, axis=0)
+    M = jnp.maximum(jax.lax.cummax(S, axis=0), 0.0)
+    Mprev = jnp.concatenate([jnp.zeros_like(M[:1]), M[:-1]], axis=0)
+    new = S - Mprev
+    out_rev = jnp.maximum(new, 0.0)
+    carry = jnp.minimum(new[-1], 0.0)
     m_upper = out_rev[::-1]          # levels 1..nz-1, now nonnegative
     m0 = m[0] + carry
     # bottom-to-top borrow: bottom takes what level 1 can spare

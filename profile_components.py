@@ -89,6 +89,64 @@ def profile_compressible(nx, ny, nz, substep_floattype=None):
           f"x3 stages, stage N varies)")
 
 
+def profile_bomex(nx, ny, nz):
+    """Per-piece breakdown of the canonical BOMEX step (the vs_baseline
+    config): fused advective tendencies / closure / sat-adjust diagnose /
+    surface+forcings / projection."""
+    import jax.numpy as jnp
+
+    import breeze_tpu as bz
+    from breeze_tpu import fields as fl
+    from breeze_tpu import model as M
+    from breeze_tpu.timesteppers import ssp_rk3_step
+
+    class _A:
+        size = f"{nx}x{ny}x{nz}"
+        svp = "clausius_clapeyron"
+
+    import bench
+    grid, model, state = bench._build_bomex(_A, nx, ny, nz)
+    npts = nx * ny * nz
+    dt = 1.0
+
+    full = jax.jit(lambda m, s: ssp_rk3_step(m, s, dt))
+    t = timeit(full, model, state, n=10)
+    print(f"full step           : {t * 1e3:8.2f} ms  {npts / t / 1e9:6.2f} Gpt/s")
+
+    diag = jax.jit(M.diagnose)
+    t_diag = timeit(diag, model, state, n=10)
+    print(f"diagnose (sat adj)  : {t_diag * 1e3:8.2f} ms (x3 stages)")
+
+    tend = jax.jit(lambda m, s: M.compute_tendencies(m, s))
+    t = timeit(tend, model, state, n=10)
+    print(f"tendencies (1 stage): {t * 1e3:8.2f} ms (incl diagnose)")
+
+    def closure_only(m, s):
+        from breeze_tpu.physics.closures import closure_tendencies
+        aux = M.diagnose(m, s)
+        g = m.grid
+        so = m.stencil_ops()
+        u_pad = fl.pad(aux.u, g, fl.CCF)
+        v_pad = fl.pad(aux.v, g, fl.CFC)
+        w_pad = fl.pad(aux.w, g, fl.FCC)
+        return closure_tendencies(m, so, aux, u_pad, v_pad, w_pad)
+
+    t = timeit(jax.jit(closure_only), model, state, n=10)
+    print(f"closure (+diag+pads): {t * 1e3:8.2f} ms")
+
+    proj = jax.jit(lambda m, ru, rv, rw: M.pressure_projection(m, ru, rv, rw, dt))
+    t = timeit(proj, model, state.rho_u, state.rho_v, state.rho_w, n=10)
+    print(f"projection          : {t * 1e3:8.2f} ms")
+
+    def negmoist(m, s):
+        from breeze_tpu.physics.microphysics import (
+            apply_negative_moisture_correction)
+        return apply_negative_moisture_correction(m, s)
+
+    t = timeit(jax.jit(negmoist), model, state, n=10)
+    print(f"negative-moisture   : {t * 1e3:8.2f} ms (x1 per step)")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--size", default="256x256x128")
@@ -97,9 +155,13 @@ def main():
     p.add_argument("--substep-floattype", default=None)
     p.add_argument("--moist", action="store_true",
                    help="saturation-adjustment moist thermodynamics")
+    p.add_argument("--case", choices=("bubble", "bomex"), default="bubble")
     args = p.parse_args()
     nx, ny, nz = (int(s) for s in args.size.split("x"))
 
+    if args.case == "bomex":
+        profile_bomex(nx, ny, nz)
+        return
     if args.dynamics == "compressible":
         profile_compressible(nx, ny, nz, args.substep_floattype)
         return

@@ -604,3 +604,91 @@ class TestFusedTendencyKernel:
         assert float(jnp.abs(state.rho_w).max()) < 1e-8
         theta = state.rho_theta / model.reference.rho_col
         assert float(jnp.abs(theta - 300.0).max()) < 1e-4
+
+
+class TestClosureKernel:
+    """Fused Smagorinsky-Lilly kernel vs physics.closures.closure_tendencies
+    (interpret mode)."""
+
+    def _setup(self, moist):
+        from breeze_tpu.physics.closures import SmagorinskyLilly
+        g = bz.make_grid(size=(128, 32, 16), extent=(12800.0, 3200.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        micro = (bz.SaturationAdjustment(equilibrium=bz.WarmPhaseEquilibrium())
+                 if moist else None)
+        model = bz.make_model(g, advection=adv.WENO(5),
+                              potential_temperature=300.0,
+                              closure=SmagorinskyLilly(), microphysics=micro)
+        import jax
+        theta = lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+            -((x - 6400.0) ** 2 / 1500.0 ** 2 + (z - 800.0) ** 2 / 300.0 ** 2))
+        state = bz.initial_state(
+            model, theta=theta,
+            qt=(lambda x, y, z: 0.012 * jnp.exp(-z / 800.0)) if moist else None,
+            u=lambda x, y, z: 3.0 + 0.5 * jnp.sin(2 * jnp.pi * y / 3200.0)
+            + 0.3 * jnp.sin(2 * jnp.pi * z / 1600.0),
+            w=lambda x, y, z: 0.2 * jnp.sin(2 * jnp.pi * x / 12800.0)
+            * jnp.sin(jnp.pi * z / 1600.0),
+            enforce_mass_conservation=False)
+        return g, model, state
+
+    def _compare(self, moist):
+        from breeze_tpu import model as M
+        from breeze_tpu.pallas_kernels import closure as pclo
+        from breeze_tpu.physics.closures import closure_tendencies
+        g, model, state = self._setup(moist)
+        assert pclo.supported(g, model.closure)
+        aux = M.diagnose(model, state)
+        so = model.stencil_ops()
+        ref = closure_tendencies(model, so, aux,
+                                 fl.pad(aux.u, g, fl.CCF),
+                                 fl.pad(aux.v, g, fl.CFC),
+                                 fl.pad(aux.w, g, fl.FCC))
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        thb_pad = None
+        if moist:
+            c = model.constants
+            drv = c.Rv / c.Rd - 1.0
+            th_b = aux.theta * (1.0 + drv * aux.q.vapor
+                                - aux.q.liquid - aux.q.ice)
+            thb_pad = pz(th_b, fl.CCC)
+        got = pclo.closure_tendencies_pallas(
+            model, pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC),
+            pz(aux.theta, fl.CCC),
+            pz(aux.qt, fl.CCC) if moist else None, thb_pad, interpret=True)
+        names = ["G_u", "G_v", "G_w", "G_theta"] + (["G_qt"] if moist else [])
+        for k, name in enumerate(names):
+            a = np.asarray(got[k])
+            b = np.asarray(getattr(ref, name))
+            if name == "G_w":
+                a, b = a[1:], b[1:]
+            scale = max(np.abs(b).max(), 1e-12)
+            err = np.abs(a - b).max()
+            assert err / scale < 2e-4, f"{name}: rel {err / scale:.2e}"
+
+    def test_dry(self):
+        self._compare(moist=False)
+
+    def test_moist(self):
+        self._compare(moist=True)
+
+    def test_production_wiring(self):
+        """compute_tendencies with the fused closure equals the jnp path."""
+        import os
+        from breeze_tpu import model as M
+        g, model, state = self._setup(moist=True)
+        ref = M.compute_tendencies(model, state)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            got = M.compute_tendencies(model, state)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        for name in ("rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            if name == "rho_w":
+                a, b = a[1:], b[1:]
+            scale = max(np.abs(b).max(), 1e-10)
+            err = np.abs(a - b).max()
+            assert err / scale < 5e-4, f"{name}: rel {err / scale:.2e}"

@@ -265,3 +265,63 @@ class TestBoundedPoisson:
                                    rtol=1e-12)
         assert bool(jnp.all(jnp.isfinite(state.rho_w)))
         assert float(jnp.abs(state.rho_u[:, :, 0]).max()) == 0.0
+
+
+class TestVerticalEigenSolve:
+    """The MXU z-eigenbasis vertical solve (vertical_solve='eigen') against
+    the Thomas scan: same projection, machine-exact in f64."""
+
+    def _grid_model(self, dtype):
+        g = bz.make_grid(size=(64, 32, 48), extent=(6400.0, 3200.0, 3000.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=dtype)
+        model = bz.make_model(g, advection=bz.WENO(5),
+                              potential_temperature=300.0)
+        return g, model
+
+    def test_f64_matches_scan(self):
+        from breeze_tpu.dynamics.poisson import build_anelastic_poisson_solver
+        g, model = self._grid_model(jnp.float64)
+        ref = model.reference
+        scan = build_anelastic_poisson_solver(g, ref.rho_c, ref.rho_f,
+                                              transform="real",
+                                              vertical_solve="scan")
+        eig = build_anelastic_poisson_solver(g, ref.rho_c, ref.rho_f,
+                                             transform="real",
+                                             vertical_solve="eigen")
+        rng = np.random.default_rng(0)
+        div = jnp.asarray(rng.normal(size=g.shape), jnp.float64)
+        div = div - jnp.mean(div)
+        p1 = scan.solve(div, 0.5)
+        p2 = eig.solve(div, 0.5)
+        d1 = p1 - jnp.mean(p1)   # solutions differ by a nullspace constant
+        d2 = p2 - jnp.mean(p2)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d1),
+                                   rtol=0, atol=1e-10 * float(jnp.abs(d1).max()))
+
+    def test_f32_projection_equivalent(self):
+        """Post-projection divergence and idempotency through the eigen
+        solve match the scan at f32 (the production-relevant contract)."""
+        import dataclasses
+        from breeze_tpu import fields as fl
+        from breeze_tpu import model as M
+        from breeze_tpu.dynamics.poisson import build_anelastic_poisson_solver
+        g, model = self._grid_model(jnp.float32)
+        ref = model.reference
+        so = model.stencil_ops()
+        rng = np.random.default_rng(1)
+        ru = jnp.asarray(rng.normal(size=g.shape), jnp.float32) * ref.rho_col
+        rv = jnp.asarray(rng.normal(size=g.shape), jnp.float32) * ref.rho_col
+        rw = (jnp.asarray(rng.normal(size=g.shape), jnp.float32)
+              * ref.rho_f_col).at[0].set(0.0)
+        for vs in ("scan", "eigen"):
+            sol = build_anelastic_poisson_solver(g, ref.rho_c, ref.rho_f,
+                                                 transform="real",
+                                                 vertical_solve=vs)
+            mm = dataclasses.replace(model, solver=sol)
+            u2, v2, w2, _ = M.pressure_projection(mm, ru, rv, rw, 1.0)
+            dd = so.div_c(fl.pad(u2, g, fl.CCF), fl.pad(v2, g, fl.CFC),
+                          fl.pad(w2, g, fl.FCC))
+            assert float(jnp.abs(dd).max()) < 5e-7, vs
+            u3, v3, w3, _ = M.pressure_projection(mm, u2, v2, w2, 1.0)
+            assert float(jnp.abs(u3 - u2).max()) < 5e-6, vs
