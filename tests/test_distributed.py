@@ -268,3 +268,63 @@ class TestShardedBoundedHalo:
                 local, mesh=mesh, in_specs=P(None, None, "x"),
                 out_specs=P(None, None, "x")))(a)
             np.testing.assert_array_equal(np.asarray(out), dense)
+
+
+class TestGSPMDCompressible:
+    """Sharded == single-device for the split-explicit compressible core —
+    the most communication-dense path (6+ halo fills per acoustic substep
+    in the reference, acoustic_substepping.jl:1423-1510)."""
+
+    def _model(self, terrain=False):
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, compressible_initial_state,
+            make_compressible_model)
+        g = bz.make_grid(size=(32, 16, 8), extent=(6400.0, 3200.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        terr = None
+        if terrain:
+            from breeze_tpu.dynamics.terrain import make_terrain
+            terr = make_terrain(
+                g, bz.ThermodynamicConstants(),
+                lambda x, y: 150.0 / (1.0 + ((x - 3200.0) / 800.0) ** 2
+                                      + ((y - 1600.0) / 800.0) ** 2))
+        model = make_compressible_model(
+            g, advection=bz.WENO(5), coriolis=bz.FPlane(1e-4),
+            terrain=terr,
+            time_discretization=SplitExplicitTimeDiscretization(substeps=4))
+        state = compressible_initial_state(
+            model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                -((x - 3200.0) ** 2 + (y - 1600.0) ** 2
+                  + (z - 500.0) ** 2) / 400.0 ** 2),
+            u=lambda x, y, z: 3.0 + 0 * x)
+        return model, state
+
+    def _run(self, terrain):
+        from breeze_tpu.dynamics.compressible import acoustic_rk3_step
+        model, state = self._model(terrain)
+        dt = 0.5
+        step1 = jax.jit(lambda m, s: acoustic_rk3_step(m, s, dt))
+        ref = state
+        for _ in range(3):
+            ref = step1(model, ref)
+
+        mesh = make_mesh(jax.devices()[:8])
+        model_s = device_put_replicated_model(mesh, model)
+        state_s = device_put_sharded_state(mesh, state)
+        step = shard_step(lambda m, s, _dt: acoustic_rk3_step(m, s, dt),
+                          mesh, model_s, state_s, donate=False)
+        out = state_s
+        for _ in range(3):
+            out = step(model_s, out, dt)
+        for name in ("rho", "rho_u", "rho_w", "rho_theta"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=3e-5, atol=3e-4, err_msg=name)
+
+    def test_flat_sharded_matches_single_device(self):
+        self._run(terrain=False)
+
+    def test_terrain_sharded_matches_single_device(self):
+        self._run(terrain=True)
