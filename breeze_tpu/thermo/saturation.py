@@ -108,6 +108,18 @@ def tetens_svp(T, constants: ThermodynamicConstants, lam=LIQUID_SURFACE,
     return lam * pl + (1.0 - lam) * pi_
 
 
+def saturation_vapor_pressure_slope_ratio(T, constants: ThermodynamicConstants,
+                                          lam=LIQUID_SURFACE):
+    """(dpᵛ⁺/dT) / pᵛ⁺ = (L₀ + Δc·T) / (Rᵛ T²).
+
+    Exact for the Clausius-Clapeyron closure and an excellent approximation
+    for the Flatau/Tetens fits (they fit the same curve); used as the
+    analytic Newton slope in saturation adjustment, where an approximate
+    Jacobian only perturbs the convergence path, not the root."""
+    L0, dc = _mixed_latent_heat_params(constants, lam)
+    return (L0 + dc * T) / (constants.Rv * T * T)
+
+
 _SVP_FORMULATIONS = {
     "clausius_clapeyron": clausius_clapeyron_svp,
     "flatau": flatau_svp,

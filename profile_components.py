@@ -132,7 +132,86 @@ def profile_bomex(nx, ny, nz):
         return closure_tendencies(m, so, aux, u_pad, v_pad, w_pad)
 
     t = timeit(jax.jit(closure_only), model, state, n=10)
-    print(f"closure (+diag+pads): {t * 1e3:8.2f} ms")
+    print(f"closure jnp(+dg+pad): {t * 1e3:8.2f} ms")
+
+    # In-step fused kernels, isolated (each incl. diagnose + its pads so the
+    # deltas vs t_diag are the true kernel costs).
+    from breeze_tpu.pallas_kernels import advection as padv
+    from breeze_tpu.pallas_kernels import closure as pclo
+    from breeze_tpu.pallas_kernels import tendency as ptend
+    from breeze_tpu.pallas_kernels.momentum import H as _PH
+
+    def mega_only(m, s):
+        aux = M.diagnose(m, s)
+        g = m.grid
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        pzu, pzv, pzw = pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC)
+        col_c, col_f = M._padded_reference_columns(m, halo=_PH)
+        chi = s.rho_theta / m.reference.rho_col
+        scal_pads = [pz(chi, fl.CCC), pz(aux.qt, fl.CCC)]
+        b_pad = pz(aux.buoyancy_force, fl.CCC)
+        f_cor = None if m.coriolis is None else m.coriolis.f
+        return ptend.fused_tendency_pallas(g, pzu, pzv, pzw, scal_pads,
+                                           col_c, col_f, coriolis_f=f_cor,
+                                           buoy_cols=None, b_pad=b_pad)
+
+    t = timeit(jax.jit(mega_only), model, state, n=10)
+    print(f"mega kernel(+dg+pad): {t * 1e3:8.2f} ms  (delta {1e3*(t-t_diag):.2f})")
+
+    def pclo_only(m, s):
+        aux = M.diagnose(m, s)
+        g = m.grid
+        c = m.constants
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        pzu, pzv, pzw = pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC)
+        chi = s.rho_theta / m.reference.rho_col
+        delta_rv = c.Rv / c.Rd - 1.0
+        th_b = aux.theta * (1.0 + delta_rv * aux.q.vapor
+                            - aux.q.liquid - aux.q.ice)
+        return pclo.closure_tendencies_pallas(
+            m, pzu, pzv, pzw, pz(chi, fl.CCC), pz(aux.qt, fl.CCC),
+            pz(th_b, fl.CCC))
+
+    t = timeit(jax.jit(pclo_only), model, state, n=10)
+    print(f"clo  kernel(+dg+pad): {t * 1e3:8.2f} ms  (delta {1e3*(t-t_diag):.2f})")
+
+    def satadj_only(m, s):
+        from breeze_tpu.physics.microphysics import saturation_adjust
+        ref = m.reference
+        theta = s.rho_theta / ref.rho_col
+        qt = s.rho_qt / ref.rho_col
+        return saturation_adjust(theta, qt, ref.p_col, m.constants,
+                                 m.microphysics, m.p_standard)
+
+    t = timeit(jax.jit(satadj_only), model, state, n=10)
+    print(f"sat-adjust only     : {t * 1e3:8.2f} ms")
+
+    def pads_only(m, s):
+        aux = M.diagnose(m, s)
+        g = m.grid
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
+        chi = s.rho_theta / m.reference.rho_col
+        return (pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC),
+                pz(chi, fl.CCC), pz(aux.qt, fl.CCC),
+                pz(aux.buoyancy_force, fl.CCC))
+
+    t = timeit(jax.jit(pads_only), model, state, n=10)
+    print(f"6 pads     (+diag)  : {t * 1e3:8.2f} ms  (delta {1e3*(t-t_diag):.2f})")
+
+    def sforce_only(m, s):
+        from breeze_tpu.physics.surface import apply_boundary_flux_tendencies
+        aux = M.diagnose(m, s)
+        zero = jnp.zeros(m.grid.shape, m.grid.dtype)
+        G = M.State(rho_u=zero, rho_v=zero, rho_w=zero, rho_theta=zero,
+                    rho_qt=zero, tracers={}, time=jnp.zeros_like(s.time))
+        if m.boundary_fluxes is not None:
+            G = apply_boundary_flux_tendencies(m, s, aux, G)
+        for forcing in m.forcings:
+            G = forcing(m, s, aux, G)
+        return G
+
+    t = timeit(jax.jit(sforce_only), model, state, n=10)
+    print(f"surface+forcings(+d): {t * 1e3:8.2f} ms  (delta {1e3*(t-t_diag):.2f})")
 
     proj = jax.jit(lambda m, ru, rv, rw: M.pressure_projection(m, ru, rv, rw, dt))
     t = timeit(proj, model, state.rho_u, state.rho_v, state.rho_w, n=10)

@@ -202,6 +202,35 @@ class TestSaturationAdjustment:
         T, q = saturation_adjust(theta, qt, p, CONST, scheme)
         assert float(np.asarray(q.ice)[0, 0, 0]) > 0
 
+    @pytest.mark.parametrize("equilibrium", [sat.WarmPhaseEquilibrium(),
+                                             sat.MixedPhaseEquilibrium()])
+    def test_newton_matches_secant(self, equilibrium):
+        """Default Newton-3 agrees with a converged secant across
+        LES-realistic states (supersaturations up to 1.3×qsat): p99 within
+        the reference SecantSolver abstol=1e-4 K
+        (saturation_adjustment.jl:50), worst case below f32 rounding of T
+        (~2e-3 K ≈ 50 ulps at 300 K)."""
+        from breeze_tpu.thermo.states import temperature_from_theta_li
+        rng = np.random.default_rng(7)
+        n = 8192
+        theta = jnp.asarray(rng.uniform(270.0, 315.0, n))
+        p = jnp.asarray(rng.uniform(5e4, 1.02e5, n))
+        T0 = temperature_from_theta_li(
+            theta, MoistureMassFractions.vapor_only(jnp.zeros(n)), p, CONST)
+        pvs = sat.saturation_vapor_pressure(T0, CONST)
+        qs_col = 0.622 * pvs / (p - pvs)
+        qt = jnp.asarray(rng.uniform(0.3, 1.3, n)) * qs_col
+        newton = SaturationAdjustment(equilibrium=equilibrium)
+        secant = SaturationAdjustment(equilibrium=equilibrium,
+                                      iterations=14, solver="secant")
+        Tn, qn = saturation_adjust(theta, qt, p, CONST, newton)
+        Ts, qs = saturation_adjust(theta, qt, p, CONST, secant)
+        d = np.abs(np.asarray(Tn) - np.asarray(Ts))
+        assert np.percentile(d, 99) < 1e-4, np.percentile(d, 99)
+        assert d.max() < 2e-3, d.max()
+        np.testing.assert_allclose(np.asarray(qn.liquid),
+                                   np.asarray(qs.liquid), atol=2e-6)
+
 
 class TestHydrostaticPressureDiagnostic:
     def test_matches_reference_column_at_rest(self):
