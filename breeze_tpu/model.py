@@ -545,7 +545,11 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     # The tendency mega-kernel fuses momentum + all scalars + FPlane
     # Coriolis + buoyancy into ONE pass (pallas_kernels/tendency.py);
     # BREEZE_TPU_DISABLE_PALLAS_FUSED=1 restores the round-2 split kernels.
-    use_fused = (padv.enabled() and z_scales_mom is None
+    # Under shard_map with x mesh-sharded, the kernel runs in the
+    # x-prepadded variant (advection.HX doc) instead of falling back to jnp.
+    xpad = (not padv.enabled() and padv.xpad_active()
+            and padv.xpad_supported(g))
+    use_fused = ((padv.enabled() or xpad) and z_scales_mom is None
                  and z_scale_scal is None and pcb is None
                  and ptend.supported(g, mom_scheme, scal_scheme,
                                      model.coriolis)
@@ -563,7 +567,13 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
                           and pclo.supported(g, model.closure)
                           and not os.environ.get(
                               "BREEZE_TPU_DISABLE_PALLAS_CLOSURE"))
-    pz = lambda a, loc: padv.pad_zy(a, g, loc)
+    if xpad and use_fused:
+        # x pre-pad FIRST (shard-aware ppermute), then local z/y pads so the
+        # kernel windows carry correct corner halos across the full padded
+        # lane width.
+        pz = lambda a, loc: padv.pad_zy(padv.pad_x(a, g, loc), g, loc)
+    else:
+        pz = lambda a, loc: padv.pad_zy(a, g, loc)
     pzu = pzv = pzw = None
     if use_fused or use_pallas_mom or use_pallas_scalar:
         pzu, pzv, pzw = pz(aux.u, fl.CCF), pz(aux.v, fl.CFC), pz(aux.w, fl.FCC)
@@ -608,11 +618,33 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             b_pad_in = pz(aux.buoyancy_force, fl.CCC)
         f_cor = None if model.coriolis is None else model.coriolis.f
         scal_pads = [pz(s, fl.CCC) for s in scalars]
+        # Fuse the SGS stage into the mega-kernel epilogue (one pass over
+        # the windows; BREEZE_TPU_SPLIT_PALLAS_CLOSURE=1 restores the
+        # separate closure kernel for A/B measurement — except under xpad,
+        # where only the merged form exists).
+        merge_closure = (use_pallas_closure and (xpad or not os.environ.get(
+            "BREEZE_TPU_SPLIT_PALLAS_CLOSURE")))
+        thb_pad_zy = None
+        if merge_closure and (model.closure.buoyancy_correction
+                              and model.has_moisture):
+            c_ = model.constants
+            delta_rv = c_.Rv / c_.Rd - 1.0
+            th_b = aux.theta * (1.0 + delta_rv * aux.q.vapor
+                                - aux.q.liquid - aux.q.ice)
+            thb_pad_zy = pz(th_b, fl.CCC)
         G_rho_u, G_rho_v, G_rho_w, G_scal = ptend.fused_tendency_pallas(
             g, pzu, pzv, pzw, scal_pads,
             col_c, col_f, coriolis_f=f_cor, buoy_cols=buoy_cols,
             b_pad=b_pad_in,
-            scal_bounds=getattr(scal_scheme, "bounds_preserving", False))
+            scal_bounds=getattr(scal_scheme, "bounds_preserving", False),
+            closure_model=model if merge_closure else None,
+            thb_pad=thb_pad_zy, hx=padv.HX if xpad else 0)
+        if merge_closure:
+            # SGS tendencies already folded in by the kernel epilogue
+            use_pallas_closure = False
+            closure_done = True
+        else:
+            closure_done = False
         G_rho_theta = G_scal[0]
         k0 = 1
         G_rho_qt = None
@@ -621,6 +653,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             k0 = 2
         G_tracers = {k: G_scal[k0 + i] for i, k in enumerate(tracer_names)}
     else:
+        closure_done = False
         # Momentum advection: ∇·(ρU ⊗ u)
         if use_pallas_mom:
             from .pallas_kernels.momentum import H as _PH
@@ -721,7 +754,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         G_rho_theta = G_rho_theta + Gth_c
         if model.has_moisture and Gqt_c is not None:
             G_rho_qt = G_rho_qt + Gqt_c
-    elif model.closure is not None:
+    elif model.closure is not None and not closure_done:
         from .physics.closures import closure_tendencies
         closure_fluxes = closure_tendencies(
             model, so, aux, u_pad, v_pad, w_pad)

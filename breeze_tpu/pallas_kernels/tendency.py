@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .advection import H, HY, _weno_face, bcast_col, force_interpret
+from .closure import _smag_block
 from .momentum import _pick_block, _weno_sel, momentum_divs
 
 
@@ -84,21 +85,33 @@ def _scalar_div(bz, by, nx, inv_dx, inv_dy, c, ru, rv, rw_col_mf, invdzc,
 
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                  n_scalars: int, f_cor: float | None, dry_buoy: bool,
-                 has_b: bool, scal_bounds: bool):
+                 has_b: bool, scal_bounds: bool, clo=None, has_thb=False,
+                 n_zblocks=0):
+    """``clo``: optional static SGS-closure config
+    ``(prandtl, buoy_corr, g_acc)`` — fuses the Smagorinsky-Lilly stage
+    (``closure._smag_block``) into the epilogue on the SAME windows, adding
+    the stress/diffusive-flux divergences into the advective accumulators
+    before the single HBM write (saves re-reading u/v/w/θ/qᵗ windows AND
+    the output-add round-trip the separate closure kernel costs).
+    ``has_thb``: extra θᵥ window for the Lilly correction (moist)."""
     wz, wy = bz + 2 * H, by + 2 * HY
-    n_win = 3 + n_scalars + (1 if has_b else 0)
+    n_win = 3 + n_scalars + (1 if has_b else 0) + (1 if has_thb else 0)
     n_cols = 3 if dry_buoy else 0    # Tref, Pi, gρ columns (VMEM-resident)
+    n_ccols = 3 if clo is not None else 0  # invdzc_e, invdzf_e, cd2 columns
 
     def kernel(*refs):
-        # layout: [u,v,w, s0..sK-1, (b), colc, colf, (Tref,Pi,grho),
-        #          invdzc, invdzf] HBM inputs; then 3+K output refs; then
-        #          n_win window scratch + invdzc_w/invdzf_w + sems.
+        # layout: [u,v,w, s0..sK-1, (b), (thb), colc, colf, (Tref,Pi,grho),
+        #          (invdzc_e,invdzf_e,cd2), invdzc, invdzf] HBM inputs;
+        #          then 3+K output refs; then n_win window scratch +
+        #          invdzc_w/invdzf_w + sems.
         it = iter(refs)
         u_hbm, v_hbm, w_hbm = next(it), next(it), next(it)
         s_hbm = [next(it) for _ in range(n_scalars)]
         b_hbm = next(it) if has_b else None
+        thb_hbm = next(it) if has_thb else None
         colc_ref, colf_ref = next(it), next(it)
         buoy_cols = [next(it) for _ in range(n_cols)]
+        clo_cols = [next(it) for _ in range(n_ccols)]
         invdzc_hbm, invdzf_hbm = next(it), next(it)
         gu_ref, gv_ref, gw_ref = next(it), next(it), next(it)
         gs_refs = [next(it) for _ in range(n_scalars)]
@@ -109,7 +122,8 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         i = pl.program_id(0)
         j = pl.program_id(1)
 
-        srcs = [u_hbm, v_hbm, w_hbm] + s_hbm + ([b_hbm] if has_b else [])
+        srcs = ([u_hbm, v_hbm, w_hbm] + s_hbm + ([b_hbm] if has_b else [])
+                + ([thb_hbm] if has_thb else []))
         for n, (src, dst) in enumerate(zip(srcs, wins)):
             pltpu.make_async_copy(
                 src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
@@ -130,6 +144,8 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         u, v, w = wins[0][:], wins[1][:], wins[2][:]
         scal = [wins[3 + k][:] for k in range(n_scalars)]
         b_win = wins[3 + n_scalars][:] if has_b else None
+        thb_win = wins[3 + n_scalars + (1 if has_b else 0)][:] \
+            if has_thb else None
 
         colc = colc_ref[pl.ds(i * bz, wz), :, :]      # (wz, 1, nx)
         colf = colf_ref[pl.ds(i * bz, wz), :, :]
@@ -183,6 +199,23 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         else:
             gw = -dw
 
+        # SGS closure epilogue on the same windows (see _make_kernel doc)
+        cgth = cgqt = None
+        if clo is not None:
+            prandtl, buoy_corr, g_acc, has_qt = clo
+            cgu, cgv, cgw, cgth, cgqt = _smag_block(
+                bz, by, nx, inv_dx, inv_dy, prandtl, buoy_corr, g_acc,
+                has_qt, i, n_zblocks,
+                u, v, w, thb_win if has_thb else scal[0], scal[0],
+                scal[1] if has_qt else None,
+                colc, colf,
+                clo_cols[0][pl.ds(i * bz, wz), :, :],
+                clo_cols[1][pl.ds(i * bz, wz), :, :],
+                clo_cols[2][pl.ds(i * bz, wz), :, :])
+            gu = gu + cgu
+            gv = gv + cgv
+            gw = gw + cgw
+
         gu_ref[:] = gu
         gv_ref[:] = gv
         gw_ref[:] = gw
@@ -193,36 +226,46 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
             colc_iw = colc[H - 1: H + bz + 1, :, :]
             mfz = 0.5 * (colc_iw[:-1, :, :] + colc_iw[1:, :, :]) * sz(w, 0, 0)
             for k in range(n_scalars):
-                gs_refs[k][:] = _scalar_div(bz, by, nx, inv_dx, inv_dy,
-                                            scal[k], ru, rv, mfz, invdzc,
-                                            scal_bounds)
+                gs = _scalar_div(bz, by, nx, inv_dx, inv_dy,
+                                 scal[k], ru, rv, mfz, invdzc,
+                                 scal_bounds)
+                if k == 0 and cgth is not None:
+                    gs = gs + cgth
+                elif k == 1 and cgqt is not None:
+                    gs = gs + cgqt
+                gs_refs[k][:] = gs
 
     return kernel
 
 
 @functools.partial(jax.jit, static_argnames=(
     "inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "n_scalars",
-    "f_cor", "dry_buoy", "has_b", "scal_bounds", "interpret"))
-def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, colc, colf, buoy_cols,
-         invdzc, invdzf, inv_dx, inv_dy, nz, ny, nx, bz, by, n_scalars,
-         f_cor, dry_buoy, has_b, scal_bounds=False, interpret=False):
+    "f_cor", "dry_buoy", "has_b", "scal_bounds", "clo", "has_thb",
+    "interpret"))
+def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
+         buoy_cols, clo_cols, invdzc, invdzf, inv_dx, inv_dy, nz, ny, nx,
+         bz, by, n_scalars, f_cor, dry_buoy, has_b, scal_bounds=False,
+         clo=None, has_thb=False, interpret=False):
     kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, n_scalars, f_cor,
-                          dry_buoy, has_b, scal_bounds)
+                          dry_buoy, has_b, scal_bounds, clo=clo,
+                          has_thb=has_thb, n_zblocks=nz // bz)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
-    n_win = 3 + n_scalars + (1 if has_b else 0)
+    n_win = 3 + n_scalars + (1 if has_b else 0) + (1 if has_thb else 0)
     n_cols = 3 if dry_buoy else 0
+    n_ccols = 3 if clo is not None else 0
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
     col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     args = ([u_pad, v_pad, w_pad] + list(scalars_pad)
-            + ([b_pad] if has_b else []) + [colc, colf]
-            + list(buoy_cols) + [invdzc, invdzf])
+            + ([b_pad] if has_b else []) + ([thb_pad] if has_thb else [])
+            + [colc, colf] + list(buoy_cols) + list(clo_cols)
+            + [invdzc, invdzf])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_win
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_cols)
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_cols + n_ccols)
         + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=[pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
                                 memory_space=pltpu.VMEM)] * (3 + n_scalars),
@@ -230,7 +273,7 @@ def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, colc, colf, buoy_cols,
         scratch_shapes=[win() for _ in range(n_win)] + [col(), col()]
         + [pltpu.SemaphoreType.DMA((n_win + 2,))],
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(*args)
 
@@ -258,7 +301,8 @@ def supported(grid, mom_scheme, scal_scheme, coriolis) -> bool:
 
 def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
                           coriolis_f=None, buoy_cols=None, b_pad=None,
-                          scal_bounds=False, interpret=False):
+                          scal_bounds=False, closure_model=None,
+                          thb_pad=None, hx=0, interpret=False):
     """Fused advective tendencies: returns ``(G_ρu, G_ρv, G_ρw, [G_ρs...])``.
 
     - ``u_pad``/``v_pad``/``w_pad``/``scalars_pad``: pre-padded by
@@ -269,25 +313,56 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
     - ``buoy_cols``: ``(T_ref, Π, gρᵣ)`` padded center columns for the dry
       in-kernel buoyancy; mutually exclusive with ``b_pad`` (precomputed
       buoyancy force field, pre-padded like a scalar).
-    - sign convention: G already includes the −∇·, Coriolis, and +b terms
-      (what :func:`breeze_tpu.model.compute_tendencies` assembles).
+    - ``closure_model``: the :class:`AtmosphereModel` when the
+      Smagorinsky-Lilly SGS stage should be fused into the epilogue
+      (requires ``closure.supported``); ``thb_pad``: optional pre-padded θᵥ
+      window for the Lilly buoyancy correction (moist).  The closure
+      tendencies for θ/qᵗ are folded into the first two scalar outputs.
+    - sign convention: G already includes the −∇·, Coriolis, +b, and (when
+      fused) SGS terms (what :func:`breeze_tpu.model.compute_tendencies`
+      assembles).
     """
     nz, ny, nx = grid.shape
+    # x-prepadded mode (``advection.HX`` doc): run the identical kernel at
+    # lane width nxp and slice the interior back out of the outputs.
+    nxp = nx + 2 * hx
     bz = _pick_block(nz, (8, 16, 4))
     by = _pick_block(ny, (32, 16, 8, 64))
     from .momentum import _inv_dz_cols
 
-    invdzc, invdzf = _inv_dz_cols(grid)
+    invdzc, invdzf = _inv_dz_cols(grid, nxp)
     dry_buoy = buoy_cols is not None
     has_b = b_pad is not None
     assert not (dry_buoy and has_b)
-    bc = (tuple(bcast_col(c, nx) for c in buoy_cols) if dry_buoy else ())
-    outs = _run(u_pad, v_pad, w_pad, tuple(scalars_pad), b_pad,
-                bcast_col(colc, nx), bcast_col(colf, nx), bc,
+    bc = (tuple(bcast_col(c, nxp) for c in buoy_cols) if dry_buoy else ())
+
+    clo = None
+    clo_cols = ()
+    if closure_model is not None:
+        import numpy as np
+
+        from ..model import _pad_center_column
+        cl = closure_model.closure
+        clo = (float(cl.prandtl), bool(cl.buoyancy_correction),
+               float(closure_model.constants.gravitational_acceleration),
+               bool(closure_model.has_moisture))
+        dz_c = np.asarray(grid.dz_c_meta, np.float64)
+        delta = (grid.dx * grid.dy * dz_c) ** (1.0 / 3.0)
+        cd2 = (cl.coefficient * delta) ** 2
+        pad_col = lambda c: bcast_col(
+            _pad_center_column(grid, jnp.asarray(c, jnp.float32), H), nxp)
+        dz_f = np.asarray(grid.dz_f_meta, np.float64)[: nz]
+        clo_cols = (pad_col(1.0 / dz_c), pad_col(1.0 / dz_f), pad_col(cd2))
+
+    outs = _run(u_pad, v_pad, w_pad, tuple(scalars_pad), b_pad, thb_pad,
+                bcast_col(colc, nxp), bcast_col(colf, nxp), bc, clo_cols,
                 invdzc, invdzf,
                 float(1.0 / grid.dx), float(1.0 / grid.dy),
-                nz, ny, nx, bz, by, len(scalars_pad),
+                nz, ny, nxp, bz, by, len(scalars_pad),
                 None if coriolis_f is None else float(coriolis_f),
                 dry_buoy, has_b, scal_bounds=scal_bounds,
+                clo=clo, has_thb=thb_pad is not None,
                 interpret=interpret or force_interpret())
+    if hx:
+        outs = [o[:, :, hx: hx + nx] for o in outs]
     return outs[0], outs[1], outs[2], list(outs[3:])

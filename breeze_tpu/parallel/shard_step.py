@@ -160,9 +160,13 @@ def make_shard_map_step(model, mesh: Mesh, step_fn=None):
     def stepped(state, dt):
         specs = jax.tree.map(spec, state,
                              is_leaf=lambda x: x is None)
+        # check_vma=False: the body mixes explicit collectives with
+        # pallas_call, whose ShapeDtypeStruct outputs carry no
+        # varying-mesh-axes annotation (the x-prepadded kernel mode).
         return jax.shard_map(local_step, mesh=mesh,
                              in_specs=(specs, P()),
-                             out_specs=specs)(state, dt)
+                             out_specs=specs,
+                             check_vma=False)(state, dt)
 
     return jax.jit(stepped, static_argnums=(1,))
 

@@ -190,6 +190,54 @@ class TestShardMapProductionStep:
                                    np.asarray(ref.rho_w),
                                    rtol=2e-4, atol=1e-4)
 
+    def test_shard_map_step_kernels_on_matches_dense(self):
+        """Sharded step with the x-prepadded Pallas kernels ACTIVE
+        (interpret mode) matches the dense kernels-on step — the sharded
+        path must not regress to jnp (VERDICT r2 item 2; reference: MPI
+        decomposition never changes kernel code, src/Breeze.jl:208).
+        Includes the merged SGS closure epilogue."""
+        import dataclasses as dc
+        import os
+
+        from breeze_tpu.pallas_kernels import advection as padv
+        from breeze_tpu.parallel.shard_step import (make_shard_map_step,
+                                                    make_x_mesh)
+        from breeze_tpu.physics.closures import SmagorinskyLilly
+        g = bz.make_grid(size=(256, 16, 8), extent=(6400.0, 3200.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         dtype=jnp.float32)
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=300.0,
+                           microphysics=bz.SaturationAdjustment(
+                               equilibrium=bz.WarmPhaseEquilibrium()),
+                           coriolis=bz.FPlane(1e-4),
+                           closure=SmagorinskyLilly())
+        state = initial_state(
+            model,
+            theta=lambda x, y, z: 300.0 + 1.5 * jnp.exp(
+                -((x - 3200.0) ** 2 + (y - 1600.0) ** 2
+                  + (z - 500.0) ** 2) / 400.0 ** 2),
+            qt=lambda x, y, z: 0.01 * jnp.exp(-z / 1000.0))
+        # the local shard grid must satisfy the xpad envelope, else the
+        # sharded step silently falls back to jnp and this test goes blind
+        assert padv.xpad_supported(dc.replace(g, nx=g.nx // 2))
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            ref = state
+            for _ in range(2):
+                ref = jax.jit(ssp_rk3_step, static_argnums=2)(model, ref, 2.0)
+            step = make_shard_map_step(model, make_x_mesh(2))
+            out = state
+            for _ in range(2):
+                out = step(out, 2.0)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        for name in ("rho_theta", "rho_qt", "rho_u", "rho_w"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=2e-4, atol=2e-4, err_msg=name)
+
     def test_pencil_poisson_matches_dense_solver(self):
         from breeze_tpu.parallel.shard_step import (PencilPoissonSolver,
                                                     make_x_mesh)

@@ -434,16 +434,29 @@ class TestCompressibleSlowTendencyWiring:
 
 
 def test_pallas_disabled_inside_shard_map_context():
-    """The kernels' whole-axis x rolls are wrong on a sharded axis; the
-    enable gate must force the shard-aware jnp fallback inside
-    shard_axes contexts, even with the interpret override set."""
+    """The plain kernels' whole-axis x rolls are wrong on a sharded axis;
+    ``enabled()`` must force fallbacks inside shard_axes contexts.  The
+    x-prepadded mode (``xpad_active``) is the sanctioned sharded path —
+    active only for a pure 1-D-x context, and still off under the blanket
+    disables."""
     import os
     from breeze_tpu.parallel.halo import shard_axes
     os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
     try:
         assert padv.enabled()
+        assert not padv.xpad_active()
         with shard_axes({2: "x"}):
             assert not padv.enabled()
+            assert padv.xpad_active()
+            with padv.disabled():
+                assert not padv.xpad_active()
+            os.environ["BREEZE_TPU_DISABLE_PALLAS_XPAD"] = "1"
+            try:
+                assert not padv.xpad_active()
+            finally:
+                del os.environ["BREEZE_TPU_DISABLE_PALLAS_XPAD"]
+        with shard_axes({1: "y", 2: "x"}):
+            assert not padv.xpad_active()    # 2-D decomposition: jnp path
         assert padv.enabled()
     finally:
         del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
@@ -692,3 +705,25 @@ class TestClosureKernel:
             scale = max(np.abs(b).max(), 1e-10)
             err = np.abs(a - b).max()
             assert err / scale < 5e-4, f"{name}: rel {err / scale:.2e}"
+
+    def test_merged_equals_split(self):
+        """The SGS stage fused into the mega-kernel epilogue is bitwise-equal
+        to the separate closure kernel + jnp output add (same kernel code on
+        the same windows, same f32 add operands)."""
+        import os
+        from breeze_tpu import model as M
+        g, model, state = self._setup(moist=True)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            merged = M.compute_tendencies(model, state)
+            os.environ["BREEZE_TPU_SPLIT_PALLAS_CLOSURE"] = "1"
+            try:
+                split = M.compute_tendencies(model, state)
+            finally:
+                del os.environ["BREEZE_TPU_SPLIT_PALLAS_CLOSURE"]
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        for name in ("rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(merged, name)),
+                np.asarray(getattr(split, name)), err_msg=name)
