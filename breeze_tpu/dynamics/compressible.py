@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import Any, NamedTuple
 
@@ -190,7 +191,8 @@ class CompressibleState:
     data_fields=["grid", "reference", "terrain"],
     meta_fields=["constants", "momentum_advection", "scalar_advection",
                  "coriolis", "closure", "forcings", "boundary_fluxes",
-                 "time_discretization", "p_standard", "microphysics"],
+                 "time_discretization", "p_standard", "microphysics",
+                 "formulation"],
 )
 @dataclasses.dataclass(frozen=True)
 class CompressibleModel:
@@ -210,6 +212,13 @@ class CompressibleModel:
     # split-explicit core runs the σ-coordinate dispatch (reference
     # ``terrain_compressible_physics.jl:486-659``).
     terrain: Any = None
+    # Thermodynamic formulation: "potential_temperature" (ρθˡⁱ) or
+    # "static_energy" (ρe).  The ``rho_theta`` state slot generically holds
+    # the formulation's thermodynamic density ρχ, matching the reference's
+    # generic slot (``thermodynamic_density(model.formulation)``,
+    # ``acoustic_substepping.jl:746-747``); see :func:`stage_caches` for the
+    # per-formulation fast-system linearization.
+    formulation: str = "potential_temperature"
 
     @property
     def has_moisture(self):
@@ -233,6 +242,7 @@ def make_compressible_model(
     time_discretization=None,
     microphysics=None,
     terrain=None,
+    formulation: str = "potential_temperature",
     surface_pressure: float = 101325.0,
     reference_potential_temperature=300.0,
     reference_vapor_mass_fraction=None,
@@ -252,6 +262,13 @@ def make_compressible_model(
     momentum_advection = momentum_advection or adv.Centered(2)
     scalar_advection = scalar_advection or momentum_advection
     time_discretization = time_discretization or SplitExplicitTimeDiscretization()
+    if formulation not in ("potential_temperature", "static_energy"):
+        raise ValueError(f"unknown formulation {formulation!r}")
+    if formulation == "static_energy" and terrain is not None:
+        raise NotImplementedError(
+            "static_energy formulation with terrain-following coordinates "
+            "is not wired (the terrain slow-tendency path advects θ; no "
+            "reference evidence of terrain+ρe either)")
     return CompressibleModel(
         grid=grid, reference=reference, constants=constants,
         momentum_advection=momentum_advection,
@@ -262,6 +279,7 @@ def make_compressible_model(
         p_standard=p_standard,
         microphysics=microphysics,
         terrain=terrain,
+        formulation=formulation,
     )
 
 
@@ -316,12 +334,29 @@ def compressible_initial_state(model: CompressibleModel, theta=None, u=None,
         name: jnp.zeros(g.shape[1:], dt)
         for name in getattr(model.microphysics, "surface_diagnostic_names", ())}
 
+    rho_chi = rho_arr * theta_arr
+    if model.formulation == "static_energy":
+        # ρe from the θ initialization: invert θˡⁱ at the TRUE density
+        # (p = ρRᵐT) then e = cᵖᵐT + gz − ℒq (reference
+        # ``set_thermodynamic_variable!(::StaticEnergyModel, ::Val{:θ})``,
+        # ``static_energy_tendency.jl:92-110``).
+        from ..physics.microphysics import density_temperature_inversion
+        from ..thermo.constants import MoistureMassFractions
+        from ..thermo.states import static_energy
+        zero = jnp.zeros(g.shape, dt)
+        qt_frac = (rho_qt / rho_arr) if rho_qt is not None else zero
+        q0 = MoistureMassFractions.vapor_only(qt_frac)
+        T0, _ = density_temperature_inversion(theta_arr, rho_arr, q0,
+                                              model.constants,
+                                              model.p_standard)
+        rho_chi = rho_arr * static_energy(T0, g.z_c_col, q0, model.constants)
+
     state = CompressibleState(
         rho=rho_arr,
         rho_u=rho_u_arr,
         rho_v=rho_v_arr,
         rho_w=rho_w,
-        rho_theta=rho_arr * theta_arr,
+        rho_theta=rho_chi,
         rho_qt=rho_qt, tracers=tracers,
         time=jnp.zeros((), dt),
         diagnostics=diagnostics,
@@ -378,6 +413,10 @@ def compressible_diagnose(model: CompressibleModel, state: CompressibleState) ->
     u = state.rho_u / rho_x
     v = state.rho_v / rho_y
     w = state.rho_w / rho_z
+
+    if model.formulation == "static_energy":
+        return _compressible_diagnose_static_energy(model, state, u, v, w)
+
     theta = state.rho_theta / state.rho
 
     if model.has_moisture:
@@ -413,6 +452,81 @@ def compressible_diagnose(model: CompressibleModel, state: CompressibleState) ->
 
     p = eos_pressure(model, state.rho_theta)
     T = p / (model.constants.Rd * state.rho)
+    return CompAux(u=u, v=v, w=w, theta=theta, p=p, T=T)
+
+
+def reference_static_energy_col(model: CompressibleModel):
+    """Dry reference static-energy column e_r = cᵖᵈT_r + gz — the SAME
+    arithmetic as the θ-path of :func:`compressible_initial_state`, so a
+    rest state has ρe ≡ ρ_r e_r bitwise and the perturbation-form T
+    recovery below cancels exactly."""
+    from ..thermo.constants import MoistureMassFractions
+    from ..thermo.states import static_energy
+    ref = model.reference
+    zero = jnp.zeros_like(ref.T_col)
+    q0 = MoistureMassFractions.vapor_only(zero)
+    return static_energy(ref.T_col, model.grid.z_c_col, q0, model.constants)
+
+
+def _compressible_diagnose_static_energy(model: CompressibleModel,
+                                         state: CompressibleState,
+                                         u, v, w) -> CompAux:
+    """Static-energy (ρe) diagnostics on the compressible core.
+
+    The reference's substepper is formulation-generic
+    (``acoustic_substepping.jl:746-747``) but its compressible T/p
+    diagnostic dispatch covers only θˡⁱ (``compressible_time_stepping.jl:
+    216-252``); this completes the design.  T is recovered in PERTURBATION
+    form against the dry reference column,
+
+        T = T_r + (e − e_r + ℒˡqˡ + ℒⁱqⁱ + (cᵖᵈ − cᵖᵐ)T_r) / cᵖᵐ,
+
+    algebraically identical to (e − gz + ℒq)/cᵖᵐ but free of the
+    gz-magnitude float cancellation (e ~ 3e5 J/kg ≫ cᵖΔT resolution), and
+    bitwise T = T_r at a dry rest state.  p = ρRᵐT (true EOS).
+    """
+    g = model.grid
+    c = model.constants
+    ref = model.reference
+    from ..thermo.constants import MoistureMassFractions
+    from ..thermo.states import theta_li_from_temperature
+
+    e = state.rho_theta / state.rho          # slot holds ρe
+    e_r = reference_static_energy_col(model)
+    cpd = c.dry_air.heat_capacity
+    Ll = c.liquid.reference_latent_heat
+    Li = c.ice.reference_latent_heat
+
+    if model.has_moisture:
+        from ..physics.microphysics import (
+            SaturationAdjustment, density_saturation_adjust_static_energy)
+        qt = state.rho_qt / state.rho
+        mp = model.microphysics
+        if isinstance(mp, SaturationAdjustment):
+            T, q, p = density_saturation_adjust_static_energy(
+                e, g.z_c_col, state.rho, qt, c, mp)
+        else:
+            zero = jnp.zeros_like(e)
+            ql = zero
+            qi = zero
+            for name in getattr(mp, "liquid_tracer_names",
+                                getattr(mp, "prognostic_tracer_names", ())):
+                ql = ql + state.tracers.get(name, zero) / state.rho
+            for name in getattr(mp, "ice_tracer_names", ()):
+                qi = qi + state.tracers.get(name, zero) / state.rho
+            q = MoistureMassFractions(qt, ql, qi)
+            cpm = c.mixture_heat_capacity(q)
+            T = ref.T_col + (e - e_r + Ll * q.liquid + Li * q.ice
+                             + (cpd - cpm) * ref.T_col) / cpm
+            p = state.rho * c.mixture_gas_constant(q) * T
+        theta = theta_li_from_temperature(T, q, p, c, model.p_standard)
+        return CompAux(u=u, v=v, w=w, theta=theta, p=p, T=T, q=q, qt=qt)
+
+    T = ref.T_col + (e - e_r) / cpd
+    p = state.rho * c.Rd * T
+    zero = jnp.zeros_like(e)
+    q0 = MoistureMassFractions(zero, zero, zero)
+    theta = theta_li_from_temperature(T, q0, p, c, model.p_standard)
     return CompAux(u=u, v=v, w=w, theta=theta, p=p, T=T)
 
 
@@ -513,15 +627,21 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     # the perturbation divergence is the fast part).
     G_rho = -so.div_c(rho_u_pad, rho_v_pad, rho_w_pad)
 
-    # ρθ: full advection scheme at stage entry (specific θ against ρ).
+    # ρχ: full advection scheme at stage entry (specific χ against ρ).
+    # χ = θˡⁱ for the potential-temperature formulation, χ = e (moist
+    # static energy) for the static-energy formulation — the prognostic
+    # slot holds ρχ generically (reference ``thermodynamic_density``,
+    # ``acoustic_substepping.jl:746``).
+    chi = (state.rho_theta / state.rho
+           if model.formulation == "static_energy" else aux.theta)
     if use_pallas_scal:
         G_rho_theta = padv.div_rho_u_c_pallas(
-            g, pz(aux.theta, fl.CCC), pzu, pzv, pzw,
+            g, pz(chi, fl.CCC), pzu, pzv, pzw,
             pz(state.rho, fl.CCC),
             bounds=getattr(model.scalar_advection, "bounds_preserving",
                            False))
     else:
-        theta_pad = fl.pad(aux.theta, g, fl.CCC)
+        theta_pad = fl.pad(chi, g, fl.CCC)
         rho_pad = fl.pad(state.rho, g, fl.CCC)
         G_rho_theta = -adv.div_rho_u_c(
             so, model.scalar_advection, rho_pad, u_pad, v_pad, w_pad,
@@ -548,6 +668,16 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
     imbalance = -so.dz_cf(pp_pad) - g_acc * so.iz_cf(rp_pad)
     G_rho_w = -adv_w - cor_z + imbalance
 
+    if model.formulation == "static_energy":
+        # Energy buoyancy-flux source (reference ``static_energy_tendency``
+        # ``static_energy_tendency.jl:60-72``, Pauluis 2008): the ρe budget
+        # D(ρe)/Dt = Dp/Dt + ρgw ≈ −w·[−∂z(p−p_r) − g(ρ−ρ_r)] — the
+        # stage-entry imbalance force dotted with w (∂ₜp and the horizontal
+        # u·∇p work are the slow acoustic residual, neglected as in the
+        # reference's MSE budget).  Interpolated z-face → center.
+        wimb_pad = fl.pad(aux.w * imbalance, g, fl.FCC)
+        G_rho_theta = G_rho_theta - so.iz_fc(wimb_pad)
+
     G_rho_qt = (jnp.zeros_like(G_rho) if state.rho_qt is not None else None)
 
     nu_e = kappa_e = None
@@ -560,10 +690,14 @@ def slow_tendencies(model: CompressibleModel, state: CompressibleState,
             p: Any
 
         # True-ρ SGS weighting: stresses are −2ρνₑSᵢⱼ with the state's 3-D
-        # density (reference TurbulenceClosures.jl:52-101).
+        # density (reference TurbulenceClosures.jl:52-101).  The diffused
+        # scalar is the formulation's χ (θˡⁱ | e — reference ∇·J on
+        # ``specific_energy``, static_energy_tendency.jl:69); under ρe the
+        # Smagorinsky N² proxy uses e-stratification, which matches the
+        # θ-based one to O(gz/cᵖT) — documented deviation.
         cf = closure_tendencies(
             _RefShim(model), so,
-            _AuxShim(theta=aux.theta, qt=aux.qt, p=aux.p),
+            _AuxShim(theta=chi, qt=aux.qt, p=aux.p),
             u_pad, v_pad, w_pad, rho=state.rho)
         G_rho_u = G_rho_u + cf.G_u
         G_rho_v = G_rho_v + cf.G_v
@@ -637,11 +771,17 @@ def substep_count(model: CompressibleModel, dt: float) -> int:
 
 class StageCaches(NamedTuple):
     """Per-RK-stage linearization caches (reference ``prepare_acoustic_cache!``,
-    ``acoustic_substepping.jl:283-331``)."""
+    ``acoustic_substepping.jl:283-331``).  Formulation-generic: the fields
+    hold the thermodynamic variable χ (θˡⁱ or e) and the coefficients of the
+    fast-system pressure linearization p′ = Cᴸ(ρχ)′ + C_ρ ρ′."""
 
-    theta_L: jax.Array      # θ^L at centers
-    theta_L_zf: jax.Array   # θ^L at z-faces
-    C_L: jax.Array          # γ R Π^L at centers (p' = C^L (ρθ)')
+    theta_L: jax.Array      # χ^L at centers (θ^L | e^L)
+    theta_L_zf: jax.Array   # χ^L at z-faces
+    C_L: jax.Array          # ∂p/∂(ρχ) at centers (γRΠ^L | Rᵐ/cᵖᵐ)
+    # ∂p/∂ρ|ρχ — None for ρθ (p depends on ρθ alone); for ρe the EXACT
+    # closed form p = (Rᵐ/cᵖᵐ)(ρe + (ℒq − gz)ρ) gives
+    # C_ρ = (Rᵐ/cᵖᵐ)(ℒˡqˡ + ℒⁱqⁱ − gz) with q frozen over the stage.
+    C_rho: jax.Array | None = None
 
 
 def stage_caches(model: CompressibleModel, state: CompressibleState,
@@ -653,6 +793,25 @@ def stage_caches(model: CompressibleModel, state: CompressibleState,
     else:
         Rm = c.Rd
         cpm = c.dry_air.heat_capacity
+
+    if model.formulation == "static_energy":
+        # p = ρRᵐT with T = (e − gz + ℒq)/cᵖᵐ is LINEAR in (ρe, ρ) at
+        # frozen q, z — the linearization is exact, and the implied fast
+        # acoustic speed is the isothermal √(RᵐT) (MSE conservation under
+        # compression is isothermal at fixed z; the γRT substep count of
+        # :func:`sound_speed` therefore over-resolves — stable margin).
+        e = state.rho_theta / state.rho
+        Ce = (Rm / cpm) * jnp.ones_like(e)
+        if model.has_moisture and aux.q is not None:
+            lq = (c.liquid.reference_latent_heat * aux.q.liquid
+                  + c.ice.reference_latent_heat * aux.q.ice)
+        else:
+            lq = 0.0
+        C_rho = Ce * (lq - c.gravitational_acceleration
+                      * model.grid.z_c_col)
+        e_zf = 0.5 * (e + jnp.concatenate([e[:1], e[:-1]], axis=0))
+        return StageCaches(theta_L=e, theta_L_zf=e_zf, C_L=Ce, C_rho=C_rho)
+
     gamma = cpm / (cpm - Rm)
     kappa = Rm / cpm
     Pi_L = (aux.p / model.p_standard) ** kappa
@@ -768,6 +927,7 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     C_L = caches.C_L
     th_c = caches.theta_L
     th_zf = caches.theta_L_zf
+    C_rho = caches.C_rho                   # ∂p/∂ρ coupling (ρe formulation)
 
     # Terrain metric factors (LinearDecay: 2-D → broadcast rows; SLEVE:
     # ζ-dependent J → full 3-D center/face variants; see docstring).
@@ -827,6 +987,20 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
               - od2 / dz_f * C_above * thf_above / dz_c_above
               * invJ_f * invJ_c)
 
+    # ρe formulation: the p′ = … + C_ρ ρ′ coupling adds the SAME flux
+    # structure with unit face weight (the ρ predictor's flux is (ρw)′
+    # itself, vs χᶠ(ρw)′ for ρχ) — C→C_ρ, χᶠ→1 term-by-term.
+    if C_rho is not None:
+        Cr_above = C_rho
+        Cr_below = jnp.concatenate([C_rho[:1], C_rho[:-1]], axis=0)
+        a_coef = a_coef - (od2 / dz_f * Cr_below / dz_c_below
+                           * invJ_f * invJ_c_below)
+        b_coef = b_coef + (od2 / dz_f * (Cr_above / dz_c_above * invJ_c
+                                         + Cr_below / dz_c_below
+                                         * invJ_c_below) * invJ_f)
+        c_coef = c_coef - (od2 / dz_f * Cr_above / dz_c_above
+                           * invJ_f * invJ_c)
+
     # Implicit upper Rayleigh sponge on (ρw)′ (reference ``UpperSponge``,
     # acoustic_substepping.jl:545-563): CN-weighted — ωΔτ·r·ramp joins the
     # diagonal, (1−ω)Δτ·r·ramp·(ρw)′ the explicit RHS below.
@@ -852,6 +1026,47 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     store_dt = jnp.dtype(td.substep_floattype) if td.substep_floattype else None
     work_dt = g.dtype
 
+    # -------- horizontal stencil machinery --------------------------------
+    # Fast path (flat Cartesian, periodic/FLAT horizontals): shard-aware
+    # ±1 rolls on aligned n-sized arrays — no halo concats, no misaligned
+    # slices (the same optimization that won on the anelastic flux
+    # divergences; FLAT axes roll to the identity so dpdy/div_y vanish
+    # exactly as on the padded path).  General path (terrain, lat-lon,
+    # bounded horizontals, open BCs): the halo-padded stencils below.
+    from ..parallel.halo import wrap_roll as _wr
+    use_rolls = (terrain is None and not g.is_latlon
+                 and g.x_topology in (Topology.PERIODIC, Topology.FLAT)
+                 and g.y_topology in (Topology.PERIODIC, Topology.FLAT)
+                 and not os.environ.get("BREEZE_TPU_ACOUSTIC_PADS"))
+
+    def dxf(a):                       # a[i] − a[i−1] at x-faces
+        return a - _wr(a, 1, 2)
+
+    def dyf(a):
+        return a - _wr(a, 1, 1)
+
+    def divx(F):                      # F[i+1] − F[i] at centers
+        return _wr(F, -1, 2) - F
+
+    def divy(F):
+        return _wr(F, -1, 1) - F
+
+    # θ^L face interpolants are loop-invariant — hoisted out of the substep
+    # body (they were re-padded and re-interpolated every substep).
+    if use_rolls:
+        th_xf_h = 0.5 * (th_c + _wr(th_c, 1, 2))
+        th_yf_h = 0.5 * (th_c + _wr(th_c, 1, 1))
+    else:
+        thp_h = _hpad(th_c, g, fl.CCC)
+
+    def vv(a, dz=0, dy=0, dx=0):
+        return a[1 + dz:1 + dz + nz, 1 + dy:1 + dy + g.ny,
+                 1 + dx:1 + dx + g.nx]
+
+    if not use_rolls:
+        th_xf_h = 0.5 * (vv(thp_h) + vv(thp_h, dx=-1))
+        th_yf_h = 0.5 * (vv(thp_h) + vv(thp_h, dy=-1))
+
     def body(i, pert):
         rho_p, ru_p, rv_p, rw_p, rt_p = (pert.rho, pert.rho_u, pert.rho_v,
                                          pert.rho_w, pert.rho_theta)
@@ -864,14 +1079,16 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
             rt_p = rt_p.astype(work_dt)
 
         # ---- A: horizontal momenta ----------------------------------
-        p_pert = C_L * rt_p                       # p' = C^L (ρθ)'
-        pp = _hpad(p_pert, g, fl.CCC)
-
-        def vv(a, dz=0, dy=0, dx=0):
-            return a[1 + dz:1 + dz + nz, 1 + dy:1 + dy + g.ny, 1 + dx:1 + dx + g.nx]
-
-        dpdx = (vv(pp) - vv(pp, dx=-1)) * inv_dx_c
-        dpdy = (vv(pp) - vv(pp, dy=-1)) / g.dy
+        p_pert = C_L * rt_p                       # p' = C^L (ρχ)' [+ C_ρ ρ']
+        if C_rho is not None:
+            p_pert = p_pert + C_rho * rho_p
+        if use_rolls:
+            dpdx = dxf(p_pert) * inv_dx_c
+            dpdy = dyf(p_pert) / g.dy
+        else:
+            pp = _hpad(p_pert, g, fl.CCC)
+            dpdx = (vv(pp) - vv(pp, dx=-1)) * inv_dx_c
+            dpdy = (vv(pp) - vv(pp, dy=-1)) / g.dy
         if terrain is not None:
             # Slope-corrected perturbation PGF: (∂x p')_z = ∂x p'|_ζ − sx·∂z p'
             # with ∂z = (1/J)∂ζ (reference slope-corrected PGFs :371-448).
@@ -888,29 +1105,34 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
         ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
 
         # ---- B: predictors from updated horizontal divergence -------
-        if terrain is not None:
-            rup = _hpad(jac_xf3 * ru_new, g, fl.CCF)
-            rvp = _hpad(jac_yf3 * rv_new, g, fl.CFC)
+        th_xf = th_xf_h
+        th_yf = th_yf_h
+        if use_rolls:
+            div_h = divx(ru_new) * inv_dx_c + divy(rv_new) * inv_dy_c
+            div_h_theta = (divx(th_xf * ru_new) * inv_dx_c
+                           + divy(th_yf * rv_new) * inv_dy_c)
         else:
-            rup = _hpad(ru_new, g, fl.CCF)
-            rvp = _hpad(rv_new, g, fl.CFC)
-        div_h = ((vv(rup, dx=1) - vv(rup)) * inv_dx_c
-                 + (wy_hi * vv(rvp, dy=1) - wy_lo * vv(rvp)) * inv_dy_c) * invJ_c
-        # θ^L-weighted horizontal flux divergence for ρθ
-        thp = _hpad(th_c, g, fl.CCC)
-        th_xf = 0.5 * (vv(thp) + vv(thp, dx=-1))
-        th_yf = 0.5 * (vv(thp) + vv(thp, dy=-1))
-        if terrain is not None:
-            fx = th_xf * ru_new * jac_xf3
-            fy = th_yf * rv_new * jac_yf3
-        else:
-            fx = th_xf * ru_new
-            fy = th_yf * rv_new
-        fxp = _hpad(fx, g, fl.CCF)
-        fyp = _hpad(fy, g, fl.CFC)
-        div_h_theta = ((vv(fxp, dx=1) - vv(fxp)) * inv_dx_c
-                       + (wy_hi * vv(fyp, dy=1) - wy_lo * vv(fyp))
-                       * inv_dy_c) * invJ_c
+            if terrain is not None:
+                rup = _hpad(jac_xf3 * ru_new, g, fl.CCF)
+                rvp = _hpad(jac_yf3 * rv_new, g, fl.CFC)
+            else:
+                rup = _hpad(ru_new, g, fl.CCF)
+                rvp = _hpad(rv_new, g, fl.CFC)
+            div_h = ((vv(rup, dx=1) - vv(rup)) * inv_dx_c
+                     + (wy_hi * vv(rvp, dy=1) - wy_lo * vv(rvp))
+                     * inv_dy_c) * invJ_c
+            # θ^L-weighted horizontal flux divergence for ρθ
+            if terrain is not None:
+                fx = th_xf * ru_new * jac_xf3
+                fy = th_yf * rv_new * jac_yf3
+            else:
+                fx = th_xf * ru_new
+                fy = th_yf * rv_new
+            fxp = _hpad(fx, g, fl.CCF)
+            fyp = _hpad(fy, g, fl.CFC)
+            div_h_theta = ((vv(fxp, dx=1) - vv(fxp)) * inv_dx_c
+                           + (wy_hi * vv(fyp, dy=1) - wy_lo * vv(fyp))
+                           * inv_dy_c) * invJ_c
 
         if terrain is not None:
             # Contravariant split: ρw̃' = ρw' − S'; the S' slope part is
@@ -948,6 +1170,9 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
             [rho_p[:1], rho_p[:-1]], axis=0))
         Crt_tau = C_L * rt_p
         Crt_star = C_L * rt_star
+        if C_rho is not None:
+            Crt_tau = Crt_tau + C_rho * rho_p
+            Crt_star = Crt_star + C_rho * rho_star
         dz_Crt_tau = (Crt_tau - jnp.concatenate(
             [Crt_tau[:1], Crt_tau[:-1]], axis=0)) / dz_f
         dz_Crt_star = (Crt_star - jnp.concatenate(
@@ -995,30 +1220,41 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
             # KSH18: δτ(ρθ)/θᴸ as the divergence proxy; γ = α Δx²/Δτ.
             alpha = strategy.coefficient
             D = (rt_new - rt_p) / th_c
-            Dp = _hpad(D, g, fl.CCC)
             # combined with 1/Δx_local the correction is
             # α Δx_local/Δτ · δx(D) (local spacing on lat-lon grids)
             fac_x = alpha * g.dx / dtau * (
                 (g.coslat_c[None, :, None] if g.is_latlon else 1.0))
             gy = alpha * g.dy / dtau
-            ru_new = ru_new - fac_x * (vv(Dp) - vv(Dp, dx=-1))
-            rv_new = rv_new - gy * (vv(Dp) - vv(Dp, dy=-1))
+            if use_rolls:
+                ru_new = ru_new - fac_x * dxf(D)
+                rv_new = rv_new - gy * dyf(D)
+            else:
+                Dp = _hpad(D, g, fl.CCC)
+                ru_new = ru_new - fac_x * (vv(Dp) - vv(Dp, dx=-1))
+                rv_new = rv_new - gy * (vv(Dp) - vv(Dp, dy=-1))
             ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
         elif isinstance(strategy, DirectDivergenceDamping) and strategy.coefficient:
             # KSH18 eq. 36: δ = ∂ₓ(θᴸ(ρu)′) + ∂ᵧ(θᴸ(ρv)′) formed directly
             # from the updated perturbation momentum (div_h_theta above);
             # Δ(ρu)′ = α Δx² ∂ₓδ / θᴸ — no 1/Δτ (no cold-start force).
             alpha = strategy.coefficient
-            # refresh δ with the post-tridiag horizontal momenta
-            fx2 = _hpad(th_xf * ru_new, g, fl.CCF)
-            fy2 = _hpad(th_yf * rv_new, g, fl.CFC)
-            delta = ((vv(fx2, dx=1) - vv(fx2)) * inv_dx_c
-                     + (wy_hi * vv(fy2, dy=1) - wy_lo * vv(fy2)) * inv_dy_c)
-            Dp = _hpad(delta, g, fl.CCC)
             fac_x = alpha * g.dx * (
                 (g.coslat_c[None, :, None] if g.is_latlon else 1.0))
-            ru_new = ru_new + fac_x * (vv(Dp) - vv(Dp, dx=-1)) / th_xf
-            rv_new = rv_new + alpha * g.dy * (vv(Dp) - vv(Dp, dy=-1)) / th_yf
+            if use_rolls:
+                delta = (divx(th_xf * ru_new) * inv_dx_c
+                         + divy(th_yf * rv_new) * inv_dy_c)
+                ru_new = ru_new + fac_x * dxf(delta) / th_xf
+                rv_new = rv_new + alpha * g.dy * dyf(delta) / th_yf
+            else:
+                # refresh δ with the post-tridiag horizontal momenta
+                fx2 = _hpad(th_xf * ru_new, g, fl.CCF)
+                fy2 = _hpad(th_yf * rv_new, g, fl.CFC)
+                delta = ((vv(fx2, dx=1) - vv(fx2)) * inv_dx_c
+                         + (wy_hi * vv(fy2, dy=1) - wy_lo * vv(fy2))
+                         * inv_dy_c)
+                Dp = _hpad(delta, g, fl.CCC)
+                ru_new = ru_new + fac_x * (vv(Dp) - vv(Dp, dx=-1)) / th_xf
+                rv_new = rv_new + alpha * g.dy * (vv(Dp) - vv(Dp, dy=-1)) / th_yf
             ru_new, rv_new = fl.enforce_wall_normals(g, rho_u=ru_new, rho_v=rv_new)
 
         if store_dt is not None:
@@ -1141,6 +1377,7 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
         import os as _os
         use_pallas_fast = (_pallas_enabled() and terrain is None
                            and not ob_relax and pacoustic.supported(model)
+                           and model.formulation == "potential_temperature"
                            and bool(_os.environ.get(
                                "BREEZE_TPU_PALLAS_ACOUSTIC")))
         if use_pallas_fast:
@@ -1300,6 +1537,13 @@ def _apply_compressible_boundary_fluxes(model, state, aux, G):
 
     out = {}
     if th_flux is not None:
+        if model.formulation == "static_energy":
+            # Sensible-heat conversion of the kinematic θ flux into an
+            # e flux: F_e = cᵖᵈ Π₀ F_θ (Π₀ = T_r/θ_r at the surface level).
+            c = model.constants
+            ref = model.reference
+            Pi0 = ref.T_col[0] / ref.theta_col[0]
+            th_flux = c.dry_air.heat_capacity * Pi0 * th_flux
         out["rho_theta"] = G.rho_theta.at[0].add(rho0 * th_flux / dz0)
     if qt_flux is not None and G.rho_qt is not None:
         out["rho_qt"] = G.rho_qt.at[0].add(rho0 * qt_flux / dz0)

@@ -242,6 +242,65 @@ def density_saturation_adjust(theta_li, rho, qt, constants: ThermodynamicConstan
     return T, q, p
 
 
+def density_saturation_adjust_static_energy(e, z, rho, qt,
+                                            constants: ThermodynamicConstants,
+                                            scheme: "SaturationAdjustment"):
+    """Density-consistent saturation adjustment for the static-energy
+    formulation on the compressible core.
+
+    Static-energy analogue of :func:`density_saturation_adjust` (reference
+    ``StaticEnergyState`` + ``CompressibleDynamics``; the reference's own
+    compressible+ρe diagnostic dispatch is absent —
+    ``compressible_time_stepping.jl:216-252`` defines ``temperature_and_
+    pressure`` for the θˡⁱ formulation only — so this is the completed
+    design): solve the fixed point
+
+        T = (e − gz + ℒˡqˡ(T) + ℒⁱqⁱ(T)) / cᵖᵐ(q(T))
+
+    with the equilibrium partition evaluated at the TRUE density,
+    qᵛ⁺ = pᵛ⁺(T)/(ρRᵛT) — no pressure iteration needed (the density form
+    of qsat closes without p).  Returns ``(T, q, p)`` with p = ρRᵐT.
+    """
+    from ..thermo.states import temperature_from_static_energy
+
+    eq = scheme.equilibrium
+
+    def partition(T):
+        lam = eq.liquid_fraction(T)
+        qvs = saturation_specific_humidity(T, rho, constants, lam)
+        qvs = jnp.minimum(qvs, jnp.maximum(qt, 0.0) + 1.0)  # guard
+        return equilibrated_moisture_fractions(T, qt, qvs, eq)
+
+    def residual(T):
+        return T - temperature_from_static_energy(e, z, partition(T),
+                                                  constants)
+
+    q1 = MoistureMassFractions.vapor_only(qt)
+    T1 = temperature_from_static_energy(e, z, q1, constants)
+    lam1 = eq.liquid_fraction(T1)
+    qvs1 = saturation_specific_humidity(T1, rho, constants, lam1)
+    saturated = qt > qvs1
+
+    Ta, Tb = T1, T1 + 1.0
+    ra = residual(Ta)
+    for _ in range(max(scheme.iterations + 2, 7)):
+        rb = residual(Tb)
+        dr = rb - ra
+        safe = jnp.where(jnp.abs(dr) > 1e-30, dr, jnp.ones_like(dr))
+        Tc = jnp.where(jnp.abs(dr) > 1e-30, Tb - rb * (Tb - Ta) / safe, Tb)
+        Ta, ra, Tb = Tb, rb, Tc
+
+    q_sat = partition(Tb)
+    T = jnp.where(saturated, Tb, T1)
+    q = MoistureMassFractions(
+        jnp.where(saturated, q_sat.vapor, q1.vapor),
+        jnp.where(saturated, q_sat.liquid, 0.0),
+        jnp.where(saturated, q_sat.ice, 0.0),
+    )
+    p = rho * constants.mixture_gas_constant(q) * T
+    return T, q, p
+
+
 def density_temperature_inversion(theta_li, rho, q, constants,
                                   p_standard: float = 1.0e5,
                                   iterations: int = 5):
@@ -305,8 +364,28 @@ class InstantaneousPrecipitation:
             # prognostic (the reference's ρᵈ prognostic is untouched by
             # removal; ours is total, so ρ ← ρ(1 − qᶜ)).
             rho = rho_state
-            theta = state.rho_theta / rho
             qt = state.rho_qt / rho
+            if getattr(model, "formulation", None) == "static_energy":
+                # ρe slot: adjust at the true density, rain out condensate
+                # mass, and rebuild e from (T, vapor-only q) — e is NOT
+                # invariant under removal (it carries −ℒˡqˡ and the cᵖᵐ
+                # composition weight).
+                from ..thermo.states import static_energy
+                e = state.rho_theta / rho
+                z = model.grid.z_c_col
+                T, q, p = density_saturation_adjust_static_energy(
+                    e, z, rho, qt, c, scheme)
+                qc = q.liquid + q.ice
+                rho_new = rho * (1.0 - qc)
+                qv_new = q.vapor / (1.0 - qc)
+                q_dry = MoistureMassFractions.vapor_only(qv_new)
+                e_new = static_energy(T, z, q_dry, c)
+                return state.replace(
+                    rho=rho_new,
+                    rho_qt=rho * q.vapor,
+                    rho_theta=rho_new * e_new,
+                )
+            theta = state.rho_theta / rho
             T, q, p = density_saturation_adjust(theta, rho, qt, c, scheme,
                                                 model.p_standard)
             qc = q.liquid + q.ice

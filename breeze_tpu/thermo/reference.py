@@ -231,6 +231,10 @@ class ExnerReferenceState:
         return self.theta_c[:, None, None]
 
     @property
+    def T_col(self):
+        return self.T_c[:, None, None]
+
+    @property
     def rho_f_col(self):
         return self.rho_f[:-1, None, None]
 

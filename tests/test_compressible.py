@@ -474,6 +474,41 @@ class TestSubstepperVariants:
             assert float(jnp.abs(state.rho_w).max()) < 1e-10, \
                 f"rest state broken by {td}"
 
+    def test_roll_path_matches_pad_path(self, monkeypatch):
+        """The aligned-roll fast loop (periodic-horizontal default) equals
+        the halo-padded stencils it replaced to roundoff (same arithmetic,
+        different data movement; XLA fuses the two graphs with different
+        FMA groupings, so ~1e-16 relative residue is expected).  Covers
+        thermal AND direct divergence damping (both have roll branches)."""
+        from breeze_tpu.dynamics.compressible import DirectDivergenceDamping
+
+        def theta0(x, y, z):
+            r = jnp.sqrt((x - 10_000.0) ** 2 + (z - 4_000.0) ** 2)
+            return 300.0 + 2.0 * jnp.exp(-(r / 2_000.0) ** 2)
+
+        for damping in (None, DirectDivergenceDamping()):
+            kw = {"substeps": 6}
+            if damping is not None:
+                kw["damping"] = damping
+            td = SplitExplicitTimeDiscretization(**kw)
+            g = comp_grid(nx=24, nz=20)
+            model = make_compressible_model(g, advection=bz.WENO(5),
+                                            time_discretization=td)
+            state0 = compressible_initial_state(model, theta=theta0,
+                                                pressure_balanced=False)
+            monkeypatch.delenv("BREEZE_TPU_ACOUSTIC_PADS", raising=False)
+            s_roll = acoustic_rk3_step(model, state0, 2.0)
+            monkeypatch.setenv("BREEZE_TPU_ACOUSTIC_PADS", "1")
+            s_pad = acoustic_rk3_step(model, state0, 2.0)
+            monkeypatch.delenv("BREEZE_TPU_ACOUSTIC_PADS")
+            for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta"):
+                a = np.asarray(getattr(s_roll, name))
+                b = np.asarray(getattr(s_pad, name))
+                scale = np.abs(b).max()
+                np.testing.assert_allclose(a, b, rtol=0,
+                                           atol=1e-13 * max(scale, 1.0),
+                                           err_msg=name)
+
     def test_substep_plan(self):
         from breeze_tpu.dynamics.compressible import stage_substep_plan
 
