@@ -95,16 +95,27 @@ def _ramp_profile(kind: str, z, top, depth):
 
 @dataclasses.dataclass(frozen=True)
 class UpperSponge:
-    """Implicit upper Rayleigh sponge on (ρw)′ inside the substep loop's
-    column tridiagonal (reference ``UpperSponge``,
-    ``time_discretizations.jl:439-507``; Klemp, Dudhia & Hassiotis 2008):
-    CN-weighted — ωΔτ·rate·ramp on the diagonal, (1−ω)Δτ·rate·ramp·(ρw)′
-    on the explicit RHS.  Unconditionally stable for any positive rate.
+    """Implicit upper Rayleigh sponge inside the substep loop's column
+    tridiagonal (reference ``UpperSponge``, ``time_discretizations.jl:
+    439-507``; Klemp, Dudhia & Hassiotis 2008): CN-weighted — ωΔτ·rate·ramp
+    on the diagonal, (1−ω)Δτ·rate·ramp·(ρw)′ on the explicit RHS.
+    Unconditionally stable for any positive rate.
+
+    ``damp_full`` (default True): ALSO damp the stage-entry (ρw)ᴸ — the
+    KDH08 eq. (5) semantics, where the Rayleigh term acts on the full
+    wᵗ⁺ᐃᵗ.  The reference damps only the substep PERTURBATION
+    (``acoustic_substepping.jl:552-563``), which cannot absorb a wave that
+    has already accumulated in the layer: measured on the Schär mountain
+    case, max|w| grows without bound INSIDE a perturbation-only sponge
+    (exponential with Centered(2) advection, ~20 m/s saturated-by-breaking
+    with WENO5), while the full-field form absorbs it.  Set
+    ``damp_full=False`` for reference-parity behavior.
     """
 
     damping_rate: float = 0.2
     depth: float = 5.0e3
     ramp: str = "cubic"     # "cubic" | "sin2" | "linear"
+    damp_full: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -881,7 +892,8 @@ def _open_boundary_relax_plan(model, state_L):
 def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
                           G: SlowTendencies, pert: Perturbations,
                           dtau, n_tau: int, gate_first: bool,
-                          terrain=None, ob_relax=()) -> Perturbations:
+                          terrain=None, ob_relax=(),
+                          rho_w_L=None) -> Perturbations:
     """Advance the linearized perturbation system n_tau substeps.
 
     One substep = steps A–E of reference ``acoustic_rk3_substep_loop!``
@@ -1006,11 +1018,17 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     # diagonal, (1−ω)Δτ·r·ramp·(ρw)′ the explicit RHS below.
     sponge = getattr(td, "sponge", None)
     sponge_col = None
+    sponge_full = None
     if sponge is not None:
         z_face_col = jnp.asarray(g.z_f)[: g.nz, None, None].astype(g.dtype)
         sponge_col = sponge.damping_rate * _ramp_profile(
             sponge.ramp, z_face_col, g.z0 + g.Lz, sponge.depth)
         b_coef = b_coef + omega * abs(dtau) * sponge_col
+        # KDH08 full-field Rayleigh term: the layer damps the stage-entry
+        # (ρw)ᴸ too, not just the substep perturbation (see UpperSponge
+        # docstring) — a per-substep constant on the RHS.
+        if getattr(sponge, "damp_full", False) and rho_w_L is not None:
+            sponge_full = abs(dtau) * sponge_col * rho_w_L
 
     # Dirichlet walls: row 0 (bottom face) pinned to w = 0; the top wall
     # face nz is not stored (its coupling is dropped by the Thomas solver).
@@ -1027,17 +1045,26 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     work_dt = g.dtype
 
     # -------- horizontal stencil machinery --------------------------------
-    # Fast path (flat Cartesian, periodic/FLAT horizontals): shard-aware
-    # ±1 rolls on aligned n-sized arrays — no halo concats, no misaligned
-    # slices (the same optimization that won on the anelastic flux
-    # divergences; FLAT axes roll to the identity so dpdy/div_y vanish
-    # exactly as on the padded path).  General path (terrain, lat-lon,
-    # bounded horizontals, open BCs): the halo-padded stencils below.
+    # Two equivalent data-movement strategies (roll == pad to roundoff,
+    # pinned by ``test_roll_path_matches_pad_path``):
+    #
+    # - Padded stencils (DEFAULT): one halo-concat per field per substep,
+    #   consumers read multiple shifted windows of the same buffer.  XLA
+    #   fuses the shifted reads; v5e-measured FASTER than rolls (4.21 vs
+    #   5.03 ms/substep bf16 — each jnp.roll materializes its own copy,
+    #   so the roll form moves MORE data when ≥2 offsets share a field).
+    # - Aligned ±1 rolls (``BREEZE_TPU_ACOUSTIC_ROLLS=1``): shard-aware
+    #   wrap_roll (single-slab ppermute under shard_map) — kept for
+    #   decomposition experiments where the halo-concat's full-width
+    #   exchange is the bottleneck.
+    #
+    # Rolls require flat Cartesian periodic/FLAT horizontals; pads remain
+    # the only path for terrain / lat-lon / bounded horizontals.
     from ..parallel.halo import wrap_roll as _wr
     use_rolls = (terrain is None and not g.is_latlon
                  and g.x_topology in (Topology.PERIODIC, Topology.FLAT)
                  and g.y_topology in (Topology.PERIODIC, Topology.FLAT)
-                 and not os.environ.get("BREEZE_TPU_ACOUSTIC_PADS"))
+                 and bool(os.environ.get("BREEZE_TPU_ACOUSTIC_ROLLS")))
 
     def dxf(a):                       # a[i] − a[i−1] at x-faces
         return a - _wr(a, 1, 2)
@@ -1185,6 +1212,8 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
                                   + omega * dz_Crt_star))
         if sponge_col is not None:
             d_rhs = d_rhs - (1.0 - omega) * abs(dtau) * sponge_col * rw_p
+        if sponge_full is not None:
+            d_rhs = d_rhs - sponge_full
         if terrain is not None:
             # Kinematic bottom: ρw̃'(0) = 0 ⇒ (ρw)'(0) = S'_new(0)
             # (Dirichlet row: a=c=0, b=1 — set above).
@@ -1388,9 +1417,23 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
                 model, caches, G, pert, dtau, n_tau,
                 gate_first=(n_tau > 1))
         else:
+            # Stage-entry (ρw)ᴸ for the KDH08 full-field sponge (terrain:
+            # the fast system carries the contravariant ρw̃′, so damp the
+            # contravariant stage field).
+            rho_w_L = None
+            if getattr(getattr(td, "sponge", None), "damp_full", False):
+                if terrain is not None:
+                    from .terrain import contravariant_rho_w
+                    so_sp = model.stencil_ops()
+                    rho_w_L = contravariant_rho_w(
+                        terrain, so_sp, fl.pad(state.rho_u, g, fl.CCF),
+                        fl.pad(state.rho_v, g, fl.CFC), state.rho_w)
+                else:
+                    rho_w_L = state.rho_w
             pert = acoustic_substep_loop(model, caches, G, pert, dtau,
                                          n_tau, gate_first=(n_tau > 1),
-                                         terrain=terrain, ob_relax=ob_relax)
+                                         terrain=terrain, ob_relax=ob_relax,
+                                         rho_w_L=rho_w_L)
 
         # Recovery: U^(k) = U^L + perturbation (reference :1235-1257).
         if terrain is not None:

@@ -373,6 +373,260 @@ def _run_k2(rhos, rts, rw_p, rho_p, rt_p, grw, cl, th, thzf, ru_new, rv_new,
 
 
 # ---------------------------------------------------------------------------
+# K3: MULTI-substep fused kernel (halo-deep pipelining)
+# ---------------------------------------------------------------------------
+#
+# The K1/K2 pair re-reads every carry + linearization + slow-tendency field
+# from HBM each substep (~59 field transits/substep) — measured a wash vs
+# the jnp loop on v5e because BOTH are HBM-bound.  K3 keeps everything
+# resident in VMEM for ``n_inner`` consecutive substeps: the y window
+# carries ``n_inner`` halo rows per side (stencil radius 1/substep — the
+# classic halo-deep scheme: validity creeps inward one row per substep),
+# all substeps run on the full window, and only the central ``by`` rows
+# are written back.  HBM traffic: (13 reads · wy/by + 8 writes)/n_inner
+# ≈ 8-9 transits/substep at by=8, n_inner=4 — ~7× less than K1+K2.
+
+def _ceil8(n):
+    return ((n + 7) // 8) * 8
+
+
+def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
+             dtau: float, omega: float, g_acc: float, damp_coef: float,
+             store_dt=jnp.float32):
+    # y halo accounting: centers lose 1 row/side per substep; rv (y-face)
+    # loses ONE EXTRA bottom row per substep when thermal damping is on
+    # (the correction reads D[m−1], and D inherits the centers' validity) —
+    # asymmetric halo, or face 0 of every block goes stale (caught as a
+    # block-period error pattern on device).
+    h = n_inner + (1 if damp_coef else 0)   # bottom halo rows
+    ht = n_inner                            # top halo rows
+    ly = by + h + ht               # logical rows (center j·by−h .. +by+ht−1)
+    wy = _ceil8(ly)                # DMA window rows (Mosaic sublane alignment)
+    od2 = omega * omega * dtau * dtau
+    f32 = jnp.float32
+
+    def kernel(ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm,
+               cl_hbm, th_hbm, thzf_hbm,
+               gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm,
+               invdzc_hbm, invdzf_hbm, pgf_ref,
+               ru_o, rv_o, rw_o, rho_o, rt_o, sru_o, srv_o, srw_o,
+               ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
+               gru_w, grv_w, grw_w, grho_w, grt_w, invdzc_w, invdzf_w,
+               cp_s, dp_s, aco_s, bco_s, cco_s, rhs_s, sems):
+        j = pl.program_id(0)
+
+        srcs = (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
+                thzf_hbm, gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm)
+        dsts = (ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
+                gru_w, grv_w, grw_w, grho_w, grt_w)
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).start()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[13]).start()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[14]).start()
+        for n, (src, dst) in enumerate(zip(srcs, dsts)):
+            pltpu.make_async_copy(
+                src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).wait()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[13]).wait()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[14]).wait()
+
+        def xs(a, o):
+            return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
+
+        def ys_m(a):                    # row m−1 (edge-duplicated: the
+            return jnp.concatenate([a[:, :1, :], a[:, :-1, :]], axis=1)
+
+        def ys_p(a):                    # row m+1   garbage stays in the
+            return jnp.concatenate([a[:, 1:, :], a[:, -1:, :]], axis=1)
+        #                               creeping halo rows by construction)
+
+        below = lambda a: jnp.concatenate([a[:1], a[:-1]], axis=0)
+        above0 = lambda a: jnp.concatenate(
+            [a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+        lv = lambda r: r[:, :ly, :]
+        cl = lv(cl_w)
+        th = lv(th_w)
+        thf = lv(thzf_w)
+        gru = lv(gru_w)
+        grv = lv(grv_w)
+        grw = lv(grw_w)
+        grho = lv(grho_w)
+        grt = lv(grt_w)
+        inv_dzc = invdzc_w[:]
+        inv_dzf = invdzf_w[:]
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+
+        # ---- CN tridiagonal coefficients (substep-invariant) -------------
+        inv_dzc_b = jnp.concatenate([inv_dzc[:1], inv_dzc[:-1]], axis=0)
+        C_b = below(cl)
+        thf_a = jnp.concatenate([thf[1:], thf[-1:]], axis=0)
+        a_co = (0.5 * g_acc * od2 * inv_dzc_b
+                - od2 * inv_dzf * C_b * below(thf) * inv_dzc_b)
+        b_co = (1.0 - 0.5 * g_acc * od2 * (inv_dzc_b - inv_dzc)
+                + od2 * inv_dzf * thf * (cl * inv_dzc + C_b * inv_dzc_b))
+        c_co = (-0.5 * g_acc * od2 * inv_dzc
+                - od2 * inv_dzf * cl * thf_a * inv_dzc)
+        aco_s[:] = a_co
+        bco_s[:] = b_co
+        cco_s[:] = c_co
+
+        th_xf = 0.5 * (th + xs(th, -1))
+        th_yf = 0.5 * (th + ys_m(th))
+
+        ru_p = lv(ru_w).astype(f32)
+        rv_p = lv(rv_w).astype(f32)
+        rw_p = lv(rw_w).astype(f32)
+        rho_p = lv(rho_w).astype(f32)
+        rt_p = lv(rt_w).astype(f32)
+        sum_ru = jnp.zeros_like(ru_p)
+        sum_rv = jnp.zeros_like(ru_p)
+        sum_rw = jnp.zeros_like(ru_p)
+
+        for t in range(n_inner):           # static unroll: k ≤ 4
+            pgf = pgf_ref[t]
+
+            # ---- A: horizontal momenta -------------------------------
+            pp = cl * rt_p
+            dpdx = (pp - xs(pp, -1)) * inv_dx
+            dpdy = (pp - ys_m(pp)) * inv_dy
+            ru_new = ru_p + dtau * (gru - pgf * dpdx)
+            rv_new = rv_p + dtau * (grv - pgf * dpdy)
+
+            # ---- B: predictors ---------------------------------------
+            div_h = ((xs(ru_new, 1) - ru_new) * inv_dx
+                     + (ys_p(rv_new) - rv_new) * inv_dy)
+            fx = th_xf * ru_new
+            fy = th_yf * rv_new
+            div_ht = ((xs(fx, 1) - fx) * inv_dx
+                      + (ys_p(fy) - fy) * inv_dy)
+            dzdiv = (above0(rw_p) - rw_p) * inv_dzc
+            thw_p = thf * rw_p
+            dzdiv_t = (above0(thw_p) - thw_p) * inv_dzc
+            rho_star = (rho_p + dtau * (grho - div_h)
+                        - dtau * (1.0 - omega) * dzdiv)
+            rt_star = (rt_p + dtau * (grt - div_ht)
+                       - dtau * (1.0 - omega) * dzdiv_t)
+
+            # ---- C: CN column solve ----------------------------------
+            rho_star_zf = 0.5 * (rho_star + below(rho_star))
+            rho_tau_zf = 0.5 * (rho_p + below(rho_p))
+            Crt_tau = cl * rt_p
+            Crt_star = cl * rt_star
+            dz_Crt_tau = (Crt_tau - below(Crt_tau)) * inv_dzf
+            dz_Crt_star = (Crt_star - below(Crt_star)) * inv_dzf
+            d = (rw_p + dtau * grw
+                 - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
+                                   + omega * rho_star_zf)
+                 - dtau * ((1.0 - omega) * dz_Crt_tau
+                           + omega * dz_Crt_star))
+            rhs_s[:] = d
+            cp_s[0] = jnp.zeros((ly, nx), f32)
+            dp_s[0] = jnp.zeros((ly, nx), f32)
+
+            def fwd(k, _):
+                a_k = aco_s[k]
+                denom = bco_s[k] - a_k * cp_s[k - 1]
+                cp_s[k] = cco_s[k] / denom
+                dp_s[k] = (rhs_s[k] - a_k * dp_s[k - 1]) / denom
+                return 0
+
+            jax.lax.fori_loop(1, nz, fwd, 0, unroll=False)
+
+            def bwd(m, _):
+                k = nz - 2 - m
+                dp_s[k] = dp_s[k] - cp_s[k] * dp_s[k + 1]
+                return 0
+
+            jax.lax.fori_loop(0, nz - 1, bwd, 0, unroll=False)
+            rw_new = dp_s[:]
+
+            # ---- D: recovery -----------------------------------------
+            rho_new = rho_star - omega * dtau * (above0(rw_new)
+                                                 - rw_new) * inv_dzc
+            thw = thf * rw_new
+            rt_new = rt_star - omega * dtau * (above0(thw) - thw) * inv_dzc
+
+            # ---- E: thermal divergence damping -----------------------
+            if damp_coef:
+                D = (rt_new - rt_p) / th
+                ru_new = ru_new - damp_coef * dx / dtau * (D - xs(D, -1))
+                rv_new = rv_new - damp_coef * dy / dtau * (D - ys_m(D))
+
+            # bf16 carry semantics: round-trip through the storage dtype
+            # between substeps, exactly as the jnp loop does
+            if store_dt != f32:
+                ru_new = ru_new.astype(store_dt).astype(f32)
+                rv_new = rv_new.astype(store_dt).astype(f32)
+                rw_new = rw_new.astype(store_dt).astype(f32)
+                rho_new = rho_new.astype(store_dt).astype(f32)
+                rt_new = rt_new.astype(store_dt).astype(f32)
+            ru_p, rv_p, rw_p, rho_p, rt_p = (ru_new, rv_new, rw_new,
+                                             rho_new, rt_new)
+            sum_ru = sum_ru + ru_p
+            sum_rv = sum_rv + rv_p
+            sum_rw = sum_rw + rw_p
+
+        ci = lambda a: a[:, h:h + by, :]
+        ru_o[:] = ci(ru_p).astype(store_dt)
+        rv_o[:] = ci(rv_p).astype(store_dt)
+        rw_o[:] = ci(rw_p).astype(store_dt)
+        rho_o[:] = ci(rho_p).astype(store_dt)
+        rt_o[:] = ci(rt_p).astype(store_dt)
+        sru_o[:] = ci(sum_ru)
+        srv_o[:] = ci(sum_rv)
+        srw_o[:] = ci(sum_rw)
+
+    return kernel, ly, wy
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "by", "nz", "ny", "nx", "n_inner", "dx", "dy", "dtau", "omega",
+    "g_acc", "damp_coef", "store", "interpret"))
+def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
+            inv_dzc_col, inv_dzf_col, pgf_flags,
+            by, nz, ny, nx, n_inner, dx, dy, dtau, omega, g_acc, damp_coef,
+            store="float32", interpret=False):
+    store_dt = jnp.dtype(store)
+    kernel, ly, wy = _make_k3(by, nz, nx, n_inner, dx, dy, dtau, omega,
+                              g_acc, damp_coef, store_dt=store_dt)
+    h = n_inner + (1 if damp_coef else 0)
+    above = wy - by - h            # top halo used + alignment slack
+
+    def pady(a):
+        return jnp.concatenate(
+            [a[:, ny - h:, :], a, a[:, :above, :]], axis=1)
+
+    args = [pady(x) for x in (ru, rv, rw, rho, rt, cl, th, thzf,
+                              gru, grv, grw, grho, grt)]
+    args += [inv_dzc_col, inv_dzf_col]
+    grid = (ny // by,)
+    win = lambda dt=jnp.float32: pltpu.VMEM((nz, wy, nx), dt)
+    lwin = lambda: pltpu.VMEM((nz, ly, nx), jnp.float32)
+    out_c = jax.ShapeDtypeStruct((nz, ny, nx), store_dt)
+    out_f = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    outspec = pl.BlockSpec((nz, by, nx), lambda j: (0, j, 0),
+                           memory_space=pltpu.VMEM)
+    wins = ([win(store_dt) for _ in range(5)] + [win() for _ in range(8)])
+    col = lambda: pltpu.VMEM((nz, 1, nx), jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 15
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=[outspec] * 8,
+        out_shape=[out_c] * 5 + [out_f] * 3,
+        scratch_shapes=wins + [col(), col()]
+        + [lwin() for _ in range(6)]
+        + [pltpu.SemaphoreType.DMA((15,))],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(*args, jnp.asarray(pgf_flags, jnp.float32))
+
+
+# ---------------------------------------------------------------------------
 # Driver: full substep loop
 # ---------------------------------------------------------------------------
 
@@ -411,7 +665,15 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
                                  gate_first: bool, interpret: bool = False):
     """Drop-in fused replacement for ``acoustic_substep_loop`` within the
     :func:`supported` envelope.  Same semantics: n_tau substeps of A-E with
-    the substep-0 PGF gate, accumulating the time-summed momenta."""
+    the substep-0 PGF gate, accumulating the time-summed momenta.
+
+    Default: the MULTI-substep K3 kernel in chunks of up to 4 substeps
+    (carries stay in VMEM across the chunk — the HBM-traffic amortization
+    the per-substep K1/K2 pair cannot get).  ``BREEZE_TPU_PALLAS_ACOUSTIC_
+    SPLIT=1`` restores the K1/K2-per-substep path.
+    """
+    import os as _os
+
     from ..dynamics.compressible import (Perturbations,
                                          ThermalDivergenceDamping)
 
@@ -440,6 +702,46 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     inv_dzc = bcast_col(1.0 / jnp.asarray(g.dz_c_meta, jnp.float32), nx)
     inv_dzf = bcast_col(
         1.0 / jnp.asarray(g.dz_f_meta[:nz], jnp.float32), nx)
+
+    if not _os.environ.get("BREEZE_TPU_PALLAS_ACOUSTIC_SPLIT"):
+        p = Perturbations(
+            rho=pert.rho.astype(store_dt),
+            rho_u=pert.rho_u.astype(store_dt),
+            rho_v=pert.rho_v.astype(store_dt),
+            rho_w=pert.rho_w.astype(store_dt),
+            rho_theta=pert.rho_theta.astype(store_dt),
+            sum_rho_u=pert.sum_rho_u, sum_rho_v=pert.sum_rho_v,
+            sum_rho_w=pert.sum_rho_w)
+        # Unroll depth: bf16 carries compile at k=4 on v5e; the f32
+        # 4-substep program crashes the Mosaic compile at 256²x128
+        # (program-size limit — k≤3 compiles and runs).
+        k_max = 4 if store_dt == jnp.bfloat16 else 3
+        s = 0
+        while s < n_tau:                       # static python loop
+            k = min(k_max, n_tau - s)
+            pgf_flags = tuple(
+                0.0 if (s + t == 0 and gate_first) else 1.0
+                for t in range(k))
+            (ru2, rv2, rw2, rho2, rt2, sru, srv, srw) = _run_k3(
+                p.rho_u, p.rho_v, p.rho_w, p.rho, p.rho_theta,
+                cl, th, thzf, G.rho_u, G.rho_v, G.rho_w, G.rho,
+                G.rho_theta, inv_dzc, inv_dzf, pgf_flags,
+                by=by, nz=nz, ny=ny, nx=nx, n_inner=k,
+                dx=float(g.dx), dy=float(g.dy), dtau=dtau, omega=omega,
+                g_acc=g_acc, damp_coef=damp, store=store,
+                interpret=interpret)
+            p = Perturbations(
+                rho=rho2, rho_u=ru2, rho_v=rv2, rho_w=rw2, rho_theta=rt2,
+                sum_rho_u=p.sum_rho_u + sru.astype(work_dt),
+                sum_rho_v=p.sum_rho_v + srv.astype(work_dt),
+                sum_rho_w=p.sum_rho_w + srw.astype(work_dt))
+            s += k
+        return Perturbations(
+            rho=p.rho.astype(work_dt), rho_u=p.rho_u.astype(work_dt),
+            rho_v=p.rho_v.astype(work_dt), rho_w=p.rho_w.astype(work_dt),
+            rho_theta=p.rho_theta.astype(work_dt),
+            sum_rho_u=p.sum_rho_u, sum_rho_v=p.sum_rho_v,
+            sum_rho_w=p.sum_rho_w)
 
     def body(i, p):
         pgf = jnp.where(jnp.logical_or(i > 0, not gate_first), 1.0, 0.0)

@@ -25,6 +25,19 @@ from ..thermo.constants import MoistureMassFractions
 from ..thermo.saturation import saturation_specific_humidity
 
 
+def _safe_pow(x, p):
+    """``x**p`` (fractional p, x ≥ 0) with a zero-safe gradient.
+
+    ``max(x,0)**p`` is the KW78 rate form, but its AD derivative at x = 0
+    is ∞ for p < 1 (NaN in the backward pass).  Standard double-``where``:
+    identical VALUES everywhere (0**p = 0 for p > 0), derivative clamped to
+    0 at x = 0 — keeps jax.grad finite through the scheme (reference
+    validates AD through its microphysics configs,
+    ``test/reactant/weno_compilation_setup.jl:92-158``)."""
+    safe = jnp.where(x > 0, x, 1.0)
+    return jnp.where(x > 0, safe ** p, 0.0)
+
+
 @dataclasses.dataclass(frozen=True)
 class KesslerMicrophysics:
     """DCMIP2016 Kessler configuration (defaults = reference :154-168).
@@ -70,15 +83,16 @@ class KesslerMicrophysics:
     def terminal_velocity(self, r_r, rho, rho_surf):
         """W = a (ρ rʳ Cᵨ)^β √(ρ₁/ρ)  (KW78 eq. 2.15, reference :396)."""
         a = self.terminal_velocity_coefficient
-        return (a * jnp.maximum(r_r * self.density_scale * rho, 0.0)
-                ** self.terminal_velocity_exponent
+        return (a * _safe_pow(jnp.maximum(r_r * self.density_scale * rho, 0.0),
+                              self.terminal_velocity_exponent)
                 * jnp.sqrt(rho_surf / rho))
 
     def cloud_to_rain(self, r_cl, r_r, dt):
         """Implicit autoconversion + accretion (KW78 eq. 2.13, reference :420)."""
         A = jnp.maximum(0.0, self.autoconversion_rate
                         * (r_cl - self.autoconversion_threshold))
-        denom = 1.0 + dt * self.accretion_rate * jnp.maximum(r_r, 0.0) ** self.accretion_exponent
+        denom = 1.0 + dt * self.accretion_rate * _safe_pow(
+            jnp.maximum(r_r, 0.0), self.accretion_exponent)
         return r_cl - (r_cl - dt * A) / denom
 
     def model_update(self, model, state, dt: float):
@@ -205,8 +219,8 @@ def kessler_update(scheme: KesslerMicrophysics, model, state, dt: float):
         rho_rr = rho_k * rr_1
         Vev = ((scheme.evaporation_ventilation_coefficient_1
                 + scheme.evaporation_ventilation_coefficient_2
-                * rho_rr ** scheme.evaporation_ventilation_exponent_1)
-               * rho_rr ** scheme.evaporation_ventilation_exponent_2)
+                * _safe_pow(rho_rr, scheme.evaporation_ventilation_exponent_1))
+               * _safe_pow(rho_rr, scheme.evaporation_ventilation_exponent_2))
         Dth = scheme.diffusivity_coefficient / (p * rvs) + scheme.thermal_conductivity_coefficient
         dr_vs = jnp.maximum(0.0, rvs - rv)
         E_r = Vev / Dth * dr_vs / (rho_k * rvs + 1e-20)

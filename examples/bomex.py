@@ -83,11 +83,16 @@ def bomex_model(n=64, nz=75, quick=False):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--check", action="store_true",
+                   help="physics-assertion run: 15 sim-min at the quick "
+                        "grid, asserts spun-up BL turbulence + sane "
+                        "cloud/moisture structure")
     p.add_argument("--hours", type=float, default=1.0)
     args = p.parse_args()
 
-    model, state = bomex_model(quick=args.quick)
-    stop = 300.0 if args.quick else args.hours * 3600.0
+    model, state = bomex_model(quick=args.quick or args.check)
+    stop = (300.0 if args.quick
+            else 900.0 if args.check else args.hours * 3600.0)
     sim = Simulation(model, state, dt=2.0, stop_time=stop)
     conjure_time_step_wizard(sim, cfl=0.6, max_dt=10.0)
 
@@ -100,6 +105,34 @@ def main():
 
     sim.add_callback(progress, IterationInterval(20))
     sim.run()
+
+    if args.check:
+        # Physics signatures after 15 sim-min of BOMEX spin-up (Siebesma
+        # et al. 2003 intercomparison bands, early-time):
+        import numpy as np
+        aux = bz.diagnose(sim.model, sim.state)
+        w = np.asarray(aux.w)
+        assert np.isfinite(w).all()
+        g = sim.model.grid
+        zc = np.asarray(g.z_c)
+        bl = zc < 600.0
+        w_rms_bl = float(np.sqrt((w[bl] ** 2).mean()))
+        wmax = float(np.abs(w).max())
+        cloud_cover = float(np.mean(np.any(
+            np.asarray(aux.q.liquid) > 1e-5, axis=0)))
+        qt = np.asarray(aux.qt)
+        qt_sfc = float(qt[0].mean())
+        print(f"check: BL w_rms = {w_rms_bl:.3f} m/s, max|w| = {wmax:.2f}, "
+              f"cloud cover = {cloud_cover:.2f}, "
+              f"surface qt = {qt_sfc * 1e3:.2f} g/kg")
+        # surface-flux-driven convection has spun up, but stays LES-sane
+        assert 0.02 < w_rms_bl < 2.0, "BL turbulence not in band"
+        assert wmax < 12.0, "runaway updraft"
+        # trade-cumulus regime: broken clouds at most (0 early is fine)
+        assert cloud_cover < 0.6, "overcast — not BOMEX"
+        # moisture budget sane: surface qt still near the initial 17 g/kg
+        assert 0.014 < qt_sfc < 0.020, "surface moisture drifted"
+        print("check PASSED")
 
 
 if __name__ == "__main__":

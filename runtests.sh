@@ -7,6 +7,23 @@
 # FAILED (usually because its worker crashed mid-compile) is retried once
 # serially; the retry verdict is final.
 set -o pipefail
+# ./runtests.sh --contract : the <5-min contract tier — rest states,
+# conservation, sharded==dense, Poisson manufactured solutions, Pallas
+# interpret equivalence.  CI should run this on every change and the full
+# suite nightly.
+if [ "$1" = "--contract" ]; then
+    shift
+    set -- \
+        tests/test_compressible.py::TestRestState \
+        tests/test_compressible.py::TestConservation \
+        tests/test_compressible_static_energy.py::TestRestState \
+        tests/test_anelastic_model.py::TestRestState \
+        tests/test_anelastic_model.py::TestConservation \
+        tests/test_poisson.py \
+        tests/test_distributed.py \
+        tests/test_pallas_kernels.py \
+        -n 4 "$@"
+fi
 if [ $# -eq 0 ]; then
     set -- tests/ -n 2
 fi

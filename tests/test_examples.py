@@ -47,6 +47,34 @@ def test_example_quick(example):
         f"STDERR:\n{result.stderr[-2000:]}")
 
 
+# Physics-assertion tier: flagship examples run a longer --check
+# configuration that asserts dynamical signatures (BOMEX spun-up BL
+# turbulence + sane cloud cover; supercell deep updraft + mid-level vortex
+# couplet; mountain-wave amplitude band + positive surface form drag) —
+# the reference's examples are validated by eye in docs, these are the
+# automated equivalents.
+CHECK_EXAMPLES = [
+    "bomex.py",
+    "splitting_supercell.py",
+    "two_dimension_mountain_wave.py",
+]
+
+
+@pytest.mark.parametrize("example", CHECK_EXAMPLES)
+def test_example_physics_check(example):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["PYTHONPATH"] = ROOT
+    result = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "examples", example), "--check"],
+        capture_output=True, text=True, timeout=2400, env=env, cwd=ROOT)
+    assert result.returncode == 0, (
+        f"{example} --check failed:\nSTDOUT:\n{result.stdout[-2000:]}\n"
+        f"STDERR:\n{result.stderr[-2000:]}")
+    assert "check PASSED" in result.stdout
+
+
 def test_validation_dcmip_tc_smoke():
     """The DCMIP2016 TC validation study builds and steps (--smoke)."""
     env = dict(os.environ)
