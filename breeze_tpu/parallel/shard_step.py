@@ -54,83 +54,120 @@ from .halo import shard_axes
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["base"], meta_fields=["axis_name", "nx_global"])
+         data_fields=["base"],
+         meta_fields=["axis_x", "axis_y", "nx_global", "ny_global"])
 @dataclasses.dataclass(frozen=True)
 class PencilPoissonSolver:
     """shard_map-internal anelastic Poisson solve with explicit all-to-alls.
 
-    Pipeline (local shard holds ``(nz, ny, nx/px)``):
+    Supports a 1-D ``Partition(px)`` (``axis_y=None``) or a 2-D
+    ``Partition(px, py)`` decomposition (reference
+    ``Distributed(arch, partition=Partition(px, py))``, ``src/Breeze.jl:
+    208``).  Pipeline (local shard holds ``(nz, ny/py, nx/px)``):
 
-        all_to_all split-z/concat-x  → (nz/px, ny, nx)   gather x
-        rfft2 over (y, x)            → (nz/px, ny, nxr)
-        all_to_all split-y/concat-z  → (nz, ny/px, nxr)  regain z
-        Thomas scan on factor slice [ix·ny/px, …)
-        …inverse transposes/transform mirror the forward path.
+        all_to_all split-z/concat-x over "x" → (nz/px,       ny/py, nx)
+        all_to_all split-z/concat-y over "y" → (nz/(px·py),  ny,    nx)
+        base._forward                        → horizontal mode space
+          (rfft2, MXU matmul-DFT, or the bounded real/DCT eigenbasis —
+          the horizontals are FULLY gathered here, so every transform the
+          dense solver supports works unchanged)
+        all_to_all split-my/concat-z over "y", then "x"  → full z columns
+        per-mode vertical solve on the owned mode-row slice
+        …inverse mirrors the forward path.
 
-    Requires ``px | nz`` and ``px | ny`` (asserted at build).
+    Requires ``px·py | nz`` and ``px·py | ny`` (asserted at build).
     """
 
     base: AnelasticPoissonSolver
-    axis_name: str = "x"
+    axis_x: str = "x"
+    axis_y: str | None = None
     nx_global: int = 0
+    ny_global: int = 0
 
     def solve(self, divergence: jax.Array, dt) -> jax.Array:
         base = self.base
-        name = self.axis_name
-        px = jax.lax.axis_size(name)
-        ix = jax.lax.axis_index(name)
-        ny = base.ny
+        ax, ay = self.axis_x, self.axis_y
+        px = jax.lax.axis_size(ax)
+        ix = jax.lax.axis_index(ax)
+        py = jax.lax.axis_size(ay) if ay else 1
+        iy = jax.lax.axis_index(ay) if ay else 0
+        my = base.ny                       # horizontal y-mode count (= ny)
         rhs = (divergence * base.dz_c[:, None, None]) / dt
 
-        # gather x (split z)
-        a = jax.lax.all_to_all(rhs, name, split_axis=0, concat_axis=2,
+        # gather horizontals (split z)
+        a = jax.lax.all_to_all(rhs, ax, split_axis=0, concat_axis=2,
                                tiled=True)
-        a_hat = jnp.fft.rfft2(a, axes=(1, 2))
-        # regain z (split y)
-        a_hat = jax.lax.all_to_all(a_hat, name, split_axis=1, concat_axis=0,
+        if ay:
+            a = jax.lax.all_to_all(a, ay, split_axis=0, concat_axis=1,
+                                   tiled=True)
+        a_hat = base._forward(a)
+        # regain z (split the y-mode axis over "y" then "x")
+        if ay:
+            a_hat = jax.lax.all_to_all(a_hat, ay, split_axis=1,
+                                       concat_axis=0, tiled=True)
+        a_hat = jax.lax.all_to_all(a_hat, ax, split_axis=1, concat_axis=0,
                                    tiled=True)
 
-        nyl = ny // px
+        nyl = my // (px * py)
+        offset = iy * (my // py) + ix * nyl
 
-        def ysl(f):
-            return jax.lax.dynamic_slice_in_dim(f, ix * nyl, nyl, axis=1)
+        def ysl(f, axis=1):
+            return jax.lax.dynamic_slice_in_dim(f, offset, nyl, axis=axis)
 
-        mask = jax.lax.dynamic_slice_in_dim(
-            base.zero_mode_mask, ix * nyl, nyl, axis=0)
-        x = fourier_tridiagonal_scan(a_hat, ysl(base.lower),
-                                     ysl(base.inv_den), ysl(base.c_prime),
-                                     mask, base.nz)
+        if base.vertical_solve == "eigen":
+            ze = base.z_eig
+            coef = jnp.einsum("mz,zyx->myx", ze["AT"], a_hat)
+            coef = coef * ysl(ze["inv_tab"])
+            x = jnp.einsum("zm,myx->zyx", ze["A"], coef)
+        else:
+            mask = ysl(base.zero_mode_mask, axis=0)
+            x = fourier_tridiagonal_scan(a_hat, ysl(base.lower),
+                                         ysl(base.inv_den),
+                                         ysl(base.c_prime),
+                                         mask, base.nz)
 
-        x = jax.lax.all_to_all(x, name, split_axis=0, concat_axis=1,
+        x = jax.lax.all_to_all(x, ax, split_axis=0, concat_axis=1,
                                tiled=True)
-        phi = jnp.fft.irfft2(x, s=(ny, self.nx_global), axes=(1, 2))
-        phi = jax.lax.all_to_all(phi, name, split_axis=2, concat_axis=0,
+        if ay:
+            x = jax.lax.all_to_all(x, ay, split_axis=0, concat_axis=1,
+                                   tiled=True)
+        phi = base._inverse(x, (self.ny_global or base.ny, self.nx_global))
+        if ay:
+            phi = jax.lax.all_to_all(phi, ay, split_axis=1, concat_axis=0,
+                                     tiled=True)
+        phi = jax.lax.all_to_all(phi, ax, split_axis=2, concat_axis=0,
                                  tiled=True)
         return phi.astype(divergence.dtype)
 
 
 def make_x_mesh(n_devices: int | None = None) -> Mesh:
-    """1-D ('x',) device mesh for the pencil decomposition."""
+    """1-D ('x',) device mesh for the slab/pencil decomposition."""
     devices = jax.devices()
     n = n_devices or len(devices)
     return jax.make_mesh((n,), ("x",), devices=devices[:n])
 
 
-def _local_model(model, px: int):
-    """Shard-local model: grid narrowed to the shard width, Poisson solver
+def make_xy_mesh(px: int, py: int) -> Mesh:
+    """2-D ('x', 'y') device mesh for ``Partition(px, py)``."""
+    return jax.make_mesh((px, py), ("x", "y"),
+                         devices=jax.devices()[: px * py])
+
+
+def _local_model(model, px: int, py: int = 1):
+    """Shard-local model: grid narrowed to the shard extent, Poisson solver
     swapped for the pencil version."""
     g = model.grid
+    p = px * py
     assert g.nx % px == 0, f"px={px} must divide nx={g.nx}"
-    assert g.nz % px == 0, f"px={px} must divide nz={g.nz} (pencil z-split)"
-    assert g.ny % px == 0, f"px={px} must divide ny={g.ny} (pencil y-split)"
-    assert g.x_topology.value == "periodic", "pencil path: periodic x"
-    local_grid = dataclasses.replace(g, nx=g.nx // px)
+    assert g.ny % py == 0, f"py={py} must divide ny={g.ny}"
+    assert g.nz % p == 0, f"px·py={p} must divide nz={g.nz} (pencil z-split)"
+    assert g.ny % p == 0, f"px·py={p} must divide ny={g.ny} (mode rows)"
+    local_grid = dataclasses.replace(g, nx=g.nx // px, ny=g.ny // py)
     kw = {"grid": local_grid}
     if hasattr(model, "solver"):
-        assert model.solver.transform == "fourier" and not model.solver.use_matmul_dft, \
-            "pencil Poisson uses the rfft2 transform"
-        kw["solver"] = PencilPoissonSolver(base=model.solver, axis_name="x",
-                                           nx_global=g.nx)
+        kw["solver"] = PencilPoissonSolver(
+            base=model.solver, axis_x="x", axis_y="y" if py > 1 else None,
+            nx_global=g.nx, ny_global=g.ny)
     return dataclasses.replace(model, **kw)
 
 
@@ -138,23 +175,35 @@ def make_shard_map_step(model, mesh: Mesh, step_fn=None):
     """Jitted distributed step ``f(state, dt) -> state`` running ``step_fn``
     per-shard under ``shard_map`` with explicit collectives (module
     docstring).  ``dt`` is static (as everywhere).
+
+    ``mesh`` is 1-D ``('x',)`` or 2-D ``('x', 'y')`` (``make_xy_mesh``);
+    with a 2-D mesh both horizontal axes exchange halos via ppermute
+    (periodic wrap or bounded mirror per the grid topology).
     """
     if step_fn is None:
         from ..timesteppers import ssp_rk3_step
         step_fn = ssp_rk3_step
-    (px,) = mesh.devices.shape
-    lmodel = _local_model(model, px)
+    if mesh.devices.ndim == 1:
+        (px,), py = mesh.devices.shape, 1
+    else:
+        px, py = mesh.devices.shape
+    lmodel = _local_model(model, px, py)
+    axes = {2: "x"}
+    yname = None
+    if py > 1:
+        axes[1] = "y"
+        yname = "y"
 
     def spec(leaf):
         nd = getattr(leaf, "ndim", 0)
         if nd == 3:
-            return P(None, None, "x")
+            return P(None, yname, "x")
         if nd == 2:
-            return P(None, "x")
+            return P(yname, "x")
         return P()
 
     def local_step(state, dt):
-        with shard_axes({2: "x"}):
+        with shard_axes(axes):
             return step_fn(lmodel, state, dt)
 
     def stepped(state, dt):

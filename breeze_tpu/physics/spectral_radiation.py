@@ -96,21 +96,36 @@ class BackgroundAtmosphere:
 
 #: (ν_lo, ν_hi) [cm⁻¹], k_h2o, k_co2, k_o3, k_ch4n2o [m²/kg at p₀],
 #: k_continuum [m²/kg per (e/1 kPa)]
+#:
+#: EXTERNALLY ANCHORED (tools/fit_lw_bands.py): the coefficients are fit
+#: to published line-by-line broadband values for the AFGL tropical /
+#: mid-latitude-summer / sub-arctic-winter clear-sky columns (OLR and
+#: surface DLR; Clough & Iacono 1995, Mlawer et al. 1997, Iacono et al.
+#: 2008 — see validation/radiation_columns.py) AND the published
+#: instantaneous clear-sky 2×CO2 TOA forcing (~2.8 W/m² tropical).  The
+#: 15 µm CO2 complex is split into a saturated core and two wing bands —
+#: with a single gray coefficient the forcing comes out NEGATIVE (the
+#: saturated core emits from the warm upper stratosphere); the wings carry
+#: the physical sensitivity.  Fit residuals: all six fluxes within
+#: 2.2 W/m² of the targets, forcing 2.81 W/m².
 LW_BANDS = (
-    # rotational H2O (far IR)
-    (10.0, 350.0, 60.0, 0.0, 0.0, 0.0, 0.0),
-    (350.0, 560.0, 12.0, 0.0, 0.0, 0.0, 0.01),
-    # CO2 15 um
-    (560.0, 800.0, 1.2, 55.0, 0.0, 0.0, 0.02),
+    # rotational H2O (far IR), split
+    (10.0, 250.0, 32.15, 0.0, 0.0, 0.0, 0.0),
+    (250.0, 410.0, 3.344, 0.0, 0.0, 0.0, 0.009993),
+    (410.0, 560.0, 0.1048, 0.0, 0.0, 0.0, 0.01057),
+    # CO2 15 um: lower wing / saturated core / upper wing
+    (560.0, 630.0, 1.124, 4.761, 0.0, 0.0, 0.02),
+    (630.0, 700.0, 1.0, 1111.0, 0.0, 0.0, 0.02),
+    (700.0, 800.0, 0.4707, 1.551, 0.0, 0.0, 0.02011),
     # window + continuum
-    (800.0, 980.0, 0.06, 0.0, 0.0, 0.0, 0.006),
+    (800.0, 980.0, 0.0113, 0.0, 0.0, 0.0, 0.002098),
     # O3 9.6 um
-    (980.0, 1100.0, 0.06, 0.0, 280.0, 0.0, 0.005),
+    (980.0, 1100.0, 0.0113, 0.0, 13.87, 0.0, 0.002257),
     # CH4 + N2O 7.7 um
-    (1100.0, 1400.0, 0.25, 0.0, 0.0, 45.0, 0.003),
+    (1100.0, 1400.0, 0.02289, 0.0, 0.0, 2.414, 0.002636),
     # H2O 6.3 um vibration-rotation
-    (1400.0, 2200.0, 35.0, 0.0, 0.0, 0.0, 0.0),
-    (2200.0, 3500.0, 6.0, 0.4, 0.0, 0.0, 0.0),
+    (1400.0, 2200.0, 6.072, 0.0, 0.0, 0.0, 0.0),
+    (2200.0, 3500.0, 5.385, 0.4185, 0.0, 0.0, 0.0),
 )
 
 _GL_X, _GL_W = np.polynomial.legendre.leggauss(8)

@@ -257,6 +257,58 @@ class TestShardMapProductionStep:
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(dense),
                                    rtol=3e-4, atol=3e-4)
 
+    def test_partition_2d_matches_dense(self):
+        """Partition(px=2, py=2): both horizontal axes decomposed — halos
+        on x AND y via ppermute, Poisson through the two-axis pencil
+        transposes (reference ``Partition(px, py)``, src/Breeze.jl:208)."""
+        from breeze_tpu.parallel.shard_step import (make_shard_map_step,
+                                                    make_xy_mesh)
+        model, state = self._setup()
+        ref = state
+        for _ in range(3):
+            ref = jax.jit(ssp_rk3_step, static_argnums=2)(model, ref, 2.0)
+        step = make_shard_map_step(model, make_xy_mesh(2, 2))
+        out = state
+        for _ in range(3):
+            out = step(out, 2.0)
+        for name, rtol, atol in (("rho_theta", 2e-5, 1e-4),
+                                 ("rho_qt", 2e-4, 1e-8),
+                                 ("rho_u", 2e-4, 1e-4),
+                                 ("rho_v", 2e-4, 1e-4),
+                                 ("rho_w", 2e-4, 1e-4)):
+            np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                       np.asarray(getattr(ref, name)),
+                                       rtol=rtol, atol=atol, err_msg=name)
+
+    def test_bounded_y_shard_map_matches_dense(self):
+        """Bounded-y topology on the explicit-collective path: the DCT/real
+        eigenbasis transform runs on the fully gathered horizontals inside
+        the pencil solve; y-halos use the bounded mirror rules."""
+        g = bz.make_grid(size=(32, 16, 8), extent=(6400.0, 3200.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.BOUNDED, bz.BOUNDED),
+                         dtype=jnp.float32)
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=300.0)
+        state = initial_state(
+            model,
+            theta=lambda x, y, z: 300.0 + 1.5 * jnp.exp(
+                -((x - 3200.) ** 2 + (y - 1600.) ** 2
+                  + (z - 500.) ** 2) / 400.0 ** 2))
+        assert model.solver.transform == "real"
+        from breeze_tpu.parallel.shard_step import (make_shard_map_step,
+                                                    make_x_mesh)
+        ref = state
+        for _ in range(3):
+            ref = jax.jit(ssp_rk3_step, static_argnums=2)(model, ref, 2.0)
+        step = make_shard_map_step(model, make_x_mesh(4))
+        out = state
+        for _ in range(3):
+            out = step(out, 2.0)
+        for name in ("rho_theta", "rho_u", "rho_v", "rho_w"):
+            np.testing.assert_allclose(np.asarray(getattr(out, name)),
+                                       np.asarray(getattr(ref, name)),
+                                       rtol=2e-4, atol=2e-4, err_msg=name)
+
 
 class TestShardedBoundedHalo:
     def test_bounded_center_pad_matches_dense(self):
