@@ -25,6 +25,8 @@ from .thermo.constants import IdealGas, CondensedPhase, MoistureMassFractions, T
 from .thermo.reference import ReferenceState, make_reference_state
 from .thermo.saturation import MixedPhaseEquilibrium, WarmPhaseEquilibrium
 from .physics.microphysics import SaturationAdjustment
+from .physics.bulk import (ConstantRateCondensateFormation,
+                           NonEquilibriumCloudFormation)
 from .physics.coriolis import (BetaPlane, ConstantCartesianCoriolis, FPlane,
                                HydrostaticSphericalCoriolis,
                                NonTraditionalBetaPlane, SphericalCoriolis)
