@@ -19,7 +19,7 @@ from .grid import (BOUNDED, FLAT, PERIODIC, Grid, Topology, make_grid,
                    piecewise_stretched_z)
 from .advection import (WENO, Centered, UpwindBiased,
                         AdaptiveImplicitVerticalAdvection)
-from .model import AtmosphereModel, State, compute_tendencies, diagnose, initial_state, make_model, pressure_projection
+from .model import AtmosphereModel, State, compute_tendencies, diagnose, initial_state, make_model, pressure_projection, stage_update
 from .timesteppers import many_steps, ssp_rk3_step, step_jit
 from .thermo.constants import IdealGas, CondensedPhase, MoistureMassFractions, ThermodynamicConstants
 from .thermo.reference import ReferenceState, make_reference_state

@@ -488,7 +488,7 @@ def _dry_buoyancy_columns(model: AtmosphereModel, halo: int):
 # ---------------------------------------------------------------------------
 
 def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = None,
-                       dt=None):
+                       dt=None, _substep=None):
     """Right-hand sides for every prognostic field.
 
     Mirrors ``compute_tendencies!`` (``update_atmosphere_model_state.jl:
@@ -503,6 +503,16 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     implicit remainder is applied by the stepper
     (``dynamics/vertical_implicit.py``).  With ``dt=None`` AIVA schemes run
     fully explicit.
+
+    ``_substep`` (internal; use :func:`stage_update`): ``(state0, alpha)``
+    activates the fused SSP-RK3 substep epilogue of the tendency
+    mega-kernel when the fused path applies — the kernel then emits
+    (1−α)s⁰ + α(s + Δt·G) directly and the return value is
+    ``(new_state_fields, True)``; otherwise ``(G, False)``.  Post-kernel
+    additive tendencies (surface-flux BCs, forcings, jnp closure, ρe wb
+    term) are applied to the substepped fields scaled by αΔt — they are
+    all linear additions to G, so the value agrees with the unfused path
+    to rounding (bitwise when no post-kernel additions are active).
     """
     if aux is None:
         aux = diagnose(model, state)
@@ -632,13 +642,29 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             th_b = aux.theta * (1.0 + delta_rv * aux.q.vapor
                                 - aux.q.liquid - aux.q.ice)
             thb_pad_zy = pz(th_b, fl.CCC)
+        sub_arg = None
+        fused_substepped = False
+        if (_substep is not None and not xpad and model.immersed is None
+                and dt is not None):
+            state0, sub_alpha = _substep
+            cur = [state.rho_u, state.rho_v, state.rho_w, state.rho_theta]
+            prev = [state0.rho_u, state0.rho_v, state0.rho_w,
+                    state0.rho_theta]
+            if model.has_moisture:
+                cur.append(state.rho_qt)
+                prev.append(state0.rho_qt)
+            cur += [state.tracers[k] for k in tracer_names]
+            prev += [state0.tracers[k] for k in tracer_names]
+            sub_arg = (cur, prev, sub_alpha, dt)
+            fused_substepped = True
         G_rho_u, G_rho_v, G_rho_w, G_scal = ptend.fused_tendency_pallas(
             g, pzu, pzv, pzw, scal_pads,
             col_c, col_f, coriolis_f=f_cor, buoy_cols=buoy_cols,
             b_pad=b_pad_in,
             scal_bounds=getattr(scal_scheme, "bounds_preserving", False),
             closure_model=model if merge_closure else None,
-            thb_pad=thb_pad_zy, hx=padv.HX if xpad else 0)
+            thb_pad=thb_pad_zy, hx=padv.HX if xpad else 0,
+            substep=sub_arg)
         if merge_closure:
             # SGS tendencies already folded in by the kernel epilogue
             use_pallas_closure = False
@@ -654,6 +680,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         G_tracers = {k: G_scal[k0 + i] for i, k in enumerate(tracer_names)}
     else:
         closure_done = False
+        fused_substepped = False
         # Momentum advection: ∇·(ρU ⊗ u)
         if use_pallas_mom:
             from .pallas_kernels.momentum import H as _PH
@@ -726,6 +753,20 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         for name in tracer_names:
             G_tracers[name] = -scalar_div(state.tracers[name] / ref.rho_col)
 
+    # Fused-substep mode: the kernel outputs already ARE the substepped
+    # prognostics.  Stash them and zero the G accumulators so every
+    # remaining contribution (ρe wb term, jnp/split closure, BCs,
+    # forcings) collects into an extra-tendency State applied as +αΔt·ΔG
+    # at the end (all additive in G, so only rounding differs).
+    sub_new = None
+    if fused_substepped:
+        sub_new = (G_rho_u, G_rho_v, G_rho_w, G_rho_theta, G_rho_qt,
+                   G_tracers)
+        _z = jnp.zeros(g.shape, g.dtype)
+        G_rho_u = G_rho_v = G_rho_w = G_rho_theta = _z
+        G_rho_qt = _z if model.has_moisture else None
+        G_tracers = {k: _z for k in tracer_names}
+
     if model.formulation == "static_energy":
         # −ρwb buoyancy flux couples energy and momentum budgets in the
         # anelastic limit (reference static_energy_tendency.jl:60-72).
@@ -789,7 +830,56 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         from .dynamics.immersed import mask_tendencies
         G = mask_tendencies(model.immersed, G)
 
+    if _substep is not None:
+        if not fused_substepped:
+            return G, False
+        a_dt = sub_alpha * dt
+        nu, nv, nw, nt, nq, ntr = sub_new
+        new = State(
+            rho_u=nu + a_dt * G.rho_u,
+            rho_v=nv + a_dt * G.rho_v,
+            rho_w=nw + a_dt * G.rho_w,
+            rho_theta=nt + a_dt * G.rho_theta,
+            rho_qt=None if nq is None else nq + a_dt * G.rho_qt,
+            tracers={k: ntr[k] + a_dt * G.tracers[k] for k in ntr},
+            time=state.time,
+        )
+        return new, True
+
     return G
+
+
+def stage_update(model: AtmosphereModel, state: State, state0: State,
+                 dt, alpha, aux: Aux | None = None) -> State:
+    """One SSP-RK3 stage blend (pre-projection): returns the State with
+    every prognostic at (1−α)s⁰ + α(s + Δt·G).
+
+    On the fused-Pallas path the blend happens inside the tendency
+    mega-kernel epilogue (saving the separate XLA substep pass, ~4(3+K)
+    HBM transits per stage); everywhere else it falls back to
+    ``compute_tendencies`` + the explicit blend (reference substep
+    formula, ``ssp_runge_kutta_3.jl:165-172``).
+    """
+    res, applied = compute_tendencies(model, state, aux, dt=dt,
+                                      _substep=(state0, alpha))
+    if applied:
+        return res
+    G = res
+
+    def sub(s, s0, gg):
+        return (1.0 - alpha) * s0 + alpha * (s + dt * gg)
+
+    return State(
+        rho_u=sub(state.rho_u, state0.rho_u, G.rho_u),
+        rho_v=sub(state.rho_v, state0.rho_v, G.rho_v),
+        rho_w=sub(state.rho_w, state0.rho_w, G.rho_w),
+        rho_theta=sub(state.rho_theta, state0.rho_theta, G.rho_theta),
+        rho_qt=(None if state.rho_qt is None
+                else sub(state.rho_qt, state0.rho_qt, G.rho_qt)),
+        tracers={k: sub(state.tracers[k], state0.tracers[k], G.tracers[k])
+                 for k in state.tracers},
+        time=state.time,
+    )
 
 
 # ---------------------------------------------------------------------------

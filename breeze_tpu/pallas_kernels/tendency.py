@@ -86,14 +86,19 @@ def _scalar_div(bz, by, nx, inv_dx, inv_dy, c, ru, rv, rw_col_mf, invdzc,
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                  n_scalars: int, f_cor: float | None, dry_buoy: bool,
                  has_b: bool, scal_bounds: bool, clo=None, has_thb=False,
-                 n_zblocks=0):
+                 n_zblocks=0, substep=False):
     """``clo``: optional static SGS-closure config
     ``(prandtl, buoy_corr, g_acc)`` — fuses the Smagorinsky-Lilly stage
     (``closure._smag_block``) into the epilogue on the SAME windows, adding
     the stress/diffusive-flux divergences into the advective accumulators
     before the single HBM write (saves re-reading u/v/w/θ/qᵗ windows AND
     the output-add round-trip the separate closure kernel costs).
-    ``has_thb``: extra θᵥ window for the Lilly correction (moist)."""
+    ``has_thb``: extra θᵥ window for the Lilly correction (moist).
+    ``substep``: fused SSP-RK3 stage mode — 2(3+K) extra pointwise block
+    inputs (current + stage-0 ρ-prognostics) and an SMEM (α, Δt) pair;
+    outputs become the substepped fields (1−α)s⁰ + α(s + Δt·G) instead of
+    G, eliminating the separate XLA substep pass (~4(3+K) HBM transits per
+    stage)."""
     wz, wy = bz + 2 * H, by + 2 * HY
     n_win = 3 + n_scalars + (1 if has_b else 0) + (1 if has_thb else 0)
     n_cols = 3 if dry_buoy else 0    # Tref, Pi, gρ columns (VMEM-resident)
@@ -101,7 +106,8 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 
     def kernel(*refs):
         # layout: [u,v,w, s0..sK-1, (b), (thb), colc, colf, (Tref,Pi,grho),
-        #          (invdzc_e,invdzf_e,cd2), invdzc, invdzf] HBM inputs;
+        #          (invdzc_e,invdzf_e,cd2), invdzc, invdzf,
+        #          (substep: cur×(3+K), prev×(3+K), ab_smem)] HBM inputs;
         #          then 3+K output refs; then n_win window scratch +
         #          invdzc_w/invdzf_w + sems.
         it = iter(refs)
@@ -113,6 +119,9 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         buoy_cols = [next(it) for _ in range(n_cols)]
         clo_cols = [next(it) for _ in range(n_ccols)]
         invdzc_hbm, invdzf_hbm = next(it), next(it)
+        cur_refs = [next(it) for _ in range(3 + n_scalars)] if substep else None
+        prev_refs = [next(it) for _ in range(3 + n_scalars)] if substep else None
+        ab_ref = next(it) if substep else None
         gu_ref, gv_ref, gw_ref = next(it), next(it), next(it)
         gs_refs = [next(it) for _ in range(n_scalars)]
         wins = [next(it) for _ in range(n_win)]
@@ -216,9 +225,23 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
             gv = gv + cgv
             gw = gw + cgw
 
-        gu_ref[:] = gu
-        gv_ref[:] = gv
-        gw_ref[:] = gw
+        if substep:
+            # fused SSP-RK3 substep: (1−α)s⁰ + α(s + Δt·G) — the exact
+            # arithmetic order of timesteppers._substep (bitwise match)
+            # ab = (α, Δt, 1−α): the complement is computed host-side in
+            # f64 then rounded, matching the jnp constant bitwise
+            a = ab_ref[0]
+            dtv = ab_ref[1]
+            oma = ab_ref[2]
+            sub = lambda cur, prev, gg: (oma * prev[:]
+                                         + a * (cur[:] + dtv * gg))
+            gu_ref[:] = sub(cur_refs[0], prev_refs[0], gu)
+            gv_ref[:] = sub(cur_refs[1], prev_refs[1], gv)
+            gw_ref[:] = sub(cur_refs[2], prev_refs[2], gw)
+        else:
+            gu_ref[:] = gu
+            gv_ref[:] = gv
+            gw_ref[:] = gw
 
         if n_scalars:
             # z-face mass-flux slab 0.5(ρᶜ[k-1]+ρᶜ[k])·w, shared by all
@@ -233,6 +256,9 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                     gs = gs + cgth
                 elif k == 1 and cgqt is not None:
                     gs = gs + cgqt
+                if substep:
+                    gs = (oma * prev_refs[3 + k][:]
+                          + a * (cur_refs[3 + k][:] + dtv * gs))
                 gs_refs[k][:] = gs
 
     return kernel
@@ -245,10 +271,13 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
          buoy_cols, clo_cols, invdzc, invdzf, inv_dx, inv_dy, nz, ny, nx,
          bz, by, n_scalars, f_cor, dry_buoy, has_b, scal_bounds=False,
-         clo=None, has_thb=False, interpret=False):
+         clo=None, has_thb=False, interpret=False,
+         cur_fields=(), prev_fields=(), ab=None):
+    substep = ab is not None
     kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, n_scalars, f_cor,
                           dry_buoy, has_b, scal_bounds, clo=clo,
-                          has_thb=has_thb, n_zblocks=nz // bz)
+                          has_thb=has_thb, n_zblocks=nz // bz,
+                          substep=substep)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
     n_win = 3 + n_scalars + (1 if has_b else 0) + (1 if has_thb else 0)
@@ -261,14 +290,21 @@ def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
             + ([b_pad] if has_b else []) + ([thb_pad] if has_thb else [])
             + [colc, colf] + list(buoy_cols) + list(clo_cols)
             + [invdzc, invdzf])
+    blk = lambda: pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM)
+    sub_specs = []
+    if substep:
+        args += list(cur_fields) + list(prev_fields) + [ab]
+        sub_specs = ([blk()] * (2 * (3 + n_scalars))
+                     + [pl.BlockSpec(memory_space=pltpu.SMEM)])
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_win
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_cols + n_ccols)
-        + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=[pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
-                                memory_space=pltpu.VMEM)] * (3 + n_scalars),
+        + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + sub_specs,
+        out_specs=[blk()] * (3 + n_scalars),
         out_shape=[out] * (3 + n_scalars),
         scratch_shapes=[win() for _ in range(n_win)] + [col(), col()]
         + [pltpu.SemaphoreType.DMA((n_win + 2,))],
@@ -302,7 +338,8 @@ def supported(grid, mom_scheme, scal_scheme, coriolis) -> bool:
 def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
                           coriolis_f=None, buoy_cols=None, b_pad=None,
                           scal_bounds=False, closure_model=None,
-                          thb_pad=None, hx=0, interpret=False):
+                          thb_pad=None, hx=0, interpret=False,
+                          substep=None):
     """Fused advective tendencies: returns ``(G_ρu, G_ρv, G_ρw, [G_ρs...])``.
 
     - ``u_pad``/``v_pad``/``w_pad``/``scalars_pad``: pre-padded by
@@ -321,6 +358,12 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
     - sign convention: G already includes the −∇·, Coriolis, +b, and (when
       fused) SGS terms (what :func:`breeze_tpu.model.compute_tendencies`
       assembles).
+    - ``substep``: optional ``(cur_fields, prev_fields, alpha, dt)`` —
+      current and stage-0 ρ-prognostics (u,v,w momenta then the ρ-scalars,
+      UNPADDED interior fields) plus the SSP-RK3 blend scalars.  Outputs
+      become the substepped prognostics (1−α)s⁰ + α(s + Δt·G) instead of
+      the tendencies (exact arithmetic of ``timesteppers._substep``).
+      Incompatible with ``hx`` (x-prepadded sharded mode).
     """
     nz, ny, nx = grid.shape
     # x-prepadded mode (``advection.HX`` doc): run the identical kernel at
@@ -354,6 +397,16 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
         dz_f = np.asarray(grid.dz_f_meta, np.float64)[: nz]
         clo_cols = (pad_col(1.0 / dz_c), pad_col(1.0 / dz_f), pad_col(cd2))
 
+    cur_fields = prev_fields = ()
+    ab = None
+    if substep is not None:
+        assert hx == 0, "fused substep is not supported in x-prepadded mode"
+        cur_fields, prev_fields, alpha, dt = substep
+        assert len(cur_fields) == 3 + len(scalars_pad)
+        assert len(prev_fields) == 3 + len(scalars_pad)
+        ab = jnp.stack([jnp.asarray(alpha, jnp.float32),
+                        jnp.asarray(dt, jnp.float32),
+                        jnp.asarray(1.0 - alpha, jnp.float32)])
     outs = _run(u_pad, v_pad, w_pad, tuple(scalars_pad), b_pad, thb_pad,
                 bcast_col(colc, nxp), bcast_col(colf, nxp), bc, clo_cols,
                 invdzc, invdzf,
@@ -362,7 +415,9 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
                 None if coriolis_f is None else float(coriolis_f),
                 dry_buoy, has_b, scal_bounds=scal_bounds,
                 clo=clo, has_thb=thb_pad is not None,
-                interpret=interpret or force_interpret())
+                interpret=interpret or force_interpret(),
+                cur_fields=tuple(cur_fields), prev_fields=tuple(prev_fields),
+                ab=ab)
     if hx:
         outs = [o[:, :, hx: hx + nx] for o in outs]
     return outs[0], outs[1], outs[2], list(outs[3:])

@@ -19,11 +19,6 @@ from . import model as M
 SSP_RK3_ALPHAS = (1.0, 0.25, 2.0 / 3.0)
 
 
-def _substep(u, u0, G, dt, alpha):
-    """u ← (1−α) u⁰ + α (u + Δt G)  (reference :165-172)."""
-    return (1.0 - alpha) * u0 + alpha * (u + dt * G)
-
-
 def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
     """Advance one Δt with SSP-RK3 + projection each stage.
 
@@ -58,18 +53,11 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
     state0 = state
     for alpha in SSP_RK3_ALPHAS:
         aux = M.diagnose(model, state)
-        G = M.compute_tendencies(model, state, aux, dt=dt)
-        new_ru = _substep(state.rho_u, state0.rho_u, G.rho_u, dt, alpha)
-        new_rv = _substep(state.rho_v, state0.rho_v, G.rho_v, dt, alpha)
-        new_rw = _substep(state.rho_w, state0.rho_w, G.rho_w, dt, alpha)
-        new_rt = _substep(state.rho_theta, state0.rho_theta, G.rho_theta, dt, alpha)
-        new_rq = None
-        if state.rho_qt is not None:
-            new_rq = _substep(state.rho_qt, state0.rho_qt, G.rho_qt, dt, alpha)
-        new_tr = {
-            k: _substep(state.tracers[k], state0.tracers[k], G.tracers[k], dt, alpha)
-            for k in state.tracers
-        }
+        # Fused stage blend: on the Pallas path the substep happens in the
+        # tendency mega-kernel epilogue (see model.stage_update).
+        ns = M.stage_update(model, state, state0, dt, alpha, aux=aux)
+        new_ru, new_rv, new_rw = ns.rho_u, ns.rho_v, ns.rho_w
+        new_rt, new_rq, new_tr = ns.rho_theta, ns.rho_qt, ns.tracers
 
         if aiva or implicit_closure:
             # Fused vertically-implicit stage solve: AIVA upwind remainder +

@@ -727,3 +727,107 @@ class TestClosureKernel:
             np.testing.assert_array_equal(
                 np.asarray(getattr(merged, name)),
                 np.asarray(getattr(split, name)), err_msg=name)
+
+
+class TestFusedSubstep:
+    """The fused SSP-RK3 substep epilogue (tendency mega-kernel
+    ``substep`` mode) vs compute_tendencies + the explicit jnp blend."""
+
+    def _grid(self):
+        return bz.make_grid(size=(128, 32, 16),
+                            extent=(12800.0, 3200.0, 1600.0),
+                            topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                            halo=3, dtype=jnp.float32)
+
+    def _state(self, model, moist=False):
+        theta = lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+            -((x - 6400.0) ** 2 / 1500.0 ** 2 + (z - 800.0) ** 2 / 300.0 ** 2))
+        qt = (lambda x, y, z: 0.008 * jnp.exp(-z / 800.0)) if moist else None
+        return bz.initial_state(
+            model, theta=theta, qt=qt,
+            u=lambda x, y, z: 3.0 + 0.5 * jnp.sin(2 * jnp.pi * y / 3200.0),
+            w=lambda x, y, z: 0.2 * jnp.sin(2 * jnp.pi * x / 12800.0)
+            * jnp.sin(jnp.pi * z / 1600.0),
+            enforce_mass_conservation=False)
+
+    def _compare_stage(self, model, state, rtol=2e-6, alpha=0.25, dt=0.5):
+        import os
+        from breeze_tpu import model as M
+        # distinct stage-0 state so the (1-alpha) branch is exercised
+        state0 = state.replace(rho_u=state.rho_u + 0.1,
+                               rho_theta=state.rho_theta * 1.001)
+        ref = M.stage_update(model, state, state0, dt, alpha)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            got = M.stage_update(model, state, state0, dt, alpha)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        names = ["rho_u", "rho_v", "rho_w", "rho_theta"]
+        if state.rho_qt is not None:
+            names.append("rho_qt")
+        for name in names:
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            if name == "rho_w":
+                a, b = a[1:], b[1:]
+            scale = max(np.abs(b).max(), 1e-10)
+            err = np.abs(a - b).max()
+            # the G term enters at O(dt*G) against O(1) state values, so
+            # relative-to-state agreement is tight even where the kernel's
+            # WENO arithmetic differs from jnp in the last ulps
+            assert err / scale < rtol, f"{name}: rel {err / scale:.2e}"
+
+    def test_dry_fplane_stage(self):
+        model = bz.make_model(self._grid(), advection=adv.WENO(5),
+                              potential_temperature=300.0,
+                              coriolis=bz.FPlane(1e-4))
+        self._compare_stage(model, self._state(model))
+
+    def test_moist_closure_stage(self):
+        from breeze_tpu.physics.closures import SmagorinskyLilly
+        model = bz.make_model(self._grid(), advection=adv.WENO(5),
+                              potential_temperature=300.0,
+                              microphysics=bz.SaturationAdjustment(
+                                  equilibrium=bz.WarmPhaseEquilibrium()),
+                              closure=SmagorinskyLilly())
+        self._compare_stage(model, self._state(model, moist=True), rtol=1e-5)
+
+    def test_full_step_matches_jnp(self):
+        """ssp_rk3_step with the fused substep == the jnp path end-to-end
+        (projection included on both sides)."""
+        import os
+        from breeze_tpu.timesteppers import ssp_rk3_step
+        model = bz.make_model(self._grid(), advection=adv.WENO(5),
+                              potential_temperature=300.0,
+                              coriolis=bz.FPlane(1e-4))
+        state = self._state(model)
+        ref = ssp_rk3_step(model, state, 0.5)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            got = ssp_rk3_step(model, state, 0.5)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        for name in ("rho_u", "rho_v", "rho_w", "rho_theta"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            scale = max(np.abs(b).max(), 1e-10)
+            err = np.abs(a - b).max()
+            # abs floor: rho_w is O(1e-4) here, so last-ulp kernel-vs-jnp
+            # rounding amplified through the projection reads as large rel
+            assert err / scale < 5e-5 or err < 1e-6, (
+                f"{name}: rel {err / scale:.2e} abs {err:.2e}")
+
+    def test_forcing_bc_config(self):
+        """Extras path: surface fluxes + forcings collected as +alpha*dt*dG
+        on top of the fused-substepped fields (BOMEX-style config)."""
+        from breeze_tpu.physics.forcings import GeostrophicForcing
+        from breeze_tpu.physics.surface import PrescribedSurfaceFluxes
+        model = bz.make_model(
+            self._grid(), advection=adv.WENO(5), potential_temperature=300.0,
+            microphysics=bz.SaturationAdjustment(
+                equilibrium=bz.WarmPhaseEquilibrium()),
+            coriolis=bz.FPlane(1e-4),
+            boundary_fluxes=PrescribedSurfaceFluxes(theta_flux=8e-3,
+                                                    qt_flux=5.2e-5),
+            forcings=(GeostrophicForcing(f=1e-4, u_g=-10.0),))
+        self._compare_stage(model, self._state(model, moist=True), rtol=1e-5)
