@@ -1404,32 +1404,33 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
         from ..pallas_kernels import acoustic as pacoustic
         from ..pallas_kernels.advection import enabled as _pallas_enabled
         import os as _os
+        # The fused multi-substep K3 kernel is the DEFAULT within its
+        # envelope (v5e-verified: bitwise vs the jnp loop, 112 -> 205M
+        # pts/s compressible bf16); BREEZE_TPU_DISABLE_PALLAS_ACOUSTIC=1
+        # restores the jnp substep loop.
         use_pallas_fast = (_pallas_enabled() and terrain is None
                            and not ob_relax and pacoustic.supported(model)
                            and model.formulation == "potential_temperature"
-                           and bool(_os.environ.get(
-                               "BREEZE_TPU_PALLAS_ACOUSTIC")))
+                           and not _os.environ.get(
+                               "BREEZE_TPU_DISABLE_PALLAS_ACOUSTIC"))
+        # Stage-entry (ρw)ᴸ for the KDH08 full-field sponge (terrain:
+        # the fast system carries the contravariant ρw̃′, so damp the
+        # contravariant stage field).
+        rho_w_L = None
+        if getattr(getattr(td, "sponge", None), "damp_full", False):
+            if terrain is not None:
+                from .terrain import contravariant_rho_w
+                so_sp = model.stencil_ops()
+                rho_w_L = contravariant_rho_w(
+                    terrain, so_sp, fl.pad(state.rho_u, g, fl.CCF),
+                    fl.pad(state.rho_v, g, fl.CFC), state.rho_w)
+            else:
+                rho_w_L = state.rho_w
         if use_pallas_fast:
-            # Fused two-kernel substep (pallas_kernels/acoustic.py);
-            # interpret-verified equal to the jnp loop, opt-in via
-            # BREEZE_TPU_PALLAS_ACOUSTIC=1 until TPU-verified.
             pert = pacoustic.acoustic_substep_loop_pallas(
                 model, caches, G, pert, dtau, n_tau,
-                gate_first=(n_tau > 1))
+                gate_first=(n_tau > 1), rho_w_L=rho_w_L)
         else:
-            # Stage-entry (ρw)ᴸ for the KDH08 full-field sponge (terrain:
-            # the fast system carries the contravariant ρw̃′, so damp the
-            # contravariant stage field).
-            rho_w_L = None
-            if getattr(getattr(td, "sponge", None), "damp_full", False):
-                if terrain is not None:
-                    from .terrain import contravariant_rho_w
-                    so_sp = model.stencil_ops()
-                    rho_w_L = contravariant_rho_w(
-                        terrain, so_sp, fl.pad(state.rho_u, g, fl.CCF),
-                        fl.pad(state.rho_v, g, fl.CFC), state.rho_w)
-                else:
-                    rho_w_L = state.rho_w
             pert = acoustic_substep_loop(model, caches, G, pert, dtau,
                                          n_tau, gate_first=(n_tau > 1),
                                          terrain=terrain, ob_relax=ob_relax,

@@ -644,8 +644,12 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             thb_pad_zy = pz(th_b, fl.CCC)
         sub_arg = None
         fused_substepped = False
+        # The substep epilogue has its own opt-out so the hardware-verified
+        # tendency-only mega-kernel stays reachable without giving up the
+        # whole fused path (BREEZE_TPU_DISABLE_PALLAS_FUSED).
         if (_substep is not None and not xpad and model.immersed is None
-                and dt is not None):
+                and dt is not None
+                and not os.environ.get("BREEZE_TPU_DISABLE_PALLAS_SUBSTEP")):
             state0, sub_alpha = _substep
             cur = [state.rho_u, state.rho_v, state.rho_w, state.rho_theta]
             prev = [state0.rho_u, state0.rho_v, state0.rho_w,

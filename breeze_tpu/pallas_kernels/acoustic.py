@@ -392,7 +392,7 @@ def _ceil8(n):
 
 def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
              dtau: float, omega: float, g_acc: float, damp_coef: float,
-             store_dt=jnp.float32):
+             store_dt=jnp.float32, has_sponge: bool = False):
     # y halo accounting: centers lose 1 row/side per substep; rv (y-face)
     # loses ONE EXTRA bottom row per substep when thermal damping is on
     # (the correction reads D[m−1], and D inherits the centers' validity) —
@@ -405,14 +405,29 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
     od2 = omega * omega * dtau * dtau
     f32 = jnp.float32
 
-    def kernel(ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm,
-               cl_hbm, th_hbm, thzf_hbm,
-               gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm,
-               invdzc_hbm, invdzf_hbm, pgf_ref,
-               ru_o, rv_o, rw_o, rho_o, rt_o, sru_o, srv_o, srw_o,
-               ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
-               gru_w, grv_w, grw_w, grho_w, grt_w, invdzc_w, invdzf_w,
-               cp_s, dp_s, aco_s, bco_s, cco_s, rhs_s, sems):
+    def kernel(*refs):
+        # signature (sponge column only when has_sponge):
+        #   13 field inputs, invdzc, invdzf, [sponge], pgf_ref (SMEM),
+        #   8 outputs, 13 windows, invdzc_w, invdzf_w, [sponge_w],
+        #   cp, dp, aco, bco, cco, rhs scratch, sems
+        n_in = 16 + (1 if has_sponge else 0)
+        (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm,
+         cl_hbm, th_hbm, thzf_hbm,
+         gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm,
+         invdzc_hbm, invdzf_hbm) = refs[:15]
+        sponge_hbm = refs[15] if has_sponge else None
+        pgf_ref = refs[n_in - 1]
+        (ru_o, rv_o, rw_o, rho_o, rt_o, sru_o, srv_o, srw_o) = \
+            refs[n_in:n_in + 8]
+        (ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
+         gru_w, grv_w, grw_w, grho_w, grt_w, invdzc_w, invdzf_w) = \
+            refs[n_in + 8:n_in + 23]
+        k = n_in + 23
+        sponge_w = refs[k] if has_sponge else None
+        if has_sponge:
+            k += 1
+        (cp_s, dp_s, aco_s, bco_s, cco_s, rhs_s, sems) = refs[k:k + 7]
+
         j = pl.program_id(0)
 
         srcs = (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
@@ -424,11 +439,15 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                 src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).start()
         pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[13]).start()
         pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[14]).start()
+        if has_sponge:
+            pltpu.make_async_copy(sponge_hbm, sponge_w, sems.at[15]).start()
         for n, (src, dst) in enumerate(zip(srcs, dsts)):
             pltpu.make_async_copy(
                 src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).wait()
         pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[13]).wait()
         pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[14]).wait()
+        if has_sponge:
+            pltpu.make_async_copy(sponge_hbm, sponge_w, sems.at[15]).wait()
 
         def xs(a, o):
             return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
@@ -468,6 +487,12 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                 + od2 * inv_dzf * thf * (cl * inv_dzc + C_b * inv_dzc_b))
         c_co = (-0.5 * g_acc * od2 * inv_dzc
                 - od2 * inv_dzf * cl * thf_a * inv_dzc)
+        if has_sponge:
+            # Implicit Rayleigh upper sponge: CN-weighted — the ωΔτ·r·ramp
+            # part joins the diagonal, the (1−ω)Δτ part hits the RHS below
+            # (jnp loop lines `b_coef += omega*|dtau|*sponge_col`).
+            sponge = sponge_w[:]                    # (nz, 1, nx) z-face col
+            b_co = b_co + (omega * dtau) * sponge
         aco_s[:] = a_co
         bco_s[:] = b_co
         cco_s[:] = c_co
@@ -521,6 +546,10 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                                    + omega * rho_star_zf)
                  - dtau * ((1.0 - omega) * dz_Crt_tau
                            + omega * dz_Crt_star))
+            if has_sponge:
+                # explicit CN half on the carried (ρw)′; the KDH08
+                # full-field term is folded into grw by the driver
+                d = d - ((1.0 - omega) * dtau) * sponge * rw_p
             rhs_s[:] = d
             cp_s[0] = jnp.zeros((ly, nx), f32)
             dp_s[0] = jnp.zeros((ly, nx), f32)
@@ -587,10 +616,12 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
 def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
             inv_dzc_col, inv_dzf_col, pgf_flags,
             by, nz, ny, nx, n_inner, dx, dy, dtau, omega, g_acc, damp_coef,
-            store="float32", interpret=False):
+            store="float32", interpret=False, sponge_col=None):
     store_dt = jnp.dtype(store)
+    has_sponge = sponge_col is not None
     kernel, ly, wy = _make_k3(by, nz, nx, n_inner, dx, dy, dtau, omega,
-                              g_acc, damp_coef, store_dt=store_dt)
+                              g_acc, damp_coef, store_dt=store_dt,
+                              has_sponge=has_sponge)
     h = n_inner + (1 if damp_coef else 0)
     above = wy - by - h            # top halo used + alignment slack
 
@@ -601,6 +632,8 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     args = [pady(x) for x in (ru, rv, rw, rho, rt, cl, th, thzf,
                               gru, grv, grw, grho, grt)]
     args += [inv_dzc_col, inv_dzf_col]
+    if has_sponge:
+        args.append(sponge_col)
     grid = (ny // by,)
     win = lambda dt=jnp.float32: pltpu.VMEM((nz, wy, nx), dt)
     lwin = lambda: pltpu.VMEM((nz, ly, nx), jnp.float32)
@@ -610,16 +643,18 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
                            memory_space=pltpu.VMEM)
     wins = ([win(store_dt) for _ in range(5)] + [win() for _ in range(8)])
     col = lambda: pltpu.VMEM((nz, 1, nx), jnp.float32)
+    n_sem = 16 if has_sponge else 15
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 15
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(args)
         + [pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=[outspec] * 8,
         out_shape=[out_c] * 5 + [out_f] * 3,
         scratch_shapes=wins + [col(), col()]
+        + ([col()] if has_sponge else [])
         + [lwin() for _ in range(6)]
-        + [pltpu.SemaphoreType.DMA((15,))],
+        + [pltpu.SemaphoreType.DMA((n_sem,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -639,6 +674,8 @@ def _pick(n, candidates):
 
 def supported(model) -> bool:
     """True when the fused substep kernels cover this configuration."""
+    import os as _os
+
     from ..dynamics.compressible import (NoDivergenceDamping,
                                          ThermalDivergenceDamping)
     from ..grid import Topology
@@ -646,6 +683,13 @@ def supported(model) -> bool:
     g = model.grid
     td = model.time_discretization
     strategy = td.damping_strategy()
+    # UpperSponge (incl. the default damp_full KDH08 form) is in the K3
+    # envelope (diagonal + CN-explicit terms in-kernel; full-field term
+    # folded into G.rho_w by the driver).  The per-substep K1/K2 split
+    # path never grew the sponge plumbing — it exists for A/B measurement
+    # only — so sponge configs fall back to jnp there.
+    sponge_ok = (td.sponge is None
+                 or not _os.environ.get("BREEZE_TPU_PALLAS_ACOUSTIC_SPLIT"))
     return (model.terrain is None
             and not g.is_latlon
             and g.x_topology == Topology.PERIODIC
@@ -653,7 +697,7 @@ def supported(model) -> bool:
             and g.z_topology == Topology.BOUNDED
             and g.dtype == jnp.float32
             and td.substep_floattype in (None, "bfloat16")
-            and td.sponge is None
+            and sponge_ok
             and isinstance(strategy,
                            (NoDivergenceDamping, ThermalDivergenceDamping))
             and g.nx >= 128 and g.ny >= 8 and g.nz >= 8
@@ -662,7 +706,8 @@ def supported(model) -> bool:
 
 
 def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
-                                 gate_first: bool, interpret: bool = False):
+                                 gate_first: bool, interpret: bool = False,
+                                 rho_w_L=None):
     """Drop-in fused replacement for ``acoustic_substep_loop`` within the
     :func:`supported` envelope.  Same semantics: n_tau substeps of A-E with
     the substep-0 PGF gate, accumulating the time-summed momenta.
@@ -703,6 +748,22 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     inv_dzf = bcast_col(
         1.0 / jnp.asarray(g.dz_f_meta[:nz], jnp.float32), nx)
 
+    # Upper Rayleigh sponge: the ramp column feeds the kernel (diagonal +
+    # CN-explicit terms); the KDH08 full-field term |Δτ|·r·ramp·(ρw)ᴸ is a
+    # substep-invariant RHS constant, so it folds into G.rho_w exactly
+    # (d = … + Δτ·grw − spongeᶠᵘˡˡ ≡ Δτ·(grw − ramp·(ρw)ᴸ·r) for Δτ>0).
+    sponge_col = None
+    G_rho_w = G.rho_w
+    sponge = getattr(td, "sponge", None)
+    if sponge is not None:
+        from ..dynamics.compressible import _ramp_profile
+        z_face_col = jnp.asarray(g.z_f)[:nz, None, None].astype(jnp.float32)
+        ramp = sponge.damping_rate * _ramp_profile(
+            sponge.ramp, z_face_col, g.z0 + g.Lz, sponge.depth)
+        sponge_col = jnp.broadcast_to(ramp, (nz, 1, nx))
+        if getattr(sponge, "damp_full", False) and rho_w_L is not None:
+            G_rho_w = G_rho_w - ramp * rho_w_L
+
     if not _os.environ.get("BREEZE_TPU_PALLAS_ACOUSTIC_SPLIT"):
         p = Perturbations(
             rho=pert.rho.astype(store_dt),
@@ -724,12 +785,12 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
                 for t in range(k))
             (ru2, rv2, rw2, rho2, rt2, sru, srv, srw) = _run_k3(
                 p.rho_u, p.rho_v, p.rho_w, p.rho, p.rho_theta,
-                cl, th, thzf, G.rho_u, G.rho_v, G.rho_w, G.rho,
+                cl, th, thzf, G.rho_u, G.rho_v, G_rho_w, G.rho,
                 G.rho_theta, inv_dzc, inv_dzf, pgf_flags,
                 by=by, nz=nz, ny=ny, nx=nx, n_inner=k,
                 dx=float(g.dx), dy=float(g.dy), dtau=dtau, omega=omega,
                 g_acc=g_acc, damp_coef=damp, store=store,
-                interpret=interpret)
+                interpret=interpret, sponge_col=sponge_col)
             p = Perturbations(
                 rho=rho2, rho_u=ru2, rho_v=rv2, rho_w=rw2, rho_theta=rt2,
                 sum_rho_u=p.sum_rho_u + sru.astype(work_dt),

@@ -22,6 +22,7 @@ and T adjusts through the diagnostic relation.
 from __future__ import annotations
 
 import dataclasses
+import math
 
 import jax.numpy as jnp
 
@@ -43,6 +44,11 @@ class ConstantRateCondensateFormation:
 
     @property
     def tau_relax(self) -> float:
+        # rate == 0 is a legal phase-indicator instance in the reference
+        # (condensate_formation_from_option(::Nothing) builds a zero-rate
+        # scheme); an infinite timescale makes every tendency exactly 0.
+        if self.rate == 0.0:
+            return math.inf
         return 1.0 / self.rate
 
 
@@ -116,7 +122,8 @@ def non_equilibrium_update(scheme: NonEquilibriumCloudFormation, model,
         p = jnp.broadcast_to(ref.p_col, g.shape).astype(g.dtype)
 
     zeros = jnp.zeros(g.shape, g.dtype)
-    qv = jnp.maximum(state.rho_qt / rho, 0.0)
+    qv_raw = state.rho_qt / rho
+    qv = jnp.maximum(qv_raw, 0.0)
     qcl = jnp.maximum(state.tracers.get("rho_qcl", zeros) / rho, 0.0)
     qci = jnp.maximum(state.tracers.get("rho_qci", zeros) / rho, 0.0)
     theta = state.rho_theta / rho
@@ -146,11 +153,30 @@ def non_equilibrium_update(scheme: NonEquilibriumCloudFormation, model,
     else:
         d_dep = zeros
 
-    # closed moisture budget: categories clamp at zero, vapor absorbs
-    qt0 = qv + qcl + qci
-    qcl1 = jnp.maximum(qcl + d_cond, 0.0)
-    qci1 = jnp.maximum(qci + d_dep, 0.0)
-    qv1 = jnp.maximum(qt0 - qcl1 - qci1, 0.0)
+    # Closed moisture budget.  Condensation and deposition were computed
+    # independently from the SAME vapor, so in mixed-phase conditions their
+    # positive parts can overdraw qv; rescale the positive increments
+    # proportionally (the tendencies compete for the same supersaturation,
+    # reference ``bulk_microphysics.jl:147-173`` semantics) instead of
+    # clamping vapor at zero, which would create moisture.
+    pos = jnp.maximum(d_cond, 0.0) + jnp.maximum(d_dep, 0.0)
+    scale = jnp.where(pos > qv, qv / jnp.maximum(pos, jnp.finfo(g.dtype).tiny),
+                      1.0)
+    d_cond = jnp.where(d_cond > 0.0, d_cond * scale, d_cond)
+    d_dep = jnp.where(d_dep > 0.0, d_dep * scale, d_dep)
+
+    # _clamped_increment bounds the negative side at -q_cat and the scaling
+    # bounds the positive side at qv, so qv1 + qcl1 + qci1 == qv + qcl + qci
+    # to rounding; the max() only absorbs the 1-ulp residual of the rescale
+    # (full-drain case: qv - pos*(qv/pos) can land one ulp below zero).
+    qcl1 = qcl + d_cond
+    qci1 = qci + d_dep
+    qv1 = jnp.maximum(qv - d_cond - d_dep, 0.0)
+
+    # Carry any negative incoming rho_qt (advection undershoot) through
+    # unchanged — erasing it here would create moisture; repair belongs to
+    # the negative-moisture correction at step start.
+    qv1 = qv1 + jnp.minimum(qv_raw, 0.0)
 
     tracers = dict(state.tracers)
     tracers["rho_qcl"] = rho * qcl1

@@ -112,10 +112,68 @@ class TestNonEquilibriumCloudFormation:
                            potential_temperature=250.0, microphysics=scheme)
         state = initial_state(model, theta=250.0,
                               qt=jnp.full(g.shape, 0.004))
+
+        def total(s):
+            return (s.rho_qt + s.tracers["rho_qcl"]
+                    + s.tracers["rho_qci"])
+
+        qt0 = total(state)
         for _ in range(10):
             state = scheme.model_update(model, state, 10.0)
         assert float(state.tracers["rho_qci"].max()) > 0.0
         assert float(state.tracers["rho_qci"].min()) >= 0.0
+        # mixed-phase moisture budget closed (cond + dep compete for the
+        # same vapor; positive increments rescaled, never minted)
+        np.testing.assert_allclose(np.asarray(total(state)),
+                                   np.asarray(qt0), rtol=1e-12)
+
+    def test_mixed_phase_overdraw_conserves(self):
+        # Cold + moist + dt >> tau: condensation AND deposition both want
+        # more vapor than exists.  Before the proportional rescale this
+        # step CREATED ~90% of the column moisture.
+        scheme = NonEquilibriumCloudFormation(
+            liquid=ConstantRateCondensateFormation(0.1),
+            ice=ConstantRateCondensateFormation(0.1))
+        g = moist_grid()
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=233.0, microphysics=scheme)
+        state = initial_state(model, theta=233.0,
+                              qt=jnp.full(g.shape, 0.003))
+        qt0 = (state.rho_qt + state.tracers["rho_qcl"]
+               + state.tracers["rho_qci"])
+        s1 = scheme.model_update(model, state, 100.0)
+        qt1 = (s1.rho_qt + s1.tracers["rho_qcl"] + s1.tracers["rho_qci"])
+        np.testing.assert_allclose(np.asarray(qt1), np.asarray(qt0),
+                                   rtol=1e-12)
+        assert float(s1.rho_qt.min()) >= 0.0
+
+    def test_negative_rho_qt_carried_through(self):
+        # An advection undershoot (negative incoming rho_qt) must not be
+        # erased by the update — repair belongs to the correction chain.
+        scheme = NonEquilibriumCloudFormation()
+        g, model, state = model_state(scheme, qv0=0.001)
+        neg = state.rho_qt.at[0, 0, 0].set(-1e-6)
+        state = state.replace(rho_qt=neg)
+        qt0 = state.rho_qt + state.tracers["rho_qcl"]
+        s1 = scheme.model_update(model, state, 10.0)
+        qt1 = s1.rho_qt + s1.tracers["rho_qcl"]
+        np.testing.assert_allclose(np.asarray(qt1), np.asarray(qt0),
+                                   rtol=1e-12)
+        assert float(s1.rho_qt[0, 0, 0]) < 0.0
+
+    def test_zero_rate_is_inert_phase_indicator(self):
+        # reference: condensate_formation_from_option(::Nothing) builds a
+        # zero-rate instance; it must construct and do exactly nothing.
+        scheme = NonEquilibriumCloudFormation(
+            liquid=ConstantRateCondensateFormation(rate=0.0))
+        assert scheme.liquid.tau_relax == float("inf")
+        g, model, state = model_state(scheme, qv0=0.03)
+        s1 = scheme.model_update(model, state, 100.0)
+        np.testing.assert_allclose(np.asarray(s1.rho_qt),
+                                   np.asarray(state.rho_qt), rtol=0)
+        np.testing.assert_allclose(np.asarray(s1.tracers["rho_qcl"]),
+                                   np.asarray(state.tracers["rho_qcl"]),
+                                   rtol=0)
 
     def test_runs_inside_rk3_step(self):
         scheme = NonEquilibriumCloudFormation()

@@ -206,7 +206,63 @@ class TestFusedAcousticSubstep:
         sponged = make_compressible_model(
             g, time_discretization=SplitExplicitTimeDiscretization(
                 substeps=4, sponge=UpperSponge()))
-        assert not supported(sponged)
+        # round-4: the sponge (incl. default damp_full) is in the K3
+        # envelope — the default sponge config must not lose the kernel
+        assert supported(sponged)
+        # ... except on the measurement-only K1/K2 split path
+        import os
+        os.environ["BREEZE_TPU_PALLAS_ACOUSTIC_SPLIT"] = "1"
+        try:
+            assert not supported(sponged)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_ACOUSTIC_SPLIT"]
+
+    def test_upper_sponge_matches_jnp(self):
+        """K3 with the implicit Rayleigh sponge (perturbation-only AND the
+        default KDH08 full-field form) vs the jnp loop."""
+        from breeze_tpu.dynamics.compressible import (
+            SplitExplicitTimeDiscretization, UpperSponge,
+            acoustic_substep_loop, compressible_diagnose,
+            compressible_initial_state, make_compressible_model,
+            slow_tendencies, stage_caches)
+        from breeze_tpu.pallas_kernels.acoustic import (
+            acoustic_substep_loop_pallas, supported)
+        for damp_full in (False, True):
+            g = bz.make_grid(size=(128, 8, 16),
+                             extent=(12800.0, 800.0, 1600.0),
+                             topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                             halo=3, dtype=jnp.float32)
+            td = SplitExplicitTimeDiscretization(
+                substeps=4, damping_coefficient=0.1,
+                sponge=UpperSponge(depth=400.0, damping_rate=0.05,
+                                   damp_full=damp_full))
+            model = make_compressible_model(g, advection=bz.Centered(2),
+                                            time_discretization=td)
+            assert supported(model)
+            state = compressible_initial_state(
+                model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
+                    -((x - 6400.0) ** 2 / 1500.0 ** 2
+                      + (z - 800.0) ** 2 / 300.0 ** 2)),
+                u=lambda x, y, z: 3.0 + 0 * x, pressure_balanced=False)
+            aux = compressible_diagnose(model, state)
+            caches = stage_caches(model, state, aux)
+            G = slow_tendencies(model, state, aux)
+            pert = self._pert(g)
+            rho_w_L = state.rho_w if damp_full else None
+            ref = acoustic_substep_loop(model, caches, G, pert, 0.5, 3,
+                                        gate_first=True, rho_w_L=rho_w_L)
+            got = acoustic_substep_loop_pallas(model, caches, G, pert,
+                                               0.5, 3, gate_first=True,
+                                               interpret=True,
+                                               rho_w_L=rho_w_L)
+            for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta",
+                         "sum_rho_u", "sum_rho_v", "sum_rho_w"):
+                a = np.asarray(getattr(got, name))
+                b = np.asarray(getattr(ref, name))
+                scale = max(np.abs(b).max(), 1e-10)
+                assert np.abs(a - b).max() / scale < 5e-5, (
+                    f"damp_full={damp_full} {name}: "
+                    f"rel {np.abs(a - b).max() / scale:.2e}")
 
     def test_bf16_substep_storage(self):
         """bf16-carry variant tracks the jnp loop's substep_floattype
