@@ -555,10 +555,12 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     # The tendency mega-kernel fuses momentum + all scalars + FPlane
     # Coriolis + buoyancy into ONE pass (pallas_kernels/tendency.py);
     # BREEZE_TPU_DISABLE_PALLAS_FUSED=1 restores the round-2 split kernels.
-    # Under shard_map with x mesh-sharded, the kernel runs in the
-    # x-prepadded variant (advection.HX doc) instead of falling back to jnp.
-    xpad = (not padv.enabled() and padv.xpad_active()
-            and padv.xpad_supported(g))
+    # Under shard_map (1-D x, 1-D y, or 2-D Partition(px,py)) the kernel
+    # keeps running: x-sharded axes use the x-prepadded variant
+    # (advection.HX doc), y-sharded halos ride the shard-aware pad_zy —
+    # decomposition never drops to the jnp fallback within the envelope.
+    shard_hx = None if padv.enabled() else padv.sharded_kernel_mode(g)
+    xpad = shard_hx is not None
     use_fused = ((padv.enabled() or xpad) and z_scales_mom is None
                  and z_scale_scal is None and pcb is None
                  and ptend.supported(g, mom_scheme, scal_scheme,
@@ -577,12 +579,14 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
                           and pclo.supported(g, model.closure)
                           and not os.environ.get(
                               "BREEZE_TPU_DISABLE_PALLAS_CLOSURE"))
-    if xpad and use_fused:
-        # x pre-pad FIRST (shard-aware ppermute), then local z/y pads so the
+    if xpad and use_fused and shard_hx:
+        # x pre-pad FIRST (shard-aware ppermute), then z/y pads so the
         # kernel windows carry correct corner halos across the full padded
-        # lane width.
+        # lane width (the y pad is itself shard-aware under Partition(px,py)).
         pz = lambda a, loc: padv.pad_zy(padv.pad_x(a, g, loc), g, loc)
     else:
+        # dense, or y-only decomposition (pad_zy routes the sharded y halo
+        # through ppermute; kernel body unchanged, hx=0)
         pz = lambda a, loc: padv.pad_zy(a, g, loc)
     pzu = pzv = pzw = None
     if use_fused or use_pallas_mom or use_pallas_scalar:
@@ -667,7 +671,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             b_pad=b_pad_in,
             scal_bounds=getattr(scal_scheme, "bounds_preserving", False),
             closure_model=model if merge_closure else None,
-            thb_pad=thb_pad_zy, hx=padv.HX if xpad else 0,
+            thb_pad=thb_pad_zy, hx=shard_hx or 0,
             substep=sub_arg)
         if merge_closure:
             # SGS tendencies already folded in by the kernel epilogue

@@ -268,14 +268,50 @@ def xpad_supported(grid) -> bool:
             and grid.nx % 128 == 0 and grid.nx >= 128)
 
 
-def xpad_active() -> bool:
-    """True inside a shard_map context where exactly the x axis (2) is
-    mesh-sharded and the x-prepadded kernel variants should run (TPU or
-    interpret mode; ``BREEZE_TPU_DISABLE_PALLAS_XPAD=1`` opts out)."""
+def sharded_kernel_mode(grid):
+    """x-prepad width for the sharded kernel mode, or ``None`` when the
+    kernels cannot run in the current shard_map context.
+
+    - ``None``: fall back to jnp (not in a sharded context / disabled /
+      local shard outside the envelope).
+    - ``0``: y-only decomposition — the y halo pads (``pad_zy``) already
+      route through ppermute via the shard-aware ``fl.pad`` and the kernel
+      body has no whole-axis y op, so the DENSE kernels run unchanged.
+    - ``HX``: the x axis is mesh-sharded — run the x-prepadded variant
+      (module comment above).
+
+    Covers 1-D x, 1-D y, and 2-D ``Partition(px, py)`` decompositions
+    (reference: MPI decomposition never changes kernel code,
+    ``src/Breeze.jl:208``).  ``BREEZE_TPU_DISABLE_PALLAS_XPAD=1`` opts out.
+    """
     import os
 
     from ..parallel.halo import _current_axes
-    if set(_current_axes()) != {2}:
+    axes = set(_current_axes())
+    if not axes or not axes <= {1, 2}:
+        return None
+    if (os.environ.get("BREEZE_TPU_DISABLE_PALLAS")
+            or os.environ.get("BREEZE_TPU_DISABLE_PALLAS_XPAD")
+            or _DISABLE_DEPTH):
+        return None
+    if not (force_interpret()
+            or jax.default_backend() in ("tpu", "axon")):
+        return None
+    if 2 in axes:
+        return HX if xpad_supported(grid) else None
+    return 0
+
+
+def xpad_active() -> bool:
+    """True inside a shard_map context where the x axis (2) is mesh-sharded
+    (1-D x or 2-D Partition) and the x-prepadded kernel variants should run
+    (TPU or interpret mode; ``BREEZE_TPU_DISABLE_PALLAS_XPAD=1`` opts
+    out)."""
+    import os
+
+    from ..parallel.halo import _current_axes
+    axes = set(_current_axes())
+    if 2 not in axes or not axes <= {1, 2}:
         return False
     if (os.environ.get("BREEZE_TPU_DISABLE_PALLAS")
             or os.environ.get("BREEZE_TPU_DISABLE_PALLAS_XPAD")

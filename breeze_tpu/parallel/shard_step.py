@@ -154,21 +154,49 @@ def make_xy_mesh(px: int, py: int) -> Mesh:
 
 
 def _local_model(model, px: int, py: int = 1):
-    """Shard-local model: grid narrowed to the shard extent, Poisson solver
-    swapped for the pencil version."""
+    """Shard-local model: grid narrowed to the shard extent; anelastic
+    models get the Poisson solver swapped for the pencil version
+    (compressible models have no elliptic solve — the acoustic loop is
+    local-plus-halos, so only the grid narrows)."""
     g = model.grid
     p = px * py
     assert g.nx % px == 0, f"px={px} must divide nx={g.nx}"
     assert g.ny % py == 0, f"py={py} must divide ny={g.ny}"
-    assert g.nz % p == 0, f"px·py={p} must divide nz={g.nz} (pencil z-split)"
-    assert g.ny % p == 0, f"px·py={p} must divide ny={g.ny} (mode rows)"
     local_grid = dataclasses.replace(g, nx=g.nx // px, ny=g.ny // py)
     kw = {"grid": local_grid}
     if hasattr(model, "solver"):
+        # pencil-transpose constraints (Poisson only)
+        assert g.nz % p == 0, \
+            f"px·py={p} must divide nz={g.nz} (pencil z-split)"
+        assert g.ny % p == 0, f"px·py={p} must divide ny={g.ny} (mode rows)"
         kw["solver"] = PencilPoissonSolver(
             base=model.solver, axis_x="x", axis_y="y" if py > 1 else None,
             nx_global=g.nx, ny_global=g.ny)
     return dataclasses.replace(model, **kw)
+
+
+def _localize_terrain(terrain, ny_l: int, nx_l: int, axis_x: str,
+                      axis_y: str | None):
+    """Narrow the global-shaped TerrainMetrics horizontal fields to this
+    shard's window (terrain metrics are closure constants — replicated —
+    while the state is sharded; reference equivalence: each MPI rank's
+    grid carries only its local metric slabs).
+
+    Every ≥2-D array in TerrainMetrics is horizontally shaped
+    ``(..., ny, nx)``; z-profiles are 1-D and pass through.
+    """
+    zero = jnp.int32(0)
+    ix = jax.lax.axis_index(axis_x).astype(jnp.int32)
+    iy = jax.lax.axis_index(axis_y).astype(jnp.int32) if axis_y else zero
+
+    def narrow(a):
+        if getattr(a, "ndim", 0) < 2:
+            return a
+        starts = (zero,) * (a.ndim - 2) + (iy * ny_l, ix * nx_l)
+        sizes = a.shape[:-2] + (ny_l, nx_l)
+        return jax.lax.dynamic_slice(a, starts, sizes)
+
+    return jax.tree.map(narrow, terrain)
 
 
 def make_shard_map_step(model, mesh: Mesh, step_fn=None):
@@ -181,8 +209,12 @@ def make_shard_map_step(model, mesh: Mesh, step_fn=None):
     (periodic wrap or bounded mirror per the grid topology).
     """
     if step_fn is None:
-        from ..timesteppers import ssp_rk3_step
-        step_fn = ssp_rk3_step
+        if hasattr(model, "solver"):
+            from ..timesteppers import ssp_rk3_step
+            step_fn = ssp_rk3_step
+        else:
+            from ..dynamics.compressible import acoustic_rk3_step
+            step_fn = acoustic_rk3_step
     if mesh.devices.ndim == 1:
         (px,), py = mesh.devices.shape, 1
     else:
@@ -204,18 +236,25 @@ def make_shard_map_step(model, mesh: Mesh, step_fn=None):
 
     def local_step(state, dt):
         with shard_axes(axes):
-            return step_fn(lmodel, state, dt)
+            m = lmodel
+            if getattr(m, "terrain", None) is not None:
+                m = dataclasses.replace(
+                    m, terrain=_localize_terrain(
+                        m.terrain, m.grid.ny, m.grid.nx, "x", yname))
+            return step_fn(m, state, dt)
 
     def stepped(state, dt):
         specs = jax.tree.map(spec, state,
                              is_leaf=lambda x: x is None)
-        # check_vma=False: the body mixes explicit collectives with
-        # pallas_call, whose ShapeDtypeStruct outputs carry no
+        # dt is closed over (static at the jit level): the steppers treat
+        # it as a Python float (acoustic substep counts bake into the
+        # program).  check_vma=False: the body mixes explicit collectives
+        # with pallas_call, whose ShapeDtypeStruct outputs carry no
         # varying-mesh-axes annotation (the x-prepadded kernel mode).
-        return jax.shard_map(local_step, mesh=mesh,
-                             in_specs=(specs, P()),
+        return jax.shard_map(lambda s: local_step(s, dt), mesh=mesh,
+                             in_specs=(specs,),
                              out_specs=specs,
-                             check_vma=False)(state, dt)
+                             check_vma=False)(state)
 
     return jax.jit(stepped, static_argnums=(1,))
 

@@ -280,6 +280,59 @@ class TestShardMapProductionStep:
                                        np.asarray(getattr(ref, name)),
                                        rtol=rtol, atol=atol, err_msg=name)
 
+    def test_partition_2d_kernels_on_matches_dense(self):
+        """Partition(2,2) with the Pallas kernels ACTIVE (interpret mode):
+        the x axes run the x-prepadded variant, y halos ride the
+        shard-aware pad_zy — 2-D decomposition must not regress to the jnp
+        fallback (round-4; reference: decomposition never changes kernel
+        code, src/Breeze.jl:208)."""
+        import dataclasses as dc
+        import os
+
+        from breeze_tpu.pallas_kernels import advection as padv
+        from breeze_tpu.parallel.halo import shard_axes
+        from breeze_tpu.parallel.shard_step import (make_shard_map_step,
+                                                    make_xy_mesh)
+        from breeze_tpu.physics.closures import SmagorinskyLilly
+        g = bz.make_grid(size=(256, 16, 16), extent=(6400.0, 3200.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         dtype=jnp.float32)
+        model = make_model(g, advection=bz.WENO(5),
+                           potential_temperature=300.0,
+                           microphysics=bz.SaturationAdjustment(
+                               equilibrium=bz.WarmPhaseEquilibrium()),
+                           coriolis=bz.FPlane(1e-4),
+                           closure=SmagorinskyLilly())
+        state = initial_state(
+            model,
+            theta=lambda x, y, z: 300.0 + 1.5 * jnp.exp(
+                -((x - 3200.0) ** 2 + (y - 1600.0) ** 2
+                  + (z - 500.0) ** 2) / 400.0 ** 2),
+            qt=lambda x, y, z: 0.01 * jnp.exp(-z / 1000.0))
+        # the LOCAL shard grid must keep the kernels active under the 2-D
+        # context, else this test goes blind
+        local = dc.replace(g, nx=g.nx // 2, ny=g.ny // 2)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            with shard_axes({1: "y", 2: "x"}):
+                assert padv.sharded_kernel_mode(local) == padv.HX
+            with shard_axes({1: "y"}):
+                assert padv.sharded_kernel_mode(local) == 0
+            ref = state
+            for _ in range(2):
+                ref = jax.jit(ssp_rk3_step, static_argnums=2)(model, ref, 2.0)
+            step = make_shard_map_step(model, make_xy_mesh(2, 2))
+            out = state
+            for _ in range(2):
+                out = step(out, 2.0)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        for name in ("rho_theta", "rho_qt", "rho_u", "rho_v", "rho_w"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=2e-4, atol=2e-4, err_msg=name)
+
     def test_bounded_y_shard_map_matches_dense(self):
         """Bounded-y topology on the explicit-collective path: the DCT/real
         eigenbasis transform runs on the fully gathered horizontals inside
@@ -428,3 +481,46 @@ class TestGSPMDCompressible:
 
     def test_terrain_sharded_matches_single_device(self):
         self._run(terrain=True)
+
+
+class TestShardMapCompressible:
+    """Split-explicit compressible core on the EXPLICIT shard_map path
+    (ppermute halos through the acoustic fast loop — the reference's
+    6-exchanges-per-substep MPI pattern, acoustic_substepping.jl:1423-1510).
+    GSPMD coverage exists above; this pins the production explicit-collective
+    path (round-4 VERDICT item 5)."""
+
+    def _run(self, terrain, mesh_fn, n_steps=3):
+        from breeze_tpu.dynamics.compressible import acoustic_rk3_step
+        from breeze_tpu.parallel.shard_step import make_shard_map_step
+        model, state = TestGSPMDCompressible()._model(terrain)
+        dt = 0.5
+        ref = state
+        step1 = jax.jit(lambda m, s: acoustic_rk3_step(m, s, dt))
+        for _ in range(n_steps):
+            ref = step1(model, ref)
+        step = make_shard_map_step(model, mesh_fn())
+        out = state
+        for _ in range(n_steps):
+            out = step(out, dt)
+        for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(out, name)),
+                np.asarray(getattr(ref, name)),
+                rtol=3e-5, atol=3e-4, err_msg=name)
+
+    def test_flat_1d_matches_dense(self):
+        from breeze_tpu.parallel.shard_step import make_x_mesh
+        self._run(False, lambda: make_x_mesh(4))
+
+    def test_flat_2d_partition_matches_dense(self):
+        from breeze_tpu.parallel.shard_step import make_xy_mesh
+        self._run(False, lambda: make_xy_mesh(2, 2))
+
+    def test_terrain_1d_matches_dense(self):
+        from breeze_tpu.parallel.shard_step import make_x_mesh
+        self._run(True, lambda: make_x_mesh(4))
+
+    def test_terrain_2d_partition_matches_dense(self):
+        from breeze_tpu.parallel.shard_step import make_xy_mesh
+        self._run(True, lambda: make_xy_mesh(2, 2))

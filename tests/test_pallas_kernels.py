@@ -492,27 +492,41 @@ class TestCompressibleSlowTendencyWiring:
 def test_pallas_disabled_inside_shard_map_context():
     """The plain kernels' whole-axis x rolls are wrong on a sharded axis;
     ``enabled()`` must force fallbacks inside shard_axes contexts.  The
-    x-prepadded mode (``xpad_active``) is the sanctioned sharded path —
-    active only for a pure 1-D-x context, and still off under the blanket
-    disables."""
+    sharded kernel mode (``sharded_kernel_mode``) is the sanctioned path —
+    x-prepad when x is mesh-sharded (1-D x or 2-D), hx=0 for y-only, and
+    still off under the blanket disables."""
     import os
     from breeze_tpu.parallel.halo import shard_axes
+    g = bz.make_grid(size=(128, 8, 16), extent=(12800.0, 800.0, 1600.0),
+                     topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                     halo=3, dtype=jnp.float32)
     os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
     try:
         assert padv.enabled()
         assert not padv.xpad_active()
+        assert padv.sharded_kernel_mode(g) is None   # not in a context
         with shard_axes({2: "x"}):
             assert not padv.enabled()
             assert padv.xpad_active()
+            assert padv.sharded_kernel_mode(g) == padv.HX
             with padv.disabled():
                 assert not padv.xpad_active()
+                assert padv.sharded_kernel_mode(g) is None
             os.environ["BREEZE_TPU_DISABLE_PALLAS_XPAD"] = "1"
             try:
                 assert not padv.xpad_active()
+                assert padv.sharded_kernel_mode(g) is None
             finally:
                 del os.environ["BREEZE_TPU_DISABLE_PALLAS_XPAD"]
         with shard_axes({1: "y", 2: "x"}):
-            assert not padv.xpad_active()    # 2-D decomposition: jnp path
+            # 2-D decomposition keeps the kernels (x-prepad + shard-aware
+            # y pads) — round-4; was a jnp regression
+            assert padv.xpad_active()
+            assert padv.sharded_kernel_mode(g) == padv.HX
+        with shard_axes({1: "y"}):
+            # y-only decomposition: dense kernel body, shard-aware pads
+            assert not padv.xpad_active()
+            assert padv.sharded_kernel_mode(g) == 0
         assert padv.enabled()
     finally:
         del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
