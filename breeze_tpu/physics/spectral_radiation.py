@@ -155,16 +155,47 @@ def planck_band_fraction(T, nu_lo, nu_hi):
 
 #: (solar fraction, k_h2o [m²/kg at p₀], k_o3 [m²/kg], τ_rayleigh per
 #:  (Δp/p₀₀) with p₀₀ = 1013.25 hPa)
+#:
+#: EXTERNALLY ANCHORED (round 4): the water-vapor side is the PUBLISHED
+#: Lacis & Hansen (1974, JAS 31, table 1) k-distribution — 8 exponential-
+#: sum terms (weight pₙ, absorption kₙ per cm of pressure-scaled
+#: precipitable water = kₙ/10 m²/kg) whose sum Σpₙ(1−e^{−kₙy}) reproduces
+#: their LBL-fit absorption function A_wv(y) = 2.9y/((1+141.5y)^0.635 +
+#: 5.925y).  Term 0 carries the visible/UV region (negligible vapor
+#: absorption) with ozone + the full Rayleigh scattering, exactly the LH74
+#: composite (scattering confined to λ < 0.9 µm).  The clear-sky columns
+#: are validated against an independent LH74 implementation in
+#: ``validation/radiation_columns.py`` (±15 W/m² tolerance; fitted via
+#: ``tools/fit_sw_bands.py``, residuals ≤3.5 W/m² over {tropical, MLS,
+#: SAW} × {(μ₀=1, α=0.06), (μ₀=0.5, α=0.2)} on TOA-up, surface-down and
+#: column absorption).  Ozone splits into a saturated Hartley/Huggins UV
+#: term and a linear Chappuis term — one gray coefficient cannot match
+#: both sun angles (the UV band is in the strong-line square-root regime).
+#: The reference instead carries the full RRTMGP SW tables
+#: (``ext/BreezeRRTMGPExt/clear_sky_radiative_transfer_model.jl:54-289``).
 SW_BANDS = (
-    (0.46, 0.0, 6.5, 0.21),      # UV + visible
-    (0.32, 8.5e-4, 0.0, 0.02),   # near-IR 0.7-1.3 µm
-    (0.18, 2.8e-3, 0.0, 0.002),  # near-IR 1.3-2.5 µm
-    (0.04, 9.0e-3, 0.0, 0.0),    # near-IR 2.5-4 µm (saturated H2O)
+    # saturated Hartley/Huggins UV ozone (strong-line limit: the band is
+    # opaque for any realistic column, carrying LH74's flat A_uv(x))
+    (0.015, 0.0, 600.0, 0.0),
+    # visible: linear-regime Chappuis ozone + ALL the Rayleigh scattering
+    (0.632, 4.0e-6, 1.6, 0.155),
+    # LH74 table-1 water-vapor k-distribution terms (near IR)
+    (0.0698, 2.0e-4, 0.0, 0.0),
+    (0.1443, 3.5e-3, 0.0, 0.0),
+    (0.0584, 3.77e-2, 0.0, 0.0),
+    (0.0335, 1.95e-1, 0.0, 0.0),
+    (0.0225, 9.40e-1, 0.0, 0.0),
+    (0.0158, 4.46, 0.0, 0.0),
+    (0.0087, 19.0, 0.0, 0.0),
 )
 
 #: per-SW-band liquid/ice cloud single-scattering albedo and asymmetry
-SW_CLOUD_SSA_LIQ = (0.999999, 0.9995, 0.991, 0.90)
-SW_CLOUD_SSA_ICE = (0.999995, 0.998, 0.975, 0.86)
+#: (UV/visible terms conservative; deeper near-IR terms increasingly
+#: absorbing, Slingo-style ordering by vapor-k as a wavelength proxy)
+SW_CLOUD_SSA_LIQ = (0.999999, 0.999999, 0.9995, 0.9990, 0.997, 0.991,
+                    0.975, 0.93, 0.88)
+SW_CLOUD_SSA_ICE = (0.999995, 0.999995, 0.998, 0.996, 0.990, 0.975,
+                    0.950, 0.89, 0.84)
 SW_CLOUD_G_LIQ = 0.85
 SW_CLOUD_G_ICE = 0.80
 LW_CLOUD_K_LIQ = 140.0     # gray mass absorption [m²/kg]
@@ -295,7 +326,11 @@ class SpectralRadiation:
                           0.0)
         daylight = mu0 > 1e-4
         mu = jnp.maximum(mu0, 1e-4)
-        u_h2o, u_co2, u_o3, u_ch4n2o, pw, _ = self._layer_paths(model, aux)
+        u_h2o, u_co2, u_o3, u_ch4n2o, _, _ = self._layer_paths(model, aux)
+        # LH74 water-vapor path scaling (their eq. 21): (p/p₀)·(273/T)^½ —
+        # the k-distribution terms in SW_BANDS are calibrated to it
+        p = jnp.broadcast_to(model.reference.p_col, g.shape)
+        pw = ((p / 1.0e5) * jnp.sqrt(273.0 / aux.T)).astype(g.dtype)
         lwp, iwp = self._cloud_paths(model, aux)
         ref = model.reference
         dp = -jnp.gradient(jnp.asarray(ref.p_c))  # (nz,) > 0
@@ -401,35 +436,54 @@ def _two_stream_adding(tau, omega, g_asym, mu0, alb_dir, alb_dif, F0):
     gamma2 = omega_p * (1.0 - g_p)
     gamma3 = jnp.clip((2.0 - 3.0 * g_p * mu0) / 4.0, 0.0, 1.0)
 
-    def layer_props(tau_l):
-        """Exact hemispheric-mean diffuse (any τ) + single-scatter direct
-        split (thin-τ accurate) for a sublayer of depth ``tau_l``."""
+    def layer_props_co(tau_l):
+        """Hemispheric-mean diffuse + single-scatter direct split for a
+        THIN sublayer, in co-transmittance form (E = 1 − T) so that f32
+        keeps the O(τ) absorptance exactly (``expm1``-based; a plain
+        ``1 − exp(−τ)`` rounds to ZERO at the doubling init τ ~ 1e-8 and
+        silently deleted all thin-layer — i.e. clear-sky ozone —
+        absorption, while rounding noise in 1−T manufactured ~1% spurious
+        absorption in conservative Rayleigh layers)."""
         lam = jnp.sqrt(jnp.maximum(gamma1 ** 2 - gamma2 ** 2, 1e-12))
         Gam = gamma2 / (gamma1 + lam)
-        e = jnp.exp(-jnp.minimum(lam * tau_l, 60.0))
+        one_m_e = -jnp.expm1(-jnp.minimum(lam * tau_l, 60.0))   # 1 − e
+        e = 1.0 - one_m_e
         den = 1.0 - (Gam * e) ** 2
-        Rdif = Gam * (1.0 - e * e) / den
-        Tdif = e * (1.0 - Gam * Gam) / den
-        T0 = jnp.exp(-jnp.minimum(tau_l / mu0, 60.0))
-        s = omega_p * (1.0 - T0)
-        Rdir = s * gamma3
-        Tdir = T0 + s * (1.0 - gamma3)
-        return Rdif, Tdif, Rdir, Tdir, T0
+        Rdif = Gam * one_m_e * (1.0 + e) / den
+        #  1 − Tdif = (1−e)(1 + Γ²e)/den   (exact algebra, no cancellation)
+        Edif = one_m_e * (1.0 + Gam * Gam * e) / den
+        E0 = -jnp.expm1(-jnp.minimum(tau_l / mu0, 60.0))        # 1 − T0
+        Rdir = omega_p * E0 * gamma3
+        #  1 − Tdir = E0·(1 − ω(1−γ₃))
+        Edir = E0 * (1.0 - omega_p * (1.0 - gamma3))
+        return Rdif, Edif, Rdir, Edir, E0
 
     # Doubling: initialize at τ/2ⁿ (where the single-scatter direct split is
     # accurate) and double n times with the direct+diffuse adding formulas —
     # recovers the correct thick-layer limit (e.g. a τ=80 conservative cloud
-    # reflects ~0.85 of the beam instead of forward-leaking it).
+    # reflects ~0.85 of the beam instead of forward-leaking it).  The
+    # recurrence runs on (R, E=1−T): every update combines SMALL quantities
+    # multiplicatively/additively, so the layer absorptance survives f32.
     N_DOUBLINGS = 14
-    Rdif, Tdif, Rdir, Tdir, T0 = layer_props(tau_p / (2 ** N_DOUBLINGS))
+    Rdif, Edif, Rdir, Edir, E0 = layer_props_co(tau_p / (2 ** N_DOUBLINGS))
     for _ in range(N_DOUBLINGS):
         den = 1.0 - Rdif * Rdif
-        Rdir_n = Rdir + Tdif * (T0 * Rdir + (Tdir - T0) * Rdif) / den
-        Tdir_n = T0 * Tdir + Tdif * ((Tdir - T0) + T0 * Rdir * Rdif) / den
+        Tdif = 1.0 - Edif
+        # Tdir − T0 = E0 − Edir (difference of the two small co-terms)
+        dTd = E0 - Edir
+        Rdir_n = Rdir + Tdif * ((1.0 - E0) * Rdir + dTd * Rdif) / den
+        # Edir' = 1 − T0·Tdir − Tdif(dTd + T0·Rdir·Rdif)/den, expanded so
+        # no 1−x cancellation appears:
+        Edir_n = (E0 + Edir - E0 * Edir
+                  - Tdif * (dTd + (1.0 - E0) * Rdir * Rdif) / den)
         Rdif_n = Rdif + Tdif * Tdif * Rdif / den
-        Tdif_n = Tdif * Tdif / den
-        T0 = T0 * T0
-        Rdif, Tdif, Rdir, Tdir = Rdif_n, Tdif_n, Rdir_n, Tdir_n
+        # Edif' = 1 − Tdif²/den = (2Edif − Edif² − Rdif²)/den
+        Edif_n = (2.0 * Edif - Edif * Edif - Rdif * Rdif) / den
+        E0 = 2.0 * E0 - E0 * E0               # 1 − T0²
+        Rdif, Edif, Rdir, Edir = Rdif_n, Edif_n, Rdir_n, Edir_n
+    Tdif = 1.0 - Edif
+    Tdir = 1.0 - Edir
+    T0 = 1.0 - E0
 
     # order layers top -> bottom for the sweeps
     flip = lambda a: a[::-1]

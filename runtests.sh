@@ -11,6 +11,12 @@ set -o pipefail
 # conservation, sharded==dense, Poisson manufactured solutions, Pallas
 # interpret equivalence.  CI should run this on every change and the full
 # suite nightly.
+# ./runtests.sh --nightly : the default suite PLUS the long physics tier
+# (example --check runs + validation smokes; ~40 min extra on this host).
+if [ "$1" = "--nightly" ]; then
+    shift
+    set -- tests/ -n 2 --nightly "$@"
+fi
 if [ "$1" = "--contract" ]; then
     shift
     set -- \
@@ -25,7 +31,9 @@ if [ "$1" = "--contract" ]; then
         -n 4 "$@"
 fi
 if [ $# -eq 0 ]; then
-    set -- tests/ -n 2
+    # 4 workers (one per core, 125 GB RAM is no constraint) + generous
+    # worker-restart budget for the jaxlib XLA:CPU segfault flake
+    set -- tests/ -n 4 --max-worker-restart=12
 fi
 export PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu
 LOG=$(mktemp /tmp/runtests.XXXXXX.log)

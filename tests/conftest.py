@@ -23,3 +23,28 @@ jax.config.update("jax_enable_x64", True)
 # NOTE: the persistent compilation cache is deliberately NOT enabled —
 # cache writes segfault this jax build on some executables (observed in
 # compilation_cache.put_executable_and_time for bf16 scan programs).
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--nightly", action="store_true", default=False,
+        help="run the nightly tier (example --check physics runs and "
+             "validation smokes) in addition to the default suite")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "nightly: long-running physics-assertion tier (example --check "
+        "runs, validation smokes); deselected unless --nightly is given")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--nightly"):
+        return
+    import pytest
+    skip = pytest.mark.skip(
+        reason="nightly tier — run with --nightly (or ./runtests.sh --nightly)")
+    for item in items:
+        if "nightly" in item.keywords:
+            item.add_marker(skip)

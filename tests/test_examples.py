@@ -60,6 +60,7 @@ CHECK_EXAMPLES = [
 ]
 
 
+@pytest.mark.nightly
 @pytest.mark.parametrize("example", CHECK_EXAMPLES)
 def test_example_physics_check(example):
     env = dict(os.environ)
@@ -75,6 +76,7 @@ def test_example_physics_check(example):
     assert "check PASSED" in result.stdout
 
 
+@pytest.mark.nightly
 def test_validation_dcmip_tc_smoke():
     """The DCMIP2016 TC validation study builds and steps (--smoke)."""
     env = dict(os.environ)
@@ -92,6 +94,7 @@ def test_validation_dcmip_tc_smoke():
     assert "final minimum surface pressure" in result.stdout
 
 
+@pytest.mark.nightly
 def test_validation_baroclinic_wave_smoke():
     """The URJ15 baroclinic-wave validation study builds and steps."""
     env = dict(os.environ)

@@ -65,11 +65,38 @@ class TestClearSky:
             assert abs(olr - olr_t) < 12.0, (name, "OLR", olr, olr_t)
             assert abs(dlr - dlr_t) < 12.0, (name, "DLR", dlr, dlr_t)
 
+    def test_external_sw_columns(self):
+        """EXTERNAL SW validation (VERDICT r3 item 6): clear-sky TOA-up,
+        surface-down and column-absorption on the standard atmospheres
+        within ±15 W/m² of an independent Lacis & Hansen (1974)
+        implementation (two sun angles × two albedos; the water-vapor side
+        of SW_BANDS is LH74's published table-1 k-distribution, the
+        ozone/Rayleigh side is fitted by tools/fit_sw_bands.py — observed
+        residuals ≤3.5 W/m²).  Replaces the round-3 self-tuned envelopes."""
+        import sys
+        sys.path.insert(0, ROOT)
+        from validation.radiation_columns import (LW_TARGETS, SW_GEOMETRIES,
+                                                  SW_TOLERANCE,
+                                                  lacis_hansen_sw,
+                                                  sw_column_fluxes)
+        for name in LW_TARGETS:
+            for mu0, alb in SW_GEOMETRIES:
+                got = sw_column_fluxes(name, mu0, alb)
+                ref = lacis_hansen_sw(name, mu0, alb)
+                for label, gv, rv in zip(("toa_up", "sfc_dn", "atm_abs"),
+                                         got, ref):
+                    assert abs(gv - rv) < SW_TOLERANCE, (
+                        name, mu0, alb, label, gv, rv)
+
     def test_broadband_benchmarks_tropical(self):
         """Sanity envelope on the synthetic LES deep column (quasi-
         isothermal aloft — its OLR is legitimately higher than a real
         tropical sounding's; the EXTERNAL pins live in
-        ``test_external_standard_atmosphere_columns``)."""
+        ``test_external_standard_atmosphere_columns`` /
+        ``test_external_sw_columns``).  SW absorption envelope reflects
+        the LH74-anchored bands (PW ≈ 45 kg/m² column → ~230-280 W/m²
+        absorbed at overhead sun; the round-3 55-100 envelope was an
+        artifact of the old too-transparent near-IR coefficients)."""
         model, state, aux = deep_column()
         rad = SpectralRadiation(optics="clear",
                                 solar_position=FixedCosineZenith(1.0))
@@ -81,8 +108,8 @@ class TestClearSky:
         albedo = float(sw_up[-1, 0, 0]) / S0
         assert 340.0 < olr < 420.0, olr
         assert 380.0 < lwdn_sfc < 480.0, lwdn_sfc
-        assert 55.0 < sw_abs < 100.0, sw_abs
-        assert 0.06 < albedo < 0.13, albedo
+        assert 190.0 < sw_abs < 300.0, sw_abs
+        assert 0.05 < albedo < 0.13, albedo
 
     def test_drier_column_emits_more(self):
         """Water-vapor greenhouse: OLR increases as the column dries."""
