@@ -315,7 +315,7 @@ def initial_state(model: AtmosphereModel,
 # Diagnostics (the functional update_state!)
 # ---------------------------------------------------------------------------
 
-def diagnose(model: AtmosphereModel, state: State) -> Aux:
+def diagnose(model: AtmosphereModel, state: State, T_guess=None) -> Aux:
     """Recover velocities, temperature, and moisture partition from the state.
 
     Mirrors ``compute_auxiliary_variables!``
@@ -323,6 +323,10 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
     z-profile, so face interpolation along x/y is the identity), θ = ρθ/ρᵣ,
     saturation adjustment for T and the moisture partition, then the
     perturbation-form buoyancy of ``anelastic_buoyancy.jl:36-72``.
+
+    ``T_guess``: warm-start temperature for the saturation-adjustment
+    Newton solve (RK3 stages 2-3 pass the previous stage's converged T —
+    see ``SaturationAdjustment.warm_iterations``).
     """
     ref = model.reference
     c = model.constants
@@ -335,7 +339,7 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
     w = state.rho_w / rho_f
 
     if model.formulation == "static_energy":
-        return _diagnose_static_energy(model, state, u, v, w)
+        return _diagnose_static_energy(model, state, u, v, w, T_guess=T_guess)
 
     theta = state.rho_theta / rho_c
 
@@ -343,7 +347,7 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
         qt = state.rho_qt / rho_c
         if isinstance(model.microphysics, SaturationAdjustment):
             T, q = saturation_adjust(theta, qt, p_r, c, model.microphysics,
-                                     model.p_standard)
+                                     model.p_standard, T_guess=T_guess)
         elif hasattr(model.microphysics, "prognostic_tracer_names"):
             # Prognostic-condensate schemes (Kessler, 1M): the moisture slot
             # is vapor; condensate fractions come from tracer prognostics
@@ -378,7 +382,8 @@ def diagnose(model: AtmosphereModel, state: State) -> Aux:
                buoyancy_force=buoyancy_force)
 
 
-def _diagnose_static_energy(model: AtmosphereModel, state: State, u, v, w) -> Aux:
+def _diagnose_static_energy(model: AtmosphereModel, state: State, u, v, w,
+                            T_guess=None) -> Aux:
     """Static-energy formulation: prognostic ρe (reference
     ``src/StaticEnergyFormulations/``); T from e with saturation adjustment,
     θˡⁱ diagnosed for closures/diagnostics."""
@@ -397,7 +402,8 @@ def _diagnose_static_energy(model: AtmosphereModel, state: State, u, v, w) -> Au
         qt = state.rho_qt / rho_c
         if isinstance(model.microphysics, SaturationAdjustment):
             T, q = saturation_adjust_static_energy(e, z, qt, p_r, c,
-                                                   model.microphysics)
+                                                   model.microphysics,
+                                                   T_guess=T_guess)
         else:
             q = MoistureMassFractions.vapor_only(qt)
             T = temperature_from_static_energy(e, z, q, c)

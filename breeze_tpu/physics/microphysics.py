@@ -46,6 +46,12 @@ class SaturationAdjustment:
     equilibrium: object = dataclasses.field(default_factory=WarmPhaseEquilibrium)
     iterations: int = 3
     solver: str = "newton"
+    # Newton trip count when a warm-start temperature is available (RK3
+    # stages 2-3 pass the previous stage's converged T, which is within
+    # |Δθ| ~ O(αΔt·tendency) ≪ 1 K of the root — quadratic convergence
+    # puts 2 trips far below the reference abstol 1e-4).  The adjustment is
+    # VPU-transcendental-bound on TPU, so trips are wall time.
+    warm_iterations: int = 2
 
 
 def adjustment_saturation_specific_humidity(T, p, qt, constants, lam):
@@ -91,13 +97,14 @@ def _newton_adjust_T(T0, qt, p, constants: ThermodynamicConstants, eq,
     for _ in range(iterations):
         lam = eq.liquid_fraction(T)
         pvs = saturation_vapor_pressure(T, constants, lam)
-        qvs = eps * (1.0 - qt) * pvs / (p - pvs)
+        inv_pmp = 1.0 / (p - pvs)          # shared by qvs and dqvs (one divide)
+        qvs = eps * (1.0 - qt) * pvs * inv_pmp
         q = equilibrated_moisture_fractions(T, qt, qvs, eq)
         r = T - T_back_of(T, q)
         cpm = constants.mixture_heat_capacity(q)
         L_eff = lam * Ll + (1.0 - lam) * Li
         dqvs = (qvs * saturation_vapor_pressure_slope_ratio(T, constants, lam)
-                * p / (p - pvs))
+                * p * inv_pmp)
         drdT = 1.0 + L_eff * dqvs / cpm
         if isinstance(eq, MixedPhaseEquilibrium):
             qc = jnp.maximum(0.0, qt - qvs)
@@ -111,7 +118,8 @@ def _newton_adjust_T(T0, qt, p, constants: ThermodynamicConstants, eq,
 
 
 def saturation_adjust_static_energy(e, z, qt, p, constants: ThermodynamicConstants,
-                                    scheme: "SaturationAdjustment"):
+                                    scheme: "SaturationAdjustment",
+                                    T_guess=None):
     """Saturation-adjusted (T, q) from prognostic moist static energy.
 
     Static-energy analogue of :func:`saturation_adjust` (reference
@@ -153,7 +161,12 @@ def saturation_adjust_static_energy(e, z, qt, p, constants: ThermodynamicConstan
 
     if scheme.solver == "newton":
         from ..thermo.states import temperature_from_static_energy as _T_of_e
-        Tb = _newton_adjust_T(T2, qt, p, constants, eq, scheme.iterations,
+        if T_guess is not None:
+            # warm start (see saturation_adjust): previous stage's T
+            T2, iters = jnp.maximum(T_guess, T1 + 0.01), scheme.warm_iterations
+        else:
+            iters = scheme.iterations
+        Tb = _newton_adjust_T(T2, qt, p, constants, eq, iters,
                               lambda T, q: _T_of_e(e, z, q, constants))
     else:
         Ta, Tb = T1, T2
@@ -511,23 +524,39 @@ def apply_negative_moisture_correction(model, state):
         if n_name in tracers:
             tracers[n_name] = jnp.maximum(tracers[n_name], 0.0)
 
-    rho_qt = fix_negative_moisture(rho_qt, dz_col)
+    # Pallas single-VMEM-pass borrowing on TPU (pallas_kernels/columnar.py;
+    # the jnp cumsum/cummax closed form is ~6.9 ms/step at 256³ on v5e,
+    # the kernel is one read + one write).  Purely columnar → stays on
+    # under any horizontal shard_map decomposition.
+    from ..pallas_kernels import columnar as pcol
+    if (pcol.columnar_enabled()
+            and pcol.fix_negative_supported(rho_qt.shape, rho_qt.dtype)):
+        fix = pcol.fix_negative_moisture_pallas
+    else:
+        fix = fix_negative_moisture
+
+    rho_qt = fix(rho_qt, dz_col)
     # hydrometeor masses not on the borrowing chain still get the
     # conservative vertical sweep (pre-round-2 behavior, now Δz-weighted)
     for k in list(tracers):
         if k.startswith("rho_q") and k not in chain_names:
-            tracers[k] = fix_negative_moisture(tracers[k], dz_col)
+            tracers[k] = fix(tracers[k], dz_col)
     return state.replace(rho_qt=rho_qt, tracers=tracers)
 
 
 def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
                       scheme: SaturationAdjustment,
-                      p_standard: float = 1.0e5):
+                      p_standard: float = 1.0e5, T_guess=None):
     """Saturation-adjusted (T, q) from prognostic (θˡⁱ, qᵗ) at pressure p.
 
     Follows the reference's algorithm (:193-235): unsaturated first guess,
     latent-heat-scaled second guess, then a fixed-count secant on the
     temperature residual  r(T) = T − T(θˡⁱ, q_eq(T), p).
+
+    ``T_guess`` (Newton solver only): a warm-start temperature — e.g. the
+    previous RK3 stage's converged T — replaces the latent-overshoot
+    second guess and drops the trip count to ``scheme.warm_iterations``
+    (the guess chain + one trip of VPU-transcendental work per point).
 
     Returns ``(T, MoistureMassFractions)``.
     """
@@ -547,6 +576,28 @@ def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
         q = equilibrated_moisture_fractions(T, qt, qvs, eq)
         T_back = temperature_from_theta_li(theta_li, q, p, constants, p_standard)
         return T - T_back
+
+    if scheme.solver == "newton" and T_guess is not None:
+        # Warm start: skip the second-guess chain entirely.  Where the
+        # point was unsaturated last stage (T_guess ≈ its old T1) the
+        # saturated-branch root satisfies T* ≥ T1 for condensational
+        # warming, so max(T_guess, T1 + 0.01) is on the right side.
+        T_start = jnp.maximum(T_guess, T1 + 0.01)
+        T_star = _newton_adjust_T(
+            T_start, qt, p, constants, eq, scheme.warm_iterations,
+            lambda T, q: temperature_from_theta_li(theta_li, q, p, constants,
+                                                   p_standard))
+        lam_s = eq.liquid_fraction(T_star)
+        qvs_s = adjustment_saturation_specific_humidity(T_star, p, qt,
+                                                        constants, lam_s)
+        q_sat = equilibrated_moisture_fractions(T_star, qt, qvs_s, eq)
+        T = jnp.where(saturated, T_star, T1)
+        q = MoistureMassFractions(
+            jnp.where(saturated, q_sat.vapor, q1.vapor),
+            jnp.where(saturated, q_sat.liquid, 0.0),
+            jnp.where(saturated, q_sat.ice, 0.0),
+        )
+        return T, q
 
     # Second guess: a damped Newton step from T1.  The latent warming the
     # all-vapor state implies is dT = (ℒˡqˡ + ℒⁱqⁱ)/cᵖᵐ ≈ −r(T1); dividing

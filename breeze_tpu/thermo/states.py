@@ -17,10 +17,19 @@ DEFAULT_STANDARD_PRESSURE = 1.0e5
 
 def exner_function(p, q: MoistureMassFractions, constants: ThermodynamicConstants,
                    p_standard: float = DEFAULT_STANDARD_PRESSURE):
-    """Moist Exner function Π = (p / pˢᵗ)^(Rᵐ/cᵖᵐ)."""
+    """Moist Exner function Π = (p / pˢᵗ)^(Rᵐ/cᵖᵐ).
+
+    Written as ``exp((Rᵐ/cᵖᵐ)·log(p/pˢᵗ))`` rather than ``**`` so the log
+    is taken on ``p``'s own (pre-broadcast) shape: on the anelastic path p
+    is the (nz,1,1) reference column while Rᵐ/cᵖᵐ is a full field, and the
+    generic pow lowering would evaluate a full-field log of a broadcast
+    column.  The saturation adjustment calls this inside every Newton trip
+    — it is VPU-transcendental-bound, so one hoisted log per call is wall
+    time (see CLAUDE.md perf notes).
+    """
     Rm = constants.mixture_gas_constant(q)
     cpm = constants.mixture_heat_capacity(q)
-    return (p / p_standard) ** (Rm / cpm)
+    return jnp.exp((Rm / cpm) * jnp.log(p / p_standard))
 
 
 def temperature_from_theta_li(theta_li, q: MoistureMassFractions, p,

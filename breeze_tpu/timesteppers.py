@@ -51,8 +51,13 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
                         and getattr(model.closure, "vertically_implicit", False))
 
     state0 = state
+    prev_T = None
     for alpha in SSP_RK3_ALPHAS:
-        aux = M.diagnose(model, state)
+        # Stages 2-3 warm-start the saturation-adjustment Newton solve from
+        # the previous stage's converged T (the state moved by O(αΔt) — see
+        # SaturationAdjustment.warm_iterations).  Stage 1 is a cold start.
+        aux = M.diagnose(model, state, T_guess=prev_T)
+        prev_T = aux.T
         # Fused stage blend: on the Pallas path the substep happens in the
         # tendency mega-kernel epilogue (see model.stage_update).
         ns = M.stage_update(model, state, state0, dt, alpha, aux=aux)

@@ -901,3 +901,77 @@ class TestFusedSubstep:
                                                     qt_flux=5.2e-5),
             forcings=(GeostrophicForcing(f=1e-4, u_g=-10.0),))
         self._compare_stage(model, self._state(model, moist=True), rtol=1e-5)
+
+
+class TestColumnarFixNegative:
+    """Single-VMEM-pass negative-moisture borrowing vs the jnp closed form."""
+
+    def _case(self, nz, ny, nx, seed, stretch=False):
+        from breeze_tpu.pallas_kernels import columnar as pcol
+        from breeze_tpu.physics.microphysics import fix_negative_moisture
+        rng = np.random.default_rng(seed)
+        # mostly-positive field with scattered negatives (advection
+        # undershoot pattern), plus a few columns driven entirely negative
+        rq = rng.normal(2e-3, 3e-3, (nz, ny, nx)).astype(np.float32)
+        rq[:, 0, :2] = -np.abs(rq[:, 0, :2]) - 1e-3
+        rq = jnp.asarray(rq)
+        if stretch:
+            dz = jnp.asarray(
+                20.0 * 1.04 ** np.arange(nz), jnp.float32).reshape(-1, 1, 1)
+        else:
+            dz = jnp.full((nz, 1, 1), 25.0, jnp.float32)
+        ref = fix_negative_moisture(rq, dz)
+        got = pcol.fix_negative_moisture_pallas(rq, dz, interpret=True)
+        # atol: the kernel multiplies by 1/dz where the closed form
+        # divides; near-zero entries differ by last-ulp rounding
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-8)
+        # conservation: column integral of m = rho_q*dz preserved exactly
+        np.testing.assert_allclose(
+            np.asarray(jnp.sum(got * dz, axis=0)),
+            np.asarray(jnp.sum(rq * dz, axis=0)), rtol=1e-5, atol=1e-7)
+
+    def test_uniform(self):
+        self._case(8, 16, 128, 0)
+
+    def test_stretched(self):
+        self._case(12, 8, 128, 1, stretch=True)
+
+    def test_none_dz(self):
+        from breeze_tpu.pallas_kernels import columnar as pcol
+        from breeze_tpu.physics.microphysics import fix_negative_moisture
+        rng = np.random.default_rng(2)
+        rq = jnp.asarray(rng.normal(1e-3, 2e-3, (8, 8, 128)).astype(np.float32))
+        ref = fix_negative_moisture(rq, None)
+        got = pcol.fix_negative_moisture_pallas(rq, None, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=1e-9)
+
+    def test_wired_into_correction(self):
+        """apply_negative_moisture_correction dispatches the kernel under
+        BREEZE_TPU_PALLAS_INTERPRET and matches the jnp path."""
+        import os
+        from breeze_tpu.physics.microphysics import (
+            apply_negative_moisture_correction)
+        g = bz.make_grid(size=(128, 16, 8), extent=(1000.0, 500.0, 300.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        model = bz.make_model(
+            g, advection=adv.WENO(5), potential_temperature=300.0,
+            microphysics=bz.SaturationAdjustment(
+                equilibrium=bz.WarmPhaseEquilibrium()))
+        rng = np.random.default_rng(3)
+        state = bz.initial_state(
+            model, theta=lambda x, y, z: jnp.full_like(x, 300.0),
+            qt=lambda x, y, z: jnp.full_like(x, 1e-3))
+        rq = rng.normal(1e-3, 2e-3, g.shape).astype(np.float32)
+        state = state.replace(rho_qt=jnp.asarray(rq))
+        ref = apply_negative_moisture_correction(model, state)
+        os.environ["BREEZE_TPU_PALLAS_INTERPRET"] = "1"
+        try:
+            got = apply_negative_moisture_correction(model, state)
+        finally:
+            del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
+        np.testing.assert_allclose(np.asarray(got.rho_qt),
+                                   np.asarray(ref.rho_qt),
+                                   rtol=2e-5, atol=1e-9)
