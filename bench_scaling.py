@@ -30,6 +30,12 @@ def main() -> int:
                    help="execution path: GSPMD partitioner or explicit "
                         "shard_map collectives (1-D x pencil)")
     p.add_argument("--out", default=None, help="write the curve to this JSON file")
+    p.add_argument("--collective-share", action="store_true",
+                   help="ALSO time each mesh size with ppermute/all-to-all "
+                        "replaced by local wraps (BREEZE_TPU_LOCAL_HALO_"
+                        "TIMING) and report the collective share of the "
+                        "step (shard_map path only; wrong numerics in the "
+                        "timing variant)")
     args = p.parse_args()
 
     if args.virtual:
@@ -91,31 +97,60 @@ def main() -> int:
             step = shard_step(lambda m, s, dt: ssp_rk3_step(m, s, dt), mesh,
                               model_s, state_s, donate=False)
 
-        out = step(model_s, state_s, 0.5)
-        _ = float(jnp.sum(out.rho_theta))    # real sync (see CLAUDE.md)
-        t0 = time.perf_counter()
-        cur = state_s
-        for _ in range(args.steps):
-            cur = step(model_s, cur, 0.5)
-        _ = float(jnp.sum(cur.rho_theta))
-        dt_step = (time.perf_counter() - t0) / args.steps
+        def time_step(step_fn):
+            out = step_fn(model_s, state_s, 0.5)
+            _ = float(jnp.sum(out.rho_theta))    # real sync (see CLAUDE.md)
+            t0 = time.perf_counter()
+            cur = state_s
+            for _ in range(args.steps):
+                cur = step_fn(model_s, cur, 0.5)
+            _ = float(jnp.sum(cur.rho_theta))
+            return (time.perf_counter() - t0) / args.steps
+
+        dt_step = time_step(step)
+
+        collective_share = None
+        if args.collective_share and args.path == "shard_map" and n_dev > 1:
+            # Re-trace with every ppermute/all-to-all replaced by a local
+            # wrap of identical shape (parallel.halo._local_halo_timing) —
+            # same local compute + DMA, zero collectives.  The delta is the
+            # non-overlapped collective time per step.
+            os.environ["BREEZE_TPU_LOCAL_HALO_TIMING"] = "1"
+            try:
+                sm_local = make_shard_map_step(model, mesh)
+                dt_local = time_step(lambda _m, s, dt: sm_local(s, dt))
+            finally:
+                del os.environ["BREEZE_TPU_LOCAL_HALO_TIMING"]
+            collective_share = max(0.0, 1.0 - dt_local / dt_step)
 
         rate = nx * ny * nz / dt_step
         per_dev = rate / n_dev
         if base_rate is None:
             base_rate = per_dev
-        results.append({
+        row = {
             "devices": n_dev, "mesh": [px, py], "path": args.path,
             "global_size": f"{nx}x{ny}x{nz}",
             "points_per_second": round(rate, 1),
             "points_per_second_per_device": round(per_dev, 1),
             "weak_scaling_efficiency": round(per_dev / base_rate, 4),
-        })
+        }
+        if collective_share is not None:
+            row["collective_share"] = round(collective_share, 4)
+        if args.virtual:
+            # virtual CPU devices share one host's memory bus — neither the
+            # absolute rate nor the collective share predicts TPU ICI
+            row["indicative"] = False
+        results.append(row)
         print(json.dumps(results[-1]))
 
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"path": args.path, "virtual": args.virtual,
+                       "indicative": not args.virtual,
+                       "note": ("virtual CPU mesh: methodology validation "
+                                "only, timing not indicative of TPU ICI"
+                                if args.virtual else
+                                "real device mesh"),
                        "per_device_tile": args.per_device,
                        "steps": args.steps, "curve": results}, f, indent=1)
 

@@ -62,7 +62,7 @@ def pad_axis_sharded(a: jax.Array, axis: int, h: int) -> jax.Array:
     lo_slab = jax.lax.slice_in_dim(a, n - h, n, axis=axis)   # my top → right nbr
     hi_slab = jax.lax.slice_in_dim(a, 0, h, axis=axis)       # my bottom → left nbr
 
-    if n_shards == 1:
+    if n_shards == 1 or _local_halo_timing():
         return jnp.concatenate([lo_slab, a, hi_slab], axis=axis)
 
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
@@ -72,11 +72,24 @@ def pad_axis_sharded(a: jax.Array, axis: int, h: int) -> jax.Array:
     return jnp.concatenate([from_left, a, from_right], axis=axis)
 
 
+def _local_halo_timing() -> bool:
+    """``BREEZE_TPU_LOCAL_HALO_TIMING=1``: replace every ppermute halo
+    exchange with a LOCAL wrap of the shard.  WRONG numerics — exists only
+    so ``bench_scaling.py --collective-share`` can measure the collective
+    share of a sharded step (same local compute + DMA, zero collectives).
+    Read at trace time; never set it for a production run."""
+    import os
+
+    return bool(os.environ.get("BREEZE_TPU_LOCAL_HALO_TIMING"))
+
+
 def _exchange_slabs(a, axis, h, name, n_shards):
     """(from_left, from_right) neighbor slabs via cyclic ppermute."""
     n = a.shape[axis]
     lo_slab = jax.lax.slice_in_dim(a, n - h, n, axis=axis)
     hi_slab = jax.lax.slice_in_dim(a, 0, h, axis=axis)
+    if _local_halo_timing():
+        return lo_slab, hi_slab
     fwd = [(i, (i + 1) % n_shards) for i in range(n_shards)]
     bwd = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     return (jax.lax.ppermute(lo_slab, name, fwd),
@@ -144,7 +157,7 @@ def wrap_roll(a: jax.Array, shift: int, axis: int) -> jax.Array:
     name = _current_axes()[axis]
     n_shards = jax.lax.axis_size(name)
     n = a.shape[axis]
-    if n_shards == 1:
+    if n_shards == 1 or _local_halo_timing():
         return jnp.roll(a, shift, axis)
     if shift == -1:
         # element i ← i+1: my first slab goes to my LEFT neighbor

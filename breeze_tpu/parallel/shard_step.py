@@ -53,6 +53,21 @@ from ..dynamics.poisson import (AnelasticPoissonSolver,
 from .halo import shard_axes
 
 
+
+def _a2a(x, name, split_axis, concat_axis):
+    """``lax.all_to_all(tiled=True)`` — or, under
+    ``BREEZE_TPU_LOCAL_HALO_TIMING=1`` (see ``halo._local_halo_timing``),
+    a LOCAL split+concat of identical shape/data volume so
+    ``bench_scaling.py --collective-share`` can time the collective share
+    of the pencil transpose.  Wrong numerics under the flag."""
+    from .halo import _local_halo_timing
+    if _local_halo_timing():
+        n = jax.lax.axis_size(name)
+        return jnp.concatenate(jnp.split(x, n, axis=split_axis),
+                               axis=concat_axis)
+    return jax.lax.all_to_all(x, name, split_axis=split_axis,
+                              concat_axis=concat_axis, tiled=True)
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["base"],
          meta_fields=["axis_x", "axis_y", "nx_global", "ny_global"])
@@ -95,18 +110,14 @@ class PencilPoissonSolver:
         rhs = (divergence * base.dz_c[:, None, None]) / dt
 
         # gather horizontals (split z)
-        a = jax.lax.all_to_all(rhs, ax, split_axis=0, concat_axis=2,
-                               tiled=True)
+        a = _a2a(rhs, ax, 0, 2)
         if ay:
-            a = jax.lax.all_to_all(a, ay, split_axis=0, concat_axis=1,
-                                   tiled=True)
+            a = _a2a(a, ay, 0, 1)
         a_hat = base._forward(a)
         # regain z (split the y-mode axis over "y" then "x")
         if ay:
-            a_hat = jax.lax.all_to_all(a_hat, ay, split_axis=1,
-                                       concat_axis=0, tiled=True)
-        a_hat = jax.lax.all_to_all(a_hat, ax, split_axis=1, concat_axis=0,
-                                   tiled=True)
+            a_hat = _a2a(a_hat, ay, 1, 0)
+        a_hat = _a2a(a_hat, ax, 1, 0)
 
         nyl = my // (px * py)
         offset = iy * (my // py) + ix * nyl
@@ -126,17 +137,13 @@ class PencilPoissonSolver:
                                          ysl(base.c_prime),
                                          mask, base.nz)
 
-        x = jax.lax.all_to_all(x, ax, split_axis=0, concat_axis=1,
-                               tiled=True)
+        x = _a2a(x, ax, 0, 1)
         if ay:
-            x = jax.lax.all_to_all(x, ay, split_axis=0, concat_axis=1,
-                                   tiled=True)
+            x = _a2a(x, ay, 0, 1)
         phi = base._inverse(x, (self.ny_global or base.ny, self.nx_global))
         if ay:
-            phi = jax.lax.all_to_all(phi, ay, split_axis=1, concat_axis=0,
-                                     tiled=True)
-        phi = jax.lax.all_to_all(phi, ax, split_axis=2, concat_axis=0,
-                                 tiled=True)
+            phi = _a2a(phi, ay, 1, 0)
+        phi = _a2a(phi, ax, 2, 0)
         return phi.astype(divergence.dtype)
 
 
