@@ -307,6 +307,15 @@ def initial_state(model: AtmosphereModel,
         time=jnp.zeros((), dt),
         diagnostics=diagnostics,
     )
+    if isinstance(model.microphysics, SaturationAdjustment) and rho_qt is not None:
+        # Warm-start temperature carried ACROSS steps: RK3 stage 1 starts
+        # the saturation-adjustment Newton from the previous step's
+        # converged T (stages 2-3 chain within the step) — every stage
+        # runs scheme.warm_iterations trips.  Seeded with the initial
+        # diagnosed T so step 1 is warm too.
+        aux0 = diagnose(model, state)
+        state = state.replace(
+            diagnostics={**state.diagnostics, "T_warm": aux0.T})
     from .physics.surface import initialize_surface_filter
     return initialize_surface_filter(model, state)
 

@@ -63,7 +63,12 @@ def _weno5_plus(g):
     e0 = b0 + eps
     e1 = b1 + eps
     e2 = b2 + eps
-    inv_m = 1.0 / jnp.maximum(e0, jnp.maximum(e1, e2))
+    # approximate reciprocal (~2^-7): the normalization scale cancels
+    # EXACTLY in the final convex-combination ratio (all three ratios
+    # carry the same factor, so the a_i scale uniformly) — only the 1e-9
+    # floor sees the approximation, far below weight relevance.  Saves
+    # the full-precision Newton refinement on this VPU-bound kernel.
+    inv_m = pl.reciprocal(jnp.maximum(e0, jnp.maximum(e1, e2)), approx=True)
     # floor the normalized ratios: keeps the pair products out of the f32
     # denormal-flush range (ratios < 1e-9 mean that stencil is >=1e9x
     # rougher -- its weight split is already decided)

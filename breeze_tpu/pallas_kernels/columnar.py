@@ -37,32 +37,52 @@ def _make_fix_negative(nz: int, by: int, nx: int):
         pltpu.make_async_copy(dz_hbm, dz_w, sems.at[1]).wait()
 
         # column mass-per-area m = ρq·Δz (conserves ∫ρq dz on stretched
-        # grids); stage in the output ref, overwrite in place.
-        out_ref[:] = mq_w[:] * dz_w[:]
+        # grids).
+        m = mq_w[:] * dz_w[:]
 
-        # top→bottom deficit push: newⱼ = mⱼ + carry, out = max(new, 0),
-        # carry = min(new, 0); z rows indexed dynamically (VMEM ref loads —
-        # register-value dynamic indexing does not lower on Mosaic).
-        def body(k, carry):
-            zi = nz - 1 - k
-            new = out_ref[pl.ds(zi, 1)] + carry
-            out_ref[pl.ds(zi, 1)] = jnp.maximum(new, 0.0)
-            return jnp.minimum(new, 0.0)
-
-        carry = jax.lax.fori_loop(
-            0, nz - 1, body, jnp.zeros((1, by, nx), jnp.float32))
+        # The top→bottom deficit-push recurrence
+        #     newⱼ = mⱼ + carry,  out = max(new, 0),  carry = min(new, 0)
+        # in its closed form (see physics.microphysics.fix_negative_
+        # moisture), expressed with SUFFIX scans so no z-reversal is
+        # needed: the scan-order prefix sum S equals the level-order
+        # suffix sum SSⱼ = Σ_{i≥j} mᵢ, and the scan prefix-max becomes
+        # the suffix max of SS.  Log-depth shifted adds/maxes over the
+        # VMEM-resident block — all STATIC slices (a sequential z loop
+        # with dynamic ref indexing measured 4.6 ms/step at 256³; this
+        # form is pure vectorized VPU work).
+        zeros = jnp.zeros_like(m)
+        SS = m
+        d = 1
+        while d < nz:
+            SS = SS + jnp.concatenate([SS[d:], zeros[:d]], axis=0)
+            d *= 2
+        NEG = jnp.float32(-3.0e38)
+        MM = SS
+        d = 1
+        while d < nz:
+            shifted = jnp.concatenate(
+                [MM[d:], jnp.full((d, by, nx), NEG, jnp.float32)], axis=0)
+            MM = jnp.maximum(MM, shifted)
+            d *= 2
+        # C[j] = max(0, MM[j+1]) (0 at the top level — nothing above)
+        C = jnp.maximum(jnp.concatenate([MM[1:], zeros[:1]], axis=0), 0.0)
+        new = SS - C                    # valid for levels 1..nz-1
+        out_upper = jnp.maximum(new[1:], 0.0)
+        carry = jnp.minimum(new[1:2], 0.0)   # deficit reaching the bottom
 
         # bottom: absorb the carry, then borrow min(needed, available)
         # from level 1; a residual negative (column integral < 0) stays.
-        m0 = out_ref[pl.ds(0, 1)] + carry
-        lvl1 = out_ref[pl.ds(1, 1)]
+        m0 = m[:1] + carry
+        lvl1 = out_upper[:1]
         avail = jnp.maximum(lvl1, 0.0)
         take = jnp.where(m0 < 0.0, jnp.minimum(-m0, avail), 0.0)
-        out_ref[pl.ds(0, 1)] = m0 + take
-        out_ref[pl.ds(1, 1)] = lvl1 - take
+        bottom = m0 + take
+        lvl1 = lvl1 - take
 
         # back to ρq units: one (nz,1,nx) reciprocal, broadcast multiply
-        out_ref[:] = out_ref[:] * (1.0 / dz_w[:])
+        inv = 1.0 / dz_w[:]
+        out_ref[:] = jnp.concatenate(
+            [bottom, lvl1, out_upper[1:]], axis=0) * inv
 
     return kernel
 

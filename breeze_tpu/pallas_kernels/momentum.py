@@ -68,8 +68,11 @@ def _weno5(g, normalize: bool = True):
     e1 = b1 + eps
     e2 = b2 + eps
     if normalize:
-        # max-normalized so the pair products stay in f32 range
-        inv_m = 1.0 / jnp.maximum(e0, jnp.maximum(e1, e2))
+        # max-normalized so the pair products stay in f32 range; approx
+        # reciprocal is safe — the scale cancels exactly in the final
+        # ratio (see advection._weno5_plus)
+        inv_m = pl.reciprocal(jnp.maximum(e0, jnp.maximum(e1, e2)),
+                              approx=True)
         # floor the normalized ratios: keeps the pair products out of the
         # f32 denormal-flush range (ratios < 1e-9 mean that stencil is
         # >=1e9x rougher -- its weight split is already decided)

@@ -365,12 +365,30 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
       the tendencies (exact arithmetic of ``timesteppers._substep``).
       Incompatible with ``hx`` (x-prepadded sharded mode).
     """
+    import os as _os
+
     nz, ny, nx = grid.shape
     # x-prepadded mode (``advection.HX`` doc): run the identical kernel at
     # lane width nxp and slice the interior back out of the outputs.
     nxp = nx + 2 * hx
-    bz = _pick_block(nz, (8, 16, 4))
-    by = _pick_block(ny, (32, 16, 8, 64))
+    # Block choice: (16, 64) measured 61.5 vs 64.4 ms/step on 256³ BOMEX
+    # (v5e, tools/sweep_tend_blocks.py r4) — the larger window cuts the
+    # halo-overlap DMA share (1.55× vs 2.19×).  Guarded by lane width: at
+    # nx ≳ 512 the (22, 72, nx) windows push VMEM past what Mosaic
+    # schedules well, so wide grids keep the round-3 (8, 32) blocks.
+    if nxp <= 384:
+        bz = _pick_block(nz, (16, 8, 4))
+        by = _pick_block(ny, (64, 32, 16, 8))
+    else:
+        bz = _pick_block(nz, (8, 16, 4))
+        by = _pick_block(ny, (32, 16, 8, 64))
+    # block-sweep overrides (tools/sweep_tend_blocks.py); must divide nz/ny
+    bz_env = _os.environ.get("BREEZE_TPU_TEND_BZ")
+    by_env = _os.environ.get("BREEZE_TPU_TEND_BY")
+    if bz_env and nz % int(bz_env) == 0:
+        bz = int(bz_env)
+    if by_env and ny % int(by_env) == 0:
+        by = int(by_env)
     from .momentum import _inv_dz_cols
 
     invdzc, invdzf = _inv_dz_cols(grid, nxp)

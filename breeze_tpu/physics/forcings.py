@@ -65,15 +65,20 @@ class SubsidenceForcing:
 
     def __call__(self, model, state, aux, G):
         g = model.grid
-        so = model.stencil_ops()
         w_s = self.w_profile(g.z_c_col)
         rho = model.reference.rho_col
+        # ∂z of a horizontal mean is pure COLUMN arithmetic — the previous
+        # form broadcast the mean to a full field, halo-padded it, and ran
+        # the 3-D stencil (~5 full-field HBM passes per scalar per stage
+        # for O(nz) math).  Column equivalent of pad(CCC even-mirror) +
+        # dz_cf + center interp: face derivative (m[k]−m[k−1])/Δzᶠ with the
+        # wall face mirrored to zero, top face extrapolated.
+        dz_f = g.dz_f_col
 
         def dz_mean(c):
-            mean = jnp.mean(c, axis=(1, 2), keepdims=True)
-            mp = fl.pad(mean * jnp.ones_like(c), g, fl.CCC)
-            ddz_f = so.dz_cf(mp)                # at z-faces 0..nz-1
-            # interp to centers (top face extrapolated)
+            mean = jnp.mean(c, axis=(1, 2), keepdims=True)      # (nz,1,1)
+            dm = (mean[1:] - mean[:-1]) / dz_f[1: g.nz]
+            ddz_f = jnp.concatenate([jnp.zeros_like(dm[:1]), dm], 0)
             return 0.5 * (ddz_f + jnp.concatenate([ddz_f[1:], ddz_f[-1:]], 0))
 
         G = _rep(G, rho_theta=G.rho_theta - rho * w_s * dz_mean(aux.theta))

@@ -117,6 +117,54 @@ def _newton_adjust_T(T0, qt, p, constants: ThermodynamicConstants, eq,
     return T
 
 
+def _newton_adjust_T_theta_li(T0, qt, p, theta_li,
+                              constants: ThermodynamicConstants, eq,
+                              iterations: int, p_standard: float):
+    """θˡⁱ-specialized variant of :func:`_newton_adjust_T` with a
+    linearized Exner update: Π depends on the state only through
+    k = Rᵐ/cᵖᵐ, and over a Newton solve k moves by |Δk| ≲ 2e-5, so
+    Π(k) = Π(k₀)·exp((k−k₀)·log(p/pˢᵗ)) ≈ Π₀·(1 + (k−k₀)·logπ) with
+    relative error (Δk·logπ)²/2 ≲ 1e-9 — ONE full-field exp for the whole
+    solve instead of one per trip (the adjustment is VPU-transcendental-
+    bound; see CLAUDE.md perf notes).  ``1/cᵖᵐ`` is likewise computed once
+    per trip and shared by the latent and slope terms.
+    """
+    Ll = constants.liquid.reference_latent_heat
+    Li = constants.ice.reference_latent_heat
+    eps = constants.epsilon_dv
+    logp = jnp.log(p / p_standard)
+    T = T0
+    Pi0 = k0 = None
+    for i in range(iterations):
+        lam = eq.liquid_fraction(T)
+        pvs = saturation_vapor_pressure(T, constants, lam)
+        inv_pmp = 1.0 / (p - pvs)
+        qvs = eps * (1.0 - qt) * pvs * inv_pmp
+        q = equilibrated_moisture_fractions(T, qt, qvs, eq)
+        Rm = constants.mixture_gas_constant(q)
+        cpm = constants.mixture_heat_capacity(q)
+        inv_cpm = 1.0 / cpm
+        k = Rm * inv_cpm
+        if i == 0:
+            Pi = jnp.exp(k * logp)
+            Pi0, k0 = Pi, k
+        else:
+            Pi = Pi0 * (1.0 + (k - k0) * logp)
+        r = T - (Pi * theta_li + (Ll * q.liquid + Li * q.ice) * inv_cpm)
+        L_eff = lam * Ll + (1.0 - lam) * Li
+        dqvs = (qvs * saturation_vapor_pressure_slope_ratio(T, constants, lam)
+                * p * inv_pmp)
+        drdT = 1.0 + L_eff * dqvs * inv_cpm
+        if isinstance(eq, MixedPhaseEquilibrium):
+            qc = jnp.maximum(0.0, qt - qvs)
+            Tf = eq.freezing_temperature
+            Th = eq.homogeneous_ice_nucleation_temperature
+            dlam = jnp.where((T > Th) & (T < Tf), 1.0 / (Tf - Th), 0.0)
+            drdT = drdT - qc * (Ll - Li) * dlam * inv_cpm
+        T = T - jnp.clip(r / jnp.maximum(drdT, 0.1), -25.0, 25.0)
+    return T
+
+
 def saturation_adjust_static_energy(e, z, qt, p, constants: ThermodynamicConstants,
                                     scheme: "SaturationAdjustment",
                                     T_guess=None):
@@ -583,10 +631,9 @@ def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
         # saturated-branch root satisfies T* ≥ T1 for condensational
         # warming, so max(T_guess, T1 + 0.01) is on the right side.
         T_start = jnp.maximum(T_guess, T1 + 0.01)
-        T_star = _newton_adjust_T(
-            T_start, qt, p, constants, eq, scheme.warm_iterations,
-            lambda T, q: temperature_from_theta_li(theta_li, q, p, constants,
-                                                   p_standard))
+        T_star = _newton_adjust_T_theta_li(
+            T_start, qt, p, theta_li, constants, eq,
+            scheme.warm_iterations, p_standard)
         lam_s = eq.liquid_fraction(T_star)
         qvs_s = adjustment_saturation_specific_humidity(T_star, p, qt,
                                                         constants, lam_s)
@@ -618,10 +665,9 @@ def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
     T2 = T1 + jnp.maximum(0.01, dT / (1.0 + L_eff1 * dqvs1 / cpm))
 
     if scheme.solver == "newton":
-        T_star = _newton_adjust_T(
-            T2, qt, p, constants, eq, scheme.iterations,
-            lambda T, q: temperature_from_theta_li(theta_li, q, p, constants,
-                                                   p_standard))
+        T_star = _newton_adjust_T_theta_li(
+            T2, qt, p, theta_li, constants, eq, scheme.iterations,
+            p_standard)
     else:
         # Fixed-count secant from (T1, T2).
         Ta, Tb = T1, T2

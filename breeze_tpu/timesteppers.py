@@ -51,11 +51,13 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
                         and getattr(model.closure, "vertically_implicit", False))
 
     state0 = state
-    prev_T = None
+    # Warm-start chain for the saturation-adjustment Newton solve: stage 1
+    # starts from the previous STEP's converged T (diagnostics["T_warm"],
+    # seeded at initial_state), stages 2-3 from the previous stage's — all
+    # stages run scheme.warm_iterations trips (the state moves by O(αΔt)
+    # between solves; see SaturationAdjustment.warm_iterations).
+    prev_T = state.diagnostics.get("T_warm")
     for alpha in SSP_RK3_ALPHAS:
-        # Stages 2-3 warm-start the saturation-adjustment Newton solve from
-        # the previous stage's converged T (the state moved by O(αΔt) — see
-        # SaturationAdjustment.warm_iterations).  Stage 1 is a cold start.
         aux = M.diagnose(model, state, T_guess=prev_T)
         prev_T = aux.T
         # Fused stage blend: on the Pallas path the substep happens in the
@@ -85,6 +87,11 @@ def ssp_rk3_step(model: M.AtmosphereModel, state: M.State, dt) -> M.State:
     # the tendency-/adjustment-interface schemes currently implemented).
     if model.microphysics is not None and hasattr(model.microphysics, "model_update"):
         state = model.microphysics.model_update(model, state, dt)
+
+    if prev_T is not None and "T_warm" in state.diagnostics:
+        # stage-3 T becomes the next step's stage-1 warm start
+        state = state.replace(
+            diagnostics={**state.diagnostics, "T_warm": prev_T})
 
     return state.replace(time=state.time + dt)
 

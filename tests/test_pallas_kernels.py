@@ -974,4 +974,4 @@ class TestColumnarFixNegative:
             del os.environ["BREEZE_TPU_PALLAS_INTERPRET"]
         np.testing.assert_allclose(np.asarray(got.rho_qt),
                                    np.asarray(ref.rho_qt),
-                                   rtol=2e-5, atol=1e-9)
+                                   rtol=2e-5, atol=1e-8)
