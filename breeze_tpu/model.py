@@ -661,6 +661,46 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             th_b = aux.theta * (1.0 + delta_rv * aux.q.vapor
                                 - aux.q.liquid - aux.q.ice)
             thb_pad_zy = pz(th_b, fl.CCC)
+        # Column-linear forcings fused into the kernel epilogue
+        # (G += add(z) − damp(z)·ρ-field; physics.forcings.*.column_parts):
+        # every BOMEX-class forcing (geostrophic, subsidence, drying,
+        # sponge) reduces to per-level columns, so the post-kernel
+        # full-field read-modify-write extras pass disappears.  Skipped in
+        # sharded contexts (the horizontal means in column_parts are
+        # local there — matching the jnp path keeps sharded==dense).
+        forcing_cols = None
+        forcings_fused = False
+        from .parallel.halo import _current_axes as _cur_axes
+        if (model.forcings and not xpad and not _cur_axes()
+                and model.immersed is None
+                and all(hasattr(f, "column_parts") for f in model.forcings)
+                and not os.environ.get("BREEZE_TPU_DISABLE_PALLAS_FCOL")):
+            name_to_idx = {"rho_u": 0, "rho_v": 1, "rho_w": 2, "rho_theta": 3}
+            if model.has_moisture:
+                name_to_idx["rho_qt"] = 4
+            for i, k in enumerate(tracer_names):
+                name_to_idx[k] = (5 if model.has_moisture else 4) + i
+            n_out = 3 + len(scalars)
+            adds = [None] * n_out
+            damps = [None] * n_out
+            ok = True
+            for f in model.forcings:
+                for name, (a, d) in f.column_parts(model, state, aux).items():
+                    if name not in name_to_idx:
+                        ok = False
+                        break
+                    idx = name_to_idx[name]
+                    if a is not None:
+                        adds[idx] = a if adds[idx] is None else adds[idx] + a
+                    if d is not None:
+                        damps[idx] = (d if damps[idx] is None
+                                      else damps[idx] + d)
+                if not ok:
+                    break
+            if ok:
+                forcing_cols = (adds, damps)
+                forcings_fused = True
+
         sub_arg = None
         fused_substepped = False
         # The substep epilogue has its own opt-out so the hardware-verified
@@ -687,7 +727,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
             scal_bounds=getattr(scal_scheme, "bounds_preserving", False),
             closure_model=model if merge_closure else None,
             thb_pad=thb_pad_zy, hx=shard_hx or 0,
-            substep=sub_arg)
+            substep=sub_arg, forcing_cols=forcing_cols)
         if merge_closure:
             # SGS tendencies already folded in by the kernel epilogue
             use_pallas_closure = False
@@ -704,6 +744,7 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
     else:
         closure_done = False
         fused_substepped = False
+        forcings_fused = False
         # Momentum advection: ∇·(ρU ⊗ u)
         if use_pallas_mom:
             from .pallas_kernels.momentum import H as _PH
@@ -843,9 +884,11 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         from .physics.surface import apply_boundary_flux_tendencies
         G = apply_boundary_flux_tendencies(model, state, aux, G)
 
-    # User forcings (geostrophic, subsidence, sponges...).
-    for forcing in model.forcings:
-        G = forcing(model, state, aux, G)
+    # User forcings (geostrophic, subsidence, sponges...) — unless already
+    # folded into the kernel epilogue as columns (forcings_fused above).
+    if not forcings_fused:
+        for forcing in model.forcings:
+            G = forcing(model, state, aux, G)
 
     # Immersed boundary: no evolution inside the solid (reference
     # inactive_cell masking in every tendency kernel).

@@ -86,7 +86,7 @@ def _scalar_div(bz, by, nx, inv_dx, inv_dy, c, ru, rv, rw_col_mf, invdzc,
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                  n_scalars: int, f_cor: float | None, dry_buoy: bool,
                  has_b: bool, scal_bounds: bool, clo=None, has_thb=False,
-                 n_zblocks=0, substep=False):
+                 n_zblocks=0, substep=False, fadd_mask=(), fdamp_mask=()):
     """``clo``: optional static SGS-closure config
     ``(prandtl, buoy_corr, g_acc)`` — fuses the Smagorinsky-Lilly stage
     (``closure._smag_block``) into the epilogue on the SAME windows, adding
@@ -98,7 +98,12 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
     inputs (current + stage-0 ρ-prognostics) and an SMEM (α, Δt) pair;
     outputs become the substepped fields (1−α)s⁰ + α(s + Δt·G) instead of
     G, eliminating the separate XLA substep pass (~4(3+K) HBM transits per
-    stage)."""
+    stage).
+    ``fadd_mask``/``fdamp_mask``: per-output flags (each length 3+K) for
+    column-linear forcing inputs — G += add(z) − damp(z)·(ρ-prognostic),
+    the fused form of geostrophic/subsidence/drying/sponge forcings
+    (``physics.forcings.*.column_parts``); kills the post-kernel
+    full-field read-modify-write extras pass."""
     wz, wy = bz + 2 * H, by + 2 * HY
     n_win = 3 + n_scalars + (1 if has_b else 0) + (1 if has_thb else 0)
     n_cols = 3 if dry_buoy else 0    # Tref, Pi, gρ columns (VMEM-resident)
@@ -119,6 +124,8 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         buoy_cols = [next(it) for _ in range(n_cols)]
         clo_cols = [next(it) for _ in range(n_ccols)]
         invdzc_hbm, invdzf_hbm = next(it), next(it)
+        fadd_refs = [next(it) if m else None for m in fadd_mask]
+        fdamp_refs = [next(it) if m else None for m in fdamp_mask]
         cur_refs = [next(it) for _ in range(3 + n_scalars)] if substep else None
         prev_refs = [next(it) for _ in range(3 + n_scalars)] if substep else None
         ab_ref = next(it) if substep else None
@@ -225,6 +232,22 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
             gv = gv + cgv
             gw = gw + cgw
 
+        # column-linear forcings (see _make_kernel doc): the (nz,1,nx)
+        # VMEM-resident columns slice per z-block like the density cols
+        def _fcol(r):
+            return r[pl.ds(i * bz, bz), :, :]
+
+        if any(fadd_mask[:3] if fadd_mask else ()) or \
+                any(fdamp_mask[:3] if fdamp_mask else ()):
+            rufs = (s(ru, 0, 0), s(rv, 0, 0), s(rw, 0, 0))
+            gs_mom = [gu, gv, gw]
+            for n in range(3):
+                if fadd_mask and fadd_refs[n] is not None:
+                    gs_mom[n] = gs_mom[n] + _fcol(fadd_refs[n])
+                if fdamp_mask and fdamp_refs[n] is not None:
+                    gs_mom[n] = gs_mom[n] - _fcol(fdamp_refs[n]) * rufs[n]
+            gu, gv, gw = gs_mom
+
         if substep:
             # fused SSP-RK3 substep: (1−α)s⁰ + α(s + Δt·G) — the exact
             # arithmetic order of timesteppers._substep (bitwise match)
@@ -256,6 +279,13 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                     gs = gs + cgth
                 elif k == 1 and cgqt is not None:
                     gs = gs + cgqt
+                if fadd_mask and fadd_refs[3 + k] is not None:
+                    gs = gs + _fcol(fadd_refs[3 + k])
+                if fdamp_mask and fdamp_refs[3 + k] is not None:
+                    # damp col × ρ-scalar: the scalar windows hold the
+                    # SPECIFIC scalar; ρs = χ·ρᵣ(z) from the center column
+                    gs = gs - (_fcol(fdamp_refs[3 + k])
+                               * s(scal[k], 0, 0) * colc[H: H + bz, :, :])
                 if substep:
                     gs = (oma * prev_refs[3 + k][:]
                           + a * (cur_refs[3 + k][:] + dtv * gs))
@@ -267,17 +297,19 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 @functools.partial(jax.jit, static_argnames=(
     "inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "n_scalars",
     "f_cor", "dry_buoy", "has_b", "scal_bounds", "clo", "has_thb",
-    "interpret"))
+    "interpret", "fadd_mask", "fdamp_mask"))
 def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
          buoy_cols, clo_cols, invdzc, invdzf, inv_dx, inv_dy, nz, ny, nx,
          bz, by, n_scalars, f_cor, dry_buoy, has_b, scal_bounds=False,
          clo=None, has_thb=False, interpret=False,
-         cur_fields=(), prev_fields=(), ab=None):
+         cur_fields=(), prev_fields=(), ab=None,
+         fadd_cols=(), fdamp_cols=(), fadd_mask=(), fdamp_mask=()):
     substep = ab is not None
     kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, n_scalars, f_cor,
                           dry_buoy, has_b, scal_bounds, clo=clo,
                           has_thb=has_thb, n_zblocks=nz // bz,
-                          substep=substep)
+                          substep=substep, fadd_mask=fadd_mask,
+                          fdamp_mask=fdamp_mask)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
     n_win = 3 + n_scalars + (1 if has_b else 0) + (1 if has_thb else 0)
@@ -286,10 +318,11 @@ def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
     win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
     col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
+    n_fcols = sum(1 for m in fadd_mask if m) + sum(1 for m in fdamp_mask if m)
     args = ([u_pad, v_pad, w_pad] + list(scalars_pad)
             + ([b_pad] if has_b else []) + ([thb_pad] if has_thb else [])
             + [colc, colf] + list(buoy_cols) + list(clo_cols)
-            + [invdzc, invdzf])
+            + [invdzc, invdzf] + list(fadd_cols) + list(fdamp_cols))
     blk = lambda: pl.BlockSpec((bz, by, nx), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM)
     sub_specs = []
@@ -303,6 +336,7 @@ def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * n_win
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 + n_cols + n_ccols)
         + [pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_fcols
         + sub_specs,
         out_specs=[blk()] * (3 + n_scalars),
         out_shape=[out] * (3 + n_scalars),
@@ -339,7 +373,7 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
                           coriolis_f=None, buoy_cols=None, b_pad=None,
                           scal_bounds=False, closure_model=None,
                           thb_pad=None, hx=0, interpret=False,
-                          substep=None):
+                          substep=None, forcing_cols=None):
     """Fused advective tendencies: returns ``(G_ρu, G_ρv, G_ρw, [G_ρs...])``.
 
     - ``u_pad``/``v_pad``/``w_pad``/``scalars_pad``: pre-padded by
@@ -415,6 +449,22 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
         dz_f = np.asarray(grid.dz_f_meta, np.float64)[: nz]
         clo_cols = (pad_col(1.0 / dz_c), pad_col(1.0 / dz_f), pad_col(cd2))
 
+    # Column-linear forcings: (adds, damps) lists of per-output (nz,)
+    # columns (or None) in [ρu, ρv, ρw, scalars...] order — see
+    # physics.forcings.*.column_parts.
+    fadd_mask = fdamp_mask = ()
+    fadd_cols = fdamp_cols = ()
+    if forcing_cols is not None:
+        adds, damps = forcing_cols
+        n_out = 3 + len(scalars_pad)
+        assert len(adds) == n_out and len(damps) == n_out
+        fadd_mask = tuple(a is not None for a in adds)
+        fdamp_mask = tuple(d is not None for d in damps)
+        fadd_cols = tuple(bcast_col(jnp.asarray(a, jnp.float32).reshape(-1),
+                                    nxp) for a in adds if a is not None)
+        fdamp_cols = tuple(bcast_col(jnp.asarray(d, jnp.float32).reshape(-1),
+                                     nxp) for d in damps if d is not None)
+
     cur_fields = prev_fields = ()
     ab = None
     if substep is not None:
@@ -435,7 +485,8 @@ def fused_tendency_pallas(grid, u_pad, v_pad, w_pad, scalars_pad, colc, colf,
                 clo=clo, has_thb=thb_pad is not None,
                 interpret=interpret or force_interpret(),
                 cur_fields=tuple(cur_fields), prev_fields=tuple(prev_fields),
-                ab=ab)
+                ab=ab, fadd_cols=fadd_cols, fdamp_cols=fdamp_cols,
+                fadd_mask=fadd_mask, fdamp_mask=fdamp_mask)
     if hx:
         outs = [o[:, :, hx: hx + nx] for o in outs]
     return outs[0], outs[1], outs[2], list(outs[3:])

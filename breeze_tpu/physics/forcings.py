@@ -50,6 +50,18 @@ class GeostrophicForcing:
         )
         return G
 
+    def column_parts(self, model, state, aux):
+        """Column-linear form for the fused tendency-kernel epilogue
+        (``G_field += add(z) − damp(z)·ρ-field``); every forcing whose
+        stage contribution reduces to per-level columns exposes this so
+        the post-kernel full-field read-modify-write pass disappears."""
+        z = model.grid.z_c_col
+        ug = self.u_g(z) if callable(self.u_g) else self.u_g
+        vg = self.v_g(z) if callable(self.v_g) else self.v_g
+        rho = model.reference.rho_col
+        return {"rho_u": (-rho * self.f * vg + 0.0 * z, None),
+                "rho_v": (rho * self.f * ug + 0.0 * z, None)}
+
 
 @dataclasses.dataclass(frozen=True)
 class SubsidenceForcing:
@@ -86,6 +98,23 @@ class SubsidenceForcing:
             G = _rep(G, rho_qt=G.rho_qt - rho * w_s * dz_mean(aux.qt))
         return G
 
+    def column_parts(self, model, state, aux):
+        g = model.grid
+        w_s = self.w_profile(g.z_c_col)
+        rho = model.reference.rho_col
+        dz_f = g.dz_f_col
+
+        def dz_mean(c):
+            mean = jnp.mean(c, axis=(1, 2), keepdims=True)
+            dm = (mean[1:] - mean[:-1]) / dz_f[1: g.nz]
+            ddz_f = jnp.concatenate([jnp.zeros_like(dm[:1]), dm], 0)
+            return 0.5 * (ddz_f + jnp.concatenate([ddz_f[1:], ddz_f[-1:]], 0))
+
+        parts = {"rho_theta": (-rho * w_s * dz_mean(aux.theta), None)}
+        if aux.qt is not None:
+            parts["rho_qt"] = (-rho * w_s * dz_mean(aux.qt), None)
+        return parts
+
 
 @dataclasses.dataclass(frozen=True)
 class DrySubsidenceTendency:
@@ -99,6 +128,13 @@ class DrySubsidenceTendency:
         g = model.grid
         rho = model.reference.rho_col
         return _rep(G, rho_qt=G.rho_qt + rho * self.tendency_profile(g.z_c_col))
+
+    def column_parts(self, model, state, aux):
+        if aux.qt is None:
+            return {}
+        g = model.grid
+        rho = model.reference.rho_col
+        return {"rho_qt": (rho * self.tendency_profile(g.z_c_col), None)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -138,6 +174,20 @@ class UpperSponge:
             mean_t = jnp.mean(state.rho_theta, axis=(1, 2), keepdims=True)
             G = _rep(G,rho_theta=G.rho_theta - sig_c * (state.rho_theta - mean_t))
         return G
+
+    def column_parts(self, model, state, aux):
+        sig_c, sig_f = self._sigma(model)
+        mean_u = jnp.mean(state.rho_u, axis=(1, 2), keepdims=True)
+        mean_v = jnp.mean(state.rho_v, axis=(1, 2), keepdims=True)
+        parts = {
+            "rho_u": (sig_c * mean_u, sig_c),
+            "rho_v": (sig_c * mean_v, sig_c),
+            "rho_w": (None, sig_f),
+        }
+        if self.damp_scalars:
+            mean_t = jnp.mean(state.rho_theta, axis=(1, 2), keepdims=True)
+            parts["rho_theta"] = (sig_c * mean_t, sig_c)
+        return parts
 
 
 @dataclasses.dataclass(frozen=True)

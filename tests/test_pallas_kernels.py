@@ -975,3 +975,65 @@ class TestColumnarFixNegative:
         np.testing.assert_allclose(np.asarray(got.rho_qt),
                                    np.asarray(ref.rho_qt),
                                    rtol=2e-5, atol=1e-8)
+
+
+class TestForcingColumns:
+    """Column-linear forcings fused into the kernel epilogue vs the
+    post-kernel extras pass vs the jnp path (BOMEX-class config)."""
+
+    def test_all_four_forcings(self):
+        import os
+        from breeze_tpu.model import diagnose, stage_update
+        from breeze_tpu.physics.forcings import (DrySubsidenceTendency,
+                                                 GeostrophicForcing,
+                                                 SubsidenceForcing,
+                                                 UpperSponge)
+        g = bz.make_grid(size=(128, 16, 16), extent=(6400.0, 800.0, 2000.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float32)
+        model = bz.make_model(
+            g, advection=adv.WENO(5), potential_temperature=300.0,
+            microphysics=bz.SaturationAdjustment(
+                equilibrium=bz.WarmPhaseEquilibrium()),
+            coriolis=bz.FPlane(1e-4),
+            forcings=(
+                GeostrophicForcing(f=1e-4, u_g=lambda z: -10.0 + 1.8e-3 * z),
+                SubsidenceForcing(w_profile=lambda z: -0.004 * z / 1500.0),
+                DrySubsidenceTendency(tendency_profile=lambda z: -1.2e-8
+                                      * jnp.ones_like(z)),
+                UpperSponge(rate=0.05, bottom=1500.0, damp_scalars=True),
+            ))
+        rng = np.random.default_rng(7)
+        state = bz.initial_state(
+            model,
+            theta=lambda x, y, z: 300.0 + 3e-3 * z,
+            qt=lambda x, y, z: 12e-3 * jnp.exp(-z / 1200.0),
+            u=lambda x, y, z: -8.0 + 0 * z)
+        state = state.replace(rho_theta=state.rho_theta + jnp.asarray(
+            rng.normal(0, 0.1, g.shape).astype(np.float32)))
+        aux = diagnose(model, state)
+
+        def run(env):
+            saved = {k: os.environ.get(k) for k in env}
+            os.environ.update(env)
+            try:
+                return stage_update(model, state, state, 2.0, 0.25, aux=aux)
+            finally:
+                for k, v in saved.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+
+        base = {"BREEZE_TPU_PALLAS_INTERPRET": "1"}
+        fused = run(base)
+        extras = run({**base, "BREEZE_TPU_DISABLE_PALLAS_FCOL": "1"})
+        jnp_ref = run({"BREEZE_TPU_DISABLE_PALLAS": "1"})
+        for name in ("rho_u", "rho_v", "rho_w", "rho_theta", "rho_qt"):
+            for tag, other in (("extras", extras), ("jnp", jnp_ref)):
+                a = np.asarray(getattr(fused, name))
+                b = np.asarray(getattr(other, name))
+                scale = max(np.abs(b).max(), 1e-10)
+                err = np.abs(a - b).max()
+                assert err / scale < 5e-5 or err < 1e-6, (
+                    f"{name} vs {tag}: rel {err / scale:.2e} abs {err:.2e}")
