@@ -227,8 +227,11 @@ def _run_bench(args, grid, model, state, chunk, nx, ny, nz) -> int:
     # Warmup (compile + first run).  NOTE: synchronization is via an actual
     # device→host readback — block_until_ready through the remote-execution
     # relay does not reliably await completion, which silently inflates
-    # throughput numbers.
-    for _ in range(max(1, args.warmup // 10)):
+    # throughput numbers.  At least TWO warmup chunks: the first call runs
+    # on the freshly-built state's layouts, the second on the chunk's own
+    # (donated) output layouts — a one-chunk warmup leaves that relayout
+    # recompile inside the timed region (measured +4 ms/step at 256³).
+    for _ in range(max(2, args.warmup // 10)):
         state = chunk(model, state, args.dt)
     _sync = float(jnp.sum(state.rho_theta))
 

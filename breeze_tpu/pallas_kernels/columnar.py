@@ -26,19 +26,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_fix_negative(nz: int, by: int, nx: int):
+def _make_fix_negative(nz: int, by: int, nx: int, n_blocks: int):
     def kernel(mq_hbm, dz_hbm, out_ref, mq_w, dz_w, sems):
         j = pl.program_id(0)
+        # cross-grid-step prefetch (see tendency._make_kernel): start the
+        # next block's window DMA into the alternate slot before computing
+        slot = jax.lax.rem(j, jnp.int32(2))
+
+        def start(jy, sl):
+            pltpu.make_async_copy(
+                mq_hbm.at[:, pl.ds(jy * by, by), :], mq_w.at[sl],
+                sems.at[sl]).start()
+
+        @pl.when(j == 0)
+        def _():
+            pltpu.make_async_copy(dz_hbm, dz_w, sems.at[2]).start()
+            start(0, 0)
+
+        @pl.when(j + 1 < n_blocks)
+        def _():
+            start(j + 1, 1 - slot)
+
         pltpu.make_async_copy(
-            mq_hbm.at[:, pl.ds(j * by, by), :], mq_w, sems.at[0]).start()
-        pltpu.make_async_copy(dz_hbm, dz_w, sems.at[1]).start()
-        pltpu.make_async_copy(
-            mq_hbm.at[:, pl.ds(j * by, by), :], mq_w, sems.at[0]).wait()
-        pltpu.make_async_copy(dz_hbm, dz_w, sems.at[1]).wait()
+            mq_hbm.at[:, pl.ds(j * by, by), :], mq_w.at[slot],
+            sems.at[slot]).wait()
+
+        @pl.when(j == 0)
+        def _():
+            pltpu.make_async_copy(dz_hbm, dz_w, sems.at[2]).wait()
 
         # column mass-per-area m = ρq·Δz (conserves ∫ρq dz on stretched
         # grids).
-        m = mq_w[:] * dz_w[:]
+        m = mq_w[slot] * dz_w[:]
 
         # The top→bottom deficit-push recurrence
         #     newⱼ = mⱼ + carry,  out = max(new, 0),  carry = min(new, 0)
@@ -90,7 +109,7 @@ def _make_fix_negative(nz: int, by: int, nx: int):
 @functools.partial(jax.jit, static_argnames=("nz", "by", "ny", "nx",
                                              "interpret"))
 def _run_fix_negative(rho_q, dz_col, nz, by, ny, nx, interpret=False):
-    kernel = _make_fix_negative(nz, by, nx)
+    kernel = _make_fix_negative(nz, by, nx, ny // by)
     return pl.pallas_call(
         kernel,
         grid=(ny // by,),
@@ -98,9 +117,9 @@ def _run_fix_negative(rho_q, dz_col, nz, by, ny, nx, interpret=False):
         out_specs=pl.BlockSpec((nz, by, nx), lambda j: (0, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((nz, by, nx), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, nz, by, nx), jnp.float32),
                         pltpu.VMEM((nz, 1, nx), jnp.float32),
-                        pltpu.SemaphoreType.DMA((2,))],
+                        pltpu.SemaphoreType.DMA((3,))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,

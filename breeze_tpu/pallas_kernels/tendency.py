@@ -86,7 +86,8 @@ def _scalar_div(bz, by, nx, inv_dx, inv_dy, c, ru, rv, rw_col_mf, invdzc,
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                  n_scalars: int, f_cor: float | None, dry_buoy: bool,
                  has_b: bool, scal_bounds: bool, clo=None, has_thb=False,
-                 n_zblocks=0, substep=False, fadd_mask=(), fdamp_mask=()):
+                 n_zblocks=0, n_yblocks=0, substep=False,
+                 fadd_mask=(), fdamp_mask=()):
     """``clo``: optional static SGS-closure config
     ``(prandtl, buoy_corr, g_acc)`` — fuses the Smagorinsky-Lilly stage
     (``closure._smag_block``) into the epilogue on the SAME windows, adding
@@ -140,27 +141,52 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 
         srcs = ([u_hbm, v_hbm, w_hbm] + s_hbm + ([b_hbm] if has_b else [])
                 + ([thb_hbm] if has_thb else []))
-        for n, (src, dst) in enumerate(zip(srcs, wins)):
-            pltpu.make_async_copy(
-                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
-                dst, sems.at[n]).start()
-        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
-                              invdzc_w, sems.at[n_win]).start()
-        pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
-                              invdzf_w, sems.at[n_win + 1]).start()
-        for n, (src, dst) in enumerate(zip(srcs, wins)):
-            pltpu.make_async_copy(
-                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
-                dst, sems.at[n]).wait()
-        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
-                              invdzc_w, sems.at[n_win]).wait()
-        pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
-                              invdzf_w, sems.at[n_win + 1]).wait()
 
-        u, v, w = wins[0][:], wins[1][:], wins[2][:]
-        scal = [wins[3 + k][:] for k in range(n_scalars)]
-        b_win = wins[3 + n_scalars][:] if has_b else None
-        thb_win = wins[3 + n_scalars + (1 if has_b else 0)][:] \
+        # Cross-grid-step window prefetch: the TPU grid is a sequential
+        # loop and scratch persists across steps, so each instance starts
+        # the NEXT instance's window DMAs into the alternate buffer slot
+        # before computing — hiding the ~0.9 ms/stage of serialized window
+        # DMA behind compute (the Blocked substep inputs/outputs are
+        # already auto-pipelined by Pallas; only these manual overlapping
+        # windows needed it).  wins are (2, wz, wy, nx) scratches.
+        step = i * n_yblocks + j
+        slot = jax.lax.rem(step, jnp.int32(2))
+        total = n_zblocks * n_yblocks
+
+        def start_all(iz, jy, sl):
+            for n, (src, dst) in enumerate(zip(srcs, wins)):
+                pltpu.make_async_copy(
+                    src.at[pl.ds(iz * bz, wz), pl.ds(jy * by, wy), :],
+                    dst.at[sl], sems.at[sl, n]).start()
+
+        @pl.when(step == 0)
+        def _():
+            start_all(0, 0, 0)
+
+        @pl.when(step + 1 < total)
+        def _():
+            nstep = step + 1
+            ni = nstep // n_yblocks
+            nj = nstep - ni * n_yblocks
+            start_all(ni, nj, 1 - slot)
+
+        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                              invdzc_w, sems.at[0, n_win]).start()
+        pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                              invdzf_w, sems.at[0, n_win + 1]).start()
+        for n, (src, dst) in enumerate(zip(srcs, wins)):
+            pltpu.make_async_copy(
+                src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
+                dst.at[slot], sems.at[slot, n]).wait()
+        pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
+                              invdzc_w, sems.at[0, n_win]).wait()
+        pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
+                              invdzf_w, sems.at[0, n_win + 1]).wait()
+
+        u, v, w = wins[0][slot], wins[1][slot], wins[2][slot]
+        scal = [wins[3 + k][slot] for k in range(n_scalars)]
+        b_win = wins[3 + n_scalars][slot] if has_b else None
+        thb_win = wins[3 + n_scalars + (1 if has_b else 0)][slot] \
             if has_thb else None
 
         colc = colc_ref[pl.ds(i * bz, wz), :, :]      # (wz, 1, nx)
@@ -308,6 +334,7 @@ def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
     kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, n_scalars, f_cor,
                           dry_buoy, has_b, scal_bounds, clo=clo,
                           has_thb=has_thb, n_zblocks=nz // bz,
+                          n_yblocks=ny // by,
                           substep=substep, fadd_mask=fadd_mask,
                           fdamp_mask=fdamp_mask)
     wz, wy = bz + 2 * H, by + 2 * HY
@@ -315,7 +342,7 @@ def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
     n_win = 3 + n_scalars + (1 if has_b else 0) + (1 if has_thb else 0)
     n_cols = 3 if dry_buoy else 0
     n_ccols = 3 if clo is not None else 0
-    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    win = lambda: pltpu.VMEM((2, wz, wy, nx), jnp.float32)   # 2 = prefetch slots
     col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     n_fcols = sum(1 for m in fadd_mask if m) + sum(1 for m in fdamp_mask if m)
@@ -341,7 +368,7 @@ def _run(u_pad, v_pad, w_pad, scalars_pad, b_pad, thb_pad, colc, colf,
         out_specs=[blk()] * (3 + n_scalars),
         out_shape=[out] * (3 + n_scalars),
         scratch_shapes=[win() for _ in range(n_win)] + [col(), col()]
-        + [pltpu.SemaphoreType.DMA((n_win + 2,))],
+        + [pltpu.SemaphoreType.DMA((2, n_win + 2))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
