@@ -135,6 +135,7 @@ def _newton_adjust_T_theta_li(T0, qt, p, theta_li,
     logp = jnp.log(p / p_standard)
     T = T0
     Pi0 = k0 = None
+    pvs = slope = dT_step = None
     for i in range(iterations):
         lam = eq.liquid_fraction(T)
         pvs = saturation_vapor_pressure(T, constants, lam)
@@ -152,8 +153,8 @@ def _newton_adjust_T_theta_li(T0, qt, p, theta_li,
             Pi = Pi0 * (1.0 + (k - k0) * logp)
         r = T - (Pi * theta_li + (Ll * q.liquid + Li * q.ice) * inv_cpm)
         L_eff = lam * Ll + (1.0 - lam) * Li
-        dqvs = (qvs * saturation_vapor_pressure_slope_ratio(T, constants, lam)
-                * p * inv_pmp)
+        slope = saturation_vapor_pressure_slope_ratio(T, constants, lam)
+        dqvs = qvs * slope * p * inv_pmp
         drdT = 1.0 + L_eff * dqvs * inv_cpm
         if isinstance(eq, MixedPhaseEquilibrium):
             qc = jnp.maximum(0.0, qt - qvs)
@@ -161,8 +162,15 @@ def _newton_adjust_T_theta_li(T0, qt, p, theta_li,
             Th = eq.homogeneous_ice_nucleation_temperature
             dlam = jnp.where((T > Th) & (T < Tf), 1.0 / (Tf - Th), 0.0)
             drdT = drdT - qc * (Ll - Li) * dlam * inv_cpm
-        T = T - jnp.clip(r / jnp.maximum(drdT, 0.1), -25.0, 25.0)
-    return T
+        dT_step = -jnp.clip(r / jnp.maximum(drdT, 0.1), -25.0, 25.0)
+        T = T + dT_step
+    # qᵛ⁺ at the converged T from the last trip's linearized pvs
+    # (pvs·exp(slope·ΔT) ≈ pvs·(1+slope·ΔT); the final ΔT is ≲ 1e-2 K, so
+    # the quadratic remainder is ≲ 2e-7 relative) — saves the extra exact
+    # svp evaluation per solve on the transcendental-bound path.
+    pvs_f = pvs * (1.0 + slope * dT_step)
+    qvs_f = eps * (1.0 - qt) * pvs_f / (p - pvs_f)
+    return T, qvs_f
 
 
 def saturation_adjust_static_energy(e, z, qt, p, constants: ThermodynamicConstants,
@@ -631,12 +639,9 @@ def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
         # saturated-branch root satisfies T* ≥ T1 for condensational
         # warming, so max(T_guess, T1 + 0.01) is on the right side.
         T_start = jnp.maximum(T_guess, T1 + 0.01)
-        T_star = _newton_adjust_T_theta_li(
+        T_star, qvs_s = _newton_adjust_T_theta_li(
             T_start, qt, p, theta_li, constants, eq,
             scheme.warm_iterations, p_standard)
-        lam_s = eq.liquid_fraction(T_star)
-        qvs_s = adjustment_saturation_specific_humidity(T_star, p, qt,
-                                                        constants, lam_s)
         q_sat = equilibrated_moisture_fractions(T_star, qt, qvs_s, eq)
         T = jnp.where(saturated, T_star, T1)
         q = MoistureMassFractions(
@@ -664,8 +669,9 @@ def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
              * p / (p - pvs_a))
     T2 = T1 + jnp.maximum(0.01, dT / (1.0 + L_eff1 * dqvs1 / cpm))
 
+    qvs_newton = None
     if scheme.solver == "newton":
-        T_star = _newton_adjust_T_theta_li(
+        T_star, qvs_newton = _newton_adjust_T_theta_li(
             T2, qt, p, theta_li, constants, eq, scheme.iterations,
             p_standard)
     else:
@@ -679,8 +685,12 @@ def saturation_adjust(theta_li, qt, p, constants: ThermodynamicConstants,
             Tc = jnp.where(jnp.abs(dr) > 0, Tb - rb * (Tb - Ta) / safe, Tb)
             Ta, ra, Tb = Tb, rb, Tc
         T_star = Tb
-    lam_s = eq.liquid_fraction(T_star)
-    qvs_s = adjustment_saturation_specific_humidity(T_star, p, qt, constants, lam_s)
+    if qvs_newton is not None:
+        qvs_s = qvs_newton
+    else:
+        lam_s = eq.liquid_fraction(T_star)
+        qvs_s = adjustment_saturation_specific_humidity(T_star, p, qt,
+                                                        constants, lam_s)
     q_sat = equilibrated_moisture_fractions(T_star, qt, qvs_s, eq)
 
     T = jnp.where(saturated, T_star, T1)
