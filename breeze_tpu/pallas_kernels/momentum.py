@@ -170,7 +170,8 @@ def momentum_divs(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
 
 
 def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
-                 with_cols: bool = False):
+                 with_cols: bool = False, n_zblocks: int = 0,
+                 n_yblocks: int = 0):
     wz, wy = bz + 2 * H, by + 2 * HY
 
     def body(i, j, ru, rv, rw, u, v, w, invdzc, invdzf,
@@ -188,27 +189,22 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
         def kernel(u_hbm, v_hbm, w_hbm, colc_ref, colf_ref, invdzc_hbm,
                    invdzf_hbm, du_ref, dv_ref, dw_ref,
                    u_w, v_w, w_w, invdzc_w, invdzf_w, sems):
+            from .advection import prefetch_windows
             i = pl.program_id(0)
             j = pl.program_id(1)
             srcs = (u_hbm, v_hbm, w_hbm)
             dsts = (u_w, v_w, w_w)
-            for n, (src, dst) in enumerate(zip(srcs, dsts)):
-                pltpu.make_async_copy(
-                    src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
-                    dst, sems.at[n]).start()
             pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzc_w, sems.at[3]).start()
+                                  invdzc_w, sems.at[0, 3]).start()
             pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzf_w, sems.at[4]).start()
-            for n, (src, dst) in enumerate(zip(srcs, dsts)):
-                pltpu.make_async_copy(
-                    src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
-                    dst, sems.at[n]).wait()
+                                  invdzf_w, sems.at[0, 4]).start()
+            slot = prefetch_windows(srcs, dsts, sems, i, j, bz, by, wz, wy,
+                                    n_zblocks, n_yblocks)
             pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzc_w, sems.at[3]).wait()
+                                  invdzc_w, sems.at[0, 3]).wait()
             pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzf_w, sems.at[4]).wait()
-            u, v, w = u_w[:], v_w[:], w_w[:]
+                                  invdzf_w, sems.at[0, 4]).wait()
+            u, v, w = u_w[slot], v_w[slot], w_w[slot]
             colc = colc_ref[pl.ds(i * bz, wz), :, :]      # (wz, 1, nx)
             colf = colf_ref[pl.ds(i * bz, wz), :, :]
             ru = u * colc
@@ -222,28 +218,23 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
                    invdzc_hbm, invdzf_hbm, du_ref, dv_ref, dw_ref,
                    ru_w, rv_w, rw_w, u_w, v_w, w_w, invdzc_w, invdzf_w,
                    sems):
+            from .advection import prefetch_windows
             i = pl.program_id(0)
             j = pl.program_id(1)
             srcs = (ru_hbm, rv_hbm, rw_hbm, u_hbm, v_hbm, w_hbm)
             dsts = (ru_w, rv_w, rw_w, u_w, v_w, w_w)
-            for n, (src, dst) in enumerate(zip(srcs, dsts)):
-                pltpu.make_async_copy(
-                    src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
-                    dst, sems.at[n]).start()
             pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzc_w, sems.at[6]).start()
+                                  invdzc_w, sems.at[0, 6]).start()
             pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzf_w, sems.at[7]).start()
-            for n, (src, dst) in enumerate(zip(srcs, dsts)):
-                pltpu.make_async_copy(
-                    src.at[pl.ds(i * bz, wz), pl.ds(j * by, wy), :],
-                    dst, sems.at[n]).wait()
+                                  invdzf_w, sems.at[0, 7]).start()
+            slot = prefetch_windows(srcs, dsts, sems, i, j, bz, by, wz, wy,
+                                    n_zblocks, n_yblocks)
             pltpu.make_async_copy(invdzc_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzc_w, sems.at[6]).wait()
+                                  invdzc_w, sems.at[0, 6]).wait()
             pltpu.make_async_copy(invdzf_hbm.at[pl.ds(i * bz, bz)],
-                                  invdzf_w, sems.at[7]).wait()
-            body(i, j, ru_w[:], rv_w[:], rw_w[:], u_w[:], v_w[:], w_w[:],
-                 invdzc_w[:], invdzf_w[:],
+                                  invdzf_w, sems.at[0, 7]).wait()
+            body(i, j, ru_w[slot], rv_w[slot], rw_w[slot], u_w[slot],
+                 v_w[slot], w_w[slot], invdzc_w[:], invdzf_w[:],
                  du_ref, dv_ref, dw_ref)
 
     return kernel
@@ -253,10 +244,11 @@ def _make_kernel(bz: int, by: int, nx: int, inv_dx: float, inv_dy: float,
     "inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "interpret"))
 def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad, invdzc, invdzf,
          inv_dx, inv_dy, nz, ny, nx, bz, by, interpret=False):
-    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy)
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy,
+                          n_zblocks=nz // bz, n_yblocks=ny // by)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
-    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    win = lambda: pltpu.VMEM((2, wz, wy, nx), jnp.float32)
     col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     return pl.pallas_call(
@@ -267,7 +259,7 @@ def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad, invdzc, invdzf,
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=[out, out, out],
         scratch_shapes=[win() for _ in range(6)] + [col(), col()]
-        + [pltpu.SemaphoreType.DMA((8,))],
+        + [pltpu.SemaphoreType.DMA((2, 8))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -278,10 +270,11 @@ def _run(ru_pad, rv_pad, rw_pad, u_pad, v_pad, w_pad, invdzc, invdzf,
     "inv_dx", "inv_dy", "nz", "ny", "nx", "bz", "by", "interpret"))
 def _run_cols(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf,
               inv_dx, inv_dy, nz, ny, nx, bz, by, interpret=False):
-    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, with_cols=True)
+    kernel = _make_kernel(bz, by, nx, inv_dx, inv_dy, with_cols=True,
+                          n_zblocks=nz // bz, n_yblocks=ny // by)
     wz, wy = bz + 2 * H, by + 2 * HY
     grid = (nz // bz, ny // by)
-    win = lambda: pltpu.VMEM((wz, wy, nx), jnp.float32)
+    win = lambda: pltpu.VMEM((2, wz, wy, nx), jnp.float32)
     col = lambda: pltpu.VMEM((bz, 1, nx), jnp.float32)
     out = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     return pl.pallas_call(
@@ -294,7 +287,7 @@ def _run_cols(u_pad, v_pad, w_pad, colc, colf, invdzc, invdzf,
                                 memory_space=pltpu.VMEM)] * 3,
         out_shape=[out, out, out],
         scratch_shapes=[win() for _ in range(3)] + [col(), col()]
-        + [pltpu.SemaphoreType.DMA((5,))],
+        + [pltpu.SemaphoreType.DMA((2, 5))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -128,6 +128,10 @@ def _newton_adjust_T_theta_li(T0, qt, p, theta_li,
     solve instead of one per trip (the adjustment is VPU-transcendental-
     bound; see CLAUDE.md perf notes).  ``1/cᵖᵐ`` is likewise computed once
     per trip and shared by the latent and slope terms.
+
+    Returns ``(T, qvs)`` — the converged temperature and the saturation
+    specific humidity AT that temperature (from the last trip's
+    linearized pvs), so callers need no extra svp evaluation.
     """
     Ll = constants.liquid.reference_latent_heat
     Li = constants.ice.reference_latent_heat
