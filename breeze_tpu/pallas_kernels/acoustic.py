@@ -392,7 +392,8 @@ def _ceil8(n):
 
 def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
              dtau: float, omega: float, g_acc: float, damp_coef: float,
-             store_dt=jnp.float32, has_sponge: bool = False):
+             store_dt=jnp.float32, has_sponge: bool = False,
+             n_yblocks: int = 0, prefetch: bool = False):
     # y halo accounting: centers lose 1 row/side per substep; rv (y-face)
     # loses ONE EXTRA bottom row per substep when thermal damping is on
     # (the correction reads D[m−1], and D inherits the centers' validity) —
@@ -434,20 +435,49 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                 thzf_hbm, gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm)
         dsts = (ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
                 gru_w, grv_w, grw_w, grho_w, grt_w)
+
+        if prefetch:
+            # Cross-block window prefetch (same double-buffer scheme as
+            # advection.prefetch_windows, 1-D y grid): each instance starts
+            # the NEXT y-block's 13 window DMAs into the alternate slot
+            # before computing — hides the ~3× halo-amplified window reads
+            # (13 fields × wy/by) behind the substep compute.  Only used
+            # when the doubled windows fit VMEM (see _run_k3).
+            slot = jax.lax.rem(j, jnp.int32(2))
+
+            def start_all(jy, sl):
+                for n, (src, dst) in enumerate(zip(srcs, dsts)):
+                    pltpu.make_async_copy(
+                        src.at[:, pl.ds(jy * by, wy), :], dst.at[sl],
+                        sems.at[sl, n]).start()
+
+            @pl.when(j == 0)
+            def _():
+                start_all(0, 0)
+
+            @pl.when(j + 1 < n_yblocks)
+            def _():
+                start_all(j + 1, 1 - slot)
+        else:
+            slot = 0
+            for n, (src, dst) in enumerate(zip(srcs, dsts)):
+                pltpu.make_async_copy(
+                    src.at[:, pl.ds(j * by, wy), :], dst.at[0],
+                    sems.at[0, n]).start()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[0, 13]).start()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[0, 14]).start()
+        if has_sponge:
+            pltpu.make_async_copy(sponge_hbm, sponge_w,
+                                  sems.at[0, 15]).start()
         for n, (src, dst) in enumerate(zip(srcs, dsts)):
             pltpu.make_async_copy(
-                src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).start()
-        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[13]).start()
-        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[14]).start()
+                src.at[:, pl.ds(j * by, wy), :], dst.at[slot],
+                sems.at[slot, n]).wait()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[0, 13]).wait()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[0, 14]).wait()
         if has_sponge:
-            pltpu.make_async_copy(sponge_hbm, sponge_w, sems.at[15]).start()
-        for n, (src, dst) in enumerate(zip(srcs, dsts)):
-            pltpu.make_async_copy(
-                src.at[:, pl.ds(j * by, wy), :], dst, sems.at[n]).wait()
-        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[13]).wait()
-        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[14]).wait()
-        if has_sponge:
-            pltpu.make_async_copy(sponge_hbm, sponge_w, sems.at[15]).wait()
+            pltpu.make_async_copy(sponge_hbm, sponge_w,
+                                  sems.at[0, 15]).wait()
 
         def xs(a, o):
             return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
@@ -463,7 +493,7 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
         above0 = lambda a: jnp.concatenate(
             [a[1:], jnp.zeros_like(a[:1])], axis=0)
 
-        lv = lambda r: r[:, :ly, :]
+        lv = lambda r: r[slot][:, :ly, :]
         cl = lv(cl_w)
         th = lv(th_w)
         thf = lv(thzf_w)
@@ -617,17 +647,48 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
             inv_dzc_col, inv_dzf_col, pgf_flags,
             by, nz, ny, nx, n_inner, dx, dy, dtau, omega, g_acc, damp_coef,
             store="float32", interpret=False, sponge_col=None):
+    import os as _os
+
     store_dt = jnp.dtype(store)
     has_sponge = sponge_col is not None
+    h = n_inner + (1 if damp_coef else 0)
+    ly_ = by + h + n_inner
+    wy_ = _ceil8(ly_)
+    # Cross-block window prefetch: double-buffer the 13 input windows when
+    # the doubled footprint (+ tridiag scratch + pipelined output blocks)
+    # fits comfortably in v5e's 128 MB VMEM; opt out via
+    # BREEZE_TPU_K3_PREFETCH=0.
+    win_b = nz * wy_ * nx
+    win_single = win_b * (5 * store_dt.itemsize + 8 * 4)
+    est = (2 * win_single                        # doubled windows
+           # register-allocator spill-slot proxy: measured 66 MB at
+           # n_inner=4/by=8/256²×128 ≈ 2× the single-buffer windows; the
+           # spills scale with the unroll depth's live values
+           + (n_inner * win_single) // 2
+           + 6 * nz * ly_ * nx * 4               # tridiag scratch
+           + 2 * nz * by * nx * (5 * store_dt.itemsize + 3 * 4))  # outputs
+    pf_env = _os.environ.get("BREEZE_TPU_K3_PREFETCH", "")
+    prefetch = (pf_env == "1"
+                or (pf_env != "0" and est < 120 * 1024 * 1024))
     kernel, ly, wy = _make_k3(by, nz, nx, n_inner, dx, dy, dtau, omega,
                               g_acc, damp_coef, store_dt=store_dt,
-                              has_sponge=has_sponge)
-    h = n_inner + (1 if damp_coef else 0)
+                              has_sponge=has_sponge,
+                              n_yblocks=ny // by, prefetch=prefetch)
     above = wy - by - h            # top halo used + alignment slack
 
     def pady(a):
-        return jnp.concatenate(
-            [a[:, ny - h:, :], a, a[:, :above, :]], axis=1)
+        # Periodic y pad: h rows below, `above` rows on top.  `above` can
+        # exceed ny at small ny (wy is ceil-8 of by+h+ht, e.g. ny=8 with
+        # the k=4 window needs 11 wrap rows) — tile full periods as needed
+        # (a plain 3-piece concat under-pads there → OOB window DMA).
+        parts = [a[:, ny - h:, :], a]
+        rem = above
+        while rem >= ny:
+            parts.append(a)
+            rem -= ny
+        if rem:
+            parts.append(a[:, :rem, :])
+        return jnp.concatenate(parts, axis=1)
 
     args = [pady(x) for x in (ru, rv, rw, rho, rt, cl, th, thzf,
                               gru, grv, grw, grho, grt)]
@@ -635,7 +696,8 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     if has_sponge:
         args.append(sponge_col)
     grid = (ny // by,)
-    win = lambda dt=jnp.float32: pltpu.VMEM((nz, wy, nx), dt)
+    nslots = 2 if prefetch else 1
+    win = lambda dt=jnp.float32: pltpu.VMEM((nslots, nz, wy, nx), dt)
     lwin = lambda: pltpu.VMEM((nz, ly, nx), jnp.float32)
     out_c = jax.ShapeDtypeStruct((nz, ny, nx), store_dt)
     out_f = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
@@ -654,7 +716,7 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
         scratch_shapes=wins + [col(), col()]
         + ([col()] if has_sponge else [])
         + [lwin() for _ in range(6)]
-        + [pltpu.SemaphoreType.DMA((n_sem,))],
+        + [pltpu.SemaphoreType.DMA((nslots, n_sem))],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
@@ -732,6 +794,10 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
             if isinstance(strategy, ThermalDivergenceDamping) else 0.0)
     bz = _pick(nz, (16, 8, 4))
     by = _pick(ny, (8,))
+    # block-sweep override (tools/ sweeps); must divide ny
+    by_env = _os.environ.get("BREEZE_TPU_K3_BY")
+    if by_env and ny % int(by_env) == 0:
+        by = int(by_env)
     dtau = float(dtau)
     store = td.substep_floattype or "float32"
     store_dt = jnp.dtype(store)
@@ -775,8 +841,14 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
             sum_rho_w=pert.sum_rho_w)
         # Unroll depth: bf16 carries compile at k=4 on v5e; the f32
         # 4-substep program crashes the Mosaic compile at 256²x128
-        # (program-size limit — k≤3 compiles and runs).
+        # (program-size limit — k≤3 compiles and runs).  k=3 halves the
+        # ceil-8 window slack (wy 16 vs 24 at by=8) and shrinks the
+        # register-spill footprint enough for the cross-block window
+        # prefetch to fit VMEM; override via BREEZE_TPU_K3_KMAX.
         k_max = 4 if store_dt == jnp.bfloat16 else 3
+        k_env = _os.environ.get("BREEZE_TPU_K3_KMAX")
+        if k_env:
+            k_max = int(k_env)
         s = 0
         while s < n_tau:                       # static python loop
             k = min(k_max, n_tau - s)

@@ -188,6 +188,28 @@ class TestFusedAcousticSubstep:
     def test_no_damping_ungated(self):
         self._compare(damping=0.0, gate_first=False)
 
+    def test_wide_halo_small_ny(self):
+        """K3 4-substep chunk at ny=8: the window needs MORE periodic wrap
+        rows above than ny (wy=24, above=11) — the y pad must tile full
+        periods (regression: a 3-piece concat under-padded → OOB DMA)."""
+        from breeze_tpu.dynamics.compressible import acoustic_substep_loop
+        from breeze_tpu.pallas_kernels.acoustic import (
+            acoustic_substep_loop_pallas, supported)
+        g, model, caches, G = self.setup(damping_coefficient=0.1)
+        assert supported(model)
+        pert = self._pert(g)
+        ref = acoustic_substep_loop(model, caches, G, pert, 0.5, 4,
+                                    gate_first=True)
+        got = acoustic_substep_loop_pallas(model, caches, G, pert, 0.5, 4,
+                                           gate_first=True, interpret=True)
+        for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta",
+                     "sum_rho_u", "sum_rho_v", "sum_rho_w"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            scale = max(np.abs(b).max(), 1e-10)
+            assert np.abs(a - b).max() / scale < 5e-5, (
+                f"{name}: rel {np.abs(a - b).max() / scale:.2e}")
+
     def test_supported_envelope(self):
         from breeze_tpu.dynamics.compressible import (
             SplitExplicitTimeDiscretization, make_compressible_model)
