@@ -665,13 +665,14 @@ def compute_tendencies(model: AtmosphereModel, state: State, aux: Aux | None = N
         # (G += add(z) − damp(z)·ρ-field; physics.forcings.*.column_parts):
         # every BOMEX-class forcing (geostrophic, subsidence, drying,
         # sponge) reduces to per-level columns, so the post-kernel
-        # full-field read-modify-write extras pass disappears.  Skipped in
-        # sharded contexts (the horizontal means in column_parts are
-        # local there — matching the jnp path keeps sharded==dense).
+        # full-field read-modify-write extras pass disappears.  Works in
+        # sharded (shard_map) contexts too: the horizontal means in
+        # column_parts are global (forcings.horizontal_mean pmeans over
+        # the active mesh axes), so fused == jnp == dense under
+        # decomposition.
         forcing_cols = None
         forcings_fused = False
-        from .parallel.halo import _current_axes as _cur_axes
-        if (model.forcings and not xpad and not _cur_axes()
+        if (model.forcings and not xpad
                 and model.immersed is None
                 and all(hasattr(f, "column_parts") for f in model.forcings)
                 and not os.environ.get("BREEZE_TPU_DISABLE_PALLAS_FCOL")):

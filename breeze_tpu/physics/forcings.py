@@ -12,9 +12,30 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable
 
+import jax
 import jax.numpy as jnp
 
 from .. import fields as fl
+
+
+def horizontal_mean(a):
+    """GLOBAL horizontal mean, shape (nz, 1, 1).
+
+    Under GSPMD ``jnp.mean`` is already global (XLA all-reduces).  Under
+    ``shard_map`` a plain ``jnp.mean`` is the LOCAL shard's mean, so every
+    mean-based forcing would do different physics per shard; here the local
+    mean is ``lax.pmean``-ed over whatever mesh axes are active (the
+    :func:`breeze_tpu.parallel.halo.shard_axes` context — the same pattern
+    DynamicSmagorinsky uses for its statistical averaging).  Shards are
+    equal-sized (shard_map requires even division), so pmean of local means
+    is the exact global mean.  Reference semantics: horizontal field means
+    are global under MPI (``subsidence_forcing.jl:14-137``).
+    """
+    m = jnp.mean(a, axis=(1, 2), keepdims=True)
+    from ..parallel.halo import _current_axes
+    for _ax, name in _current_axes().items():
+        m = jax.lax.pmean(m, name)
+    return m
 
 
 def _rep(G, **kw):
@@ -88,7 +109,7 @@ class SubsidenceForcing:
         dz_f = g.dz_f_col
 
         def dz_mean(c):
-            mean = jnp.mean(c, axis=(1, 2), keepdims=True)      # (nz,1,1)
+            mean = horizontal_mean(c)                           # (nz,1,1)
             dm = (mean[1:] - mean[:-1]) / dz_f[1: g.nz]
             ddz_f = jnp.concatenate([jnp.zeros_like(dm[:1]), dm], 0)
             return 0.5 * (ddz_f + jnp.concatenate([ddz_f[1:], ddz_f[-1:]], 0))
@@ -105,7 +126,7 @@ class SubsidenceForcing:
         dz_f = g.dz_f_col
 
         def dz_mean(c):
-            mean = jnp.mean(c, axis=(1, 2), keepdims=True)
+            mean = horizontal_mean(c)
             dm = (mean[1:] - mean[:-1]) / dz_f[1: g.nz]
             ddz_f = jnp.concatenate([jnp.zeros_like(dm[:1]), dm], 0)
             return 0.5 * (ddz_f + jnp.concatenate([ddz_f[1:], ddz_f[-1:]], 0))
@@ -163,29 +184,29 @@ class UpperSponge:
 
     def __call__(self, model, state, aux, G):
         sig_c, sig_f = self._sigma(model)
-        mean_u = jnp.mean(state.rho_u, axis=(1, 2), keepdims=True)
-        mean_v = jnp.mean(state.rho_v, axis=(1, 2), keepdims=True)
+        mean_u = horizontal_mean(state.rho_u)
+        mean_v = horizontal_mean(state.rho_v)
         G = _rep(G,
             rho_u=G.rho_u - sig_c * (state.rho_u - mean_u),
             rho_v=G.rho_v - sig_c * (state.rho_v - mean_v),
             rho_w=G.rho_w - sig_f * state.rho_w,
         )
         if self.damp_scalars:
-            mean_t = jnp.mean(state.rho_theta, axis=(1, 2), keepdims=True)
+            mean_t = horizontal_mean(state.rho_theta)
             G = _rep(G,rho_theta=G.rho_theta - sig_c * (state.rho_theta - mean_t))
         return G
 
     def column_parts(self, model, state, aux):
         sig_c, sig_f = self._sigma(model)
-        mean_u = jnp.mean(state.rho_u, axis=(1, 2), keepdims=True)
-        mean_v = jnp.mean(state.rho_v, axis=(1, 2), keepdims=True)
+        mean_u = horizontal_mean(state.rho_u)
+        mean_v = horizontal_mean(state.rho_v)
         parts = {
             "rho_u": (sig_c * mean_u, sig_c),
             "rho_v": (sig_c * mean_v, sig_c),
             "rho_w": (None, sig_f),
         }
         if self.damp_scalars:
-            mean_t = jnp.mean(state.rho_theta, axis=(1, 2), keepdims=True)
+            mean_t = horizontal_mean(state.rho_theta)
             parts["rho_theta"] = (sig_c * mean_t, sig_c)
         return parts
 
