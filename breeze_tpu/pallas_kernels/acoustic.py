@@ -668,8 +668,15 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
            + 6 * nz * ly_ * nx * 4               # tridiag scratch
            + 2 * nz * by * nx * (5 * store_dt.itemsize + 3 * 4))  # outputs
     pf_env = _os.environ.get("BREEZE_TPU_K3_PREFETCH", "")
+    # Auto-enable ONLY for the hardware-verified family: k<=2 remainder
+    # chunks (the v5e sweep showed k>=3 full-depth chunks either Mosaic-OOM
+    # from register spills well above the est proxy, or measure as a wash —
+    # docs/kernels.md).  BREEZE_TPU_K3_PREFETCH=1 still forces it for
+    # sweeps.  Both knobs are read at TRACE time: toggling them mid-process
+    # silently reuses the cached program.
     prefetch = (pf_env == "1"
-                or (pf_env != "0" and est < 120 * 1024 * 1024))
+                or (pf_env != "0" and n_inner <= 2
+                    and est < 120 * 1024 * 1024))
     kernel, ly, wy = _make_k3(by, nz, nx, n_inner, dx, dy, dtau, omega,
                               g_acc, damp_coef, store_dt=store_dt,
                               has_sponge=has_sponge,
@@ -846,9 +853,12 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
         # register-spill footprint enough for the cross-block window
         # prefetch to fit VMEM; override via BREEZE_TPU_K3_KMAX.
         k_max = 4 if store_dt == jnp.bfloat16 else 3
+        # Trace-time knob (cached programs ignore later changes); clamp to
+        # [1, 4] — k<=0 would make the static while-loop below never
+        # advance (trace-time hang), k>4 Mosaic-OOMs.
         k_env = _os.environ.get("BREEZE_TPU_K3_KMAX")
         if k_env:
-            k_max = int(k_env)
+            k_max = min(max(1, int(k_env)), 4)
         s = 0
         while s < n_tau:                       # static python loop
             k = min(k_max, n_tau - s)

@@ -132,12 +132,13 @@ class TestFusedAcousticSubstep:
     """Fused two-kernel acoustic substep (pallas_kernels/acoustic.py)
     against the jnp loop, interpret mode."""
 
-    def setup(self, damping_coefficient=0.1, substeps=4):
+    def setup(self, damping_coefficient=0.1, substeps=4, ny=8):
         from breeze_tpu.dynamics.compressible import (
             SplitExplicitTimeDiscretization, compressible_diagnose,
             compressible_initial_state, make_compressible_model,
             slow_tendencies, stage_caches)
-        g = bz.make_grid(size=(128, 8, 16), extent=(12800.0, 800.0, 1600.0),
+        g = bz.make_grid(size=(128, ny, 16),
+                         extent=(12800.0, 100.0 * ny, 1600.0),
                          topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
                          halo=3, dtype=jnp.float32)
         td = SplitExplicitTimeDiscretization(
@@ -201,6 +202,32 @@ class TestFusedAcousticSubstep:
         ref = acoustic_substep_loop(model, caches, G, pert, 0.5, 4,
                                     gate_first=True)
         got = acoustic_substep_loop_pallas(model, caches, G, pert, 0.5, 4,
+                                           gate_first=True, interpret=True)
+        for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta",
+                     "sum_rho_u", "sum_rho_v", "sum_rho_w"):
+            a = np.asarray(getattr(got, name))
+            b = np.asarray(getattr(ref, name))
+            scale = max(np.abs(b).max(), 1e-10)
+            assert np.abs(a - b).max() / scale < 5e-5, (
+                f"{name}: rel {np.abs(a - b).max() / scale:.2e}")
+
+    def test_prefetch_rotation_multi_yblock(self):
+        """ny=16 with by=8 → 2 y-block grid instances and, at a k<=2 chunk,
+        the window-prefetch double-buffer auto-enables: the j>=1 path
+        (wait on the previous instance's DMA, alternate-slot rem(j,2)
+        indexing) runs in interpret mode, not just on hardware (round-4
+        advisor finding)."""
+        from breeze_tpu.dynamics.compressible import acoustic_substep_loop
+        from breeze_tpu.pallas_kernels.acoustic import (
+            acoustic_substep_loop_pallas, supported)
+        g, model, caches, G = self.setup(damping_coefficient=0.1,
+                                         substeps=2, ny=16)
+        assert supported(model)
+        pert = self._pert(g)
+        # n_tau=2 → one k=2 chunk → prefetch auto-on under the k<=2 guard
+        ref = acoustic_substep_loop(model, caches, G, pert, 0.5, 2,
+                                    gate_first=True)
+        got = acoustic_substep_loop_pallas(model, caches, G, pert, 0.5, 2,
                                            gate_first=True, interpret=True)
         for name in ("rho", "rho_u", "rho_v", "rho_w", "rho_theta",
                      "sum_rho_u", "sum_rho_v", "sum_rho_w"):
