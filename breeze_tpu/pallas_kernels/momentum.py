@@ -54,13 +54,33 @@ def _weno5(g, normalize: bool = True):
     an order of magnitude of margin; scalars (tracers can be number
     concentrations ~ 1e8) must keep the normalized form.
     """
+    import os as _os
+
     qm2, qm1, q0, q1, q2 = g(-2), g(-1), g(0), g(1), g(2)
     p0 = (2.0 * qm2 - 7.0 * qm1 + 11.0 * q0) * (1.0 / 6.0)
     p1 = (-qm1 + 5.0 * q0 + 2.0 * q1) * (1.0 / 6.0)
     p2 = (2.0 * q0 + 5.0 * q1 - q2) * (1.0 / 6.0)
-    b0 = (13.0 / 12.0) * (qm2 - 2.0 * qm1 + q0) ** 2 + 0.25 * (qm2 - 4.0 * qm1 + 3.0 * q0) ** 2
-    b1 = (13.0 / 12.0) * (qm1 - 2.0 * q0 + q1) ** 2 + 0.25 * (qm1 - q1) ** 2
-    b2 = (13.0 / 12.0) * (q0 - 2.0 * q1 + q2) ** 2 + 0.25 * (3.0 * q0 - 4.0 * q1 + q2) ** 2
+    if _os.environ.get("BREEZE_TPU_WENO_DIFFS"):
+        # experimental (trace-time knob, tools/bench_tend_ablate.py):
+        # β via first differences — fewer fused ops, identical algebra up
+        # to f32 reassociation
+        d1 = qm1 - qm2
+        d2 = q0 - qm1
+        d3 = q1 - q0
+        d4 = q2 - q1
+        t0 = d2 - d1
+        t1 = d3 - d2
+        t2 = d4 - d3
+        s0 = t0 + 2.0 * d2
+        s1 = d2 + d3
+        s2 = t2 - 2.0 * d3
+        b0 = (13.0 / 12.0) * t0 * t0 + 0.25 * s0 * s0
+        b1 = (13.0 / 12.0) * t1 * t1 + 0.25 * s1 * s1
+        b2 = (13.0 / 12.0) * t2 * t2 + 0.25 * s2 * s2
+    else:
+        b0 = (13.0 / 12.0) * (qm2 - 2.0 * qm1 + q0) ** 2 + 0.25 * (qm2 - 4.0 * qm1 + 3.0 * q0) ** 2
+        b1 = (13.0 / 12.0) * (qm1 - 2.0 * q0 + q1) ** 2 + 0.25 * (qm1 - q1) ** 2
+        b2 = (13.0 / 12.0) * (q0 - 2.0 * q1 + q2) ** 2 + 0.25 * (3.0 * q0 - 4.0 * q1 + q2) ** 2
     eps = 1e-6
     # Common-denominator weights (two divides instead of four), ratios
     # identical to the classic 0.1/(b+eps)^2 (see advection._weno5).
@@ -82,7 +102,16 @@ def _weno5(g, normalize: bool = True):
     a0 = 0.1 * (e1 * e2) ** 2
     a1 = 0.6 * (e0 * e2) ** 2
     a2 = 0.3 * (e0 * e1) ** 2
-    return (a0 * p0 + a1 * p1 + a2 * p2) / (a0 + a1 + a2)
+    num = a0 * p0 + a1 * p1 + a2 * p2
+    den = a0 + a1 + a2
+    if _os.environ.get("BREEZE_TPU_WENO_RCP"):
+        # experimental (trace-time knob): final convex combination via
+        # approx reciprocal + one Newton step (~6e-5 rel) instead of the
+        # full-precision divide
+        y = pl.reciprocal(den, approx=True)
+        y = y * (2.0 - den * y)
+        return num * y
+    return num / den
 
 
 def _weno_sel(cell, sign, normalize: bool = True):
