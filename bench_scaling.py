@@ -26,7 +26,8 @@ def main() -> int:
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--virtual", type=int, default=0,
                    help="use N virtual CPU devices instead of real chips")
-    p.add_argument("--path", choices=("gspmd", "shard_map"), default="gspmd",
+    p.add_argument("--path", choices=("gspmd", "shard_map"),
+                   default="shard_map",
                    help="execution path: GSPMD partitioner or explicit "
                         "shard_map collectives (1-D x pencil)")
     p.add_argument("--out", default=None, help="write the curve to this JSON file")

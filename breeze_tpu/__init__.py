@@ -34,5 +34,7 @@ from .simulation import (Checkpointer, FieldTimeSeries, FieldWriter,
                          HDF5Writer, IterationInterval, NetCDFWriter,
                          Simulation, SpecifiedTimes, TimeInterval,
                          WallTimeInterval, conjure_time_step_wizard)
+from .parallel.shard_step import (auto_mesh, initialize_distributed,
+                                  make_distributed_step)
 
 __version__ = "0.1.0"

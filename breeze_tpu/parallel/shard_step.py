@@ -154,6 +154,42 @@ def make_x_mesh(n_devices: int | None = None) -> Mesh:
     return jax.make_mesh((n,), ("x",), devices=devices[:n])
 
 
+def auto_mesh(model, n_devices: int | None = None) -> Mesh | None:
+    """Pick a device mesh for ``model`` — THE production multi-device
+    entry, used by :class:`breeze_tpu.simulation.Simulation` when more
+    than one device is visible.
+
+    Prefers the 1-D x slab/pencil decomposition (largest halo-free
+    fraction per shard; x is lane-resident in the kernels); falls back to
+    2-D ``('x', 'y')`` when nx alone can't take all devices.  Returns
+    ``None`` when no decomposition satisfies the divisibility constraints
+    (callers then run single-device/replicated).
+
+    Constraints checked per candidate: ``px | nx``, ``py | ny``, and — for
+    anelastic models (pencil-FFT Poisson transposes) — ``px·py | nz`` and
+    ``px·py | ny``.
+    """
+    g = model.grid
+    n = n_devices or len(jax.devices())
+    if n <= 1:
+        return None
+    has_poisson = hasattr(model, "solver")
+
+    def pencil_ok(p):
+        return not has_poisson or (g.nz % p == 0 and g.ny % p == 0)
+
+    if g.nx % n == 0 and pencil_ok(n):
+        return make_x_mesh(n)
+    # 2-D: largest px | gcd-style scan
+    for px in range(n - 1, 0, -1):
+        if n % px or g.nx % px:
+            continue
+        py = n // px
+        if g.ny % py == 0 and pencil_ok(n):
+            return make_xy_mesh(px, py)
+    return None
+
+
 def make_xy_mesh(px: int, py: int) -> Mesh:
     """2-D ('x', 'y') device mesh for ``Partition(px, py)``."""
     return jax.make_mesh((px, py), ("x", "y"),
@@ -204,6 +240,32 @@ def _localize_terrain(terrain, ny_l: int, nx_l: int, axis_x: str,
         return jax.lax.dynamic_slice(a, starts, sizes)
 
     return jax.tree.map(narrow, terrain)
+
+
+def make_distributed_step(model, mesh: Mesh | None = None, step_fn=None):
+    """THE blessed multi-device step: shard_map with explicit collectives
+    and the Pallas kernels ACTIVE per shard.
+
+    GSPMD (``jit`` + ``NamedSharding``, :mod:`.mesh`) remains available as
+    a compatibility path but is NOT the production one: under multi-device
+    GSPMD ``pallas_call`` has no partitioning rules, so every fused kernel
+    silently drops to the jnp fallback, and the measured virtual
+    weak-scaling curve collapses (``SCALING_gspmd_virtual.json``: 0.025
+    efficiency at 4 devices vs shard_map's 0.59).  Reference equivalence:
+    one decomposition story, ``src/Breeze.jl:208``.
+
+    Returns a jitted ``f(state, dt) -> state`` (``dt`` static), or raises
+    if no mesh fits the model's divisibility constraints.
+    """
+    if mesh is None:
+        mesh = auto_mesh(model)
+        if mesh is None:
+            raise ValueError(
+                "no device mesh satisfies the decomposition constraints "
+                f"for grid {model.grid.shape} on {len(jax.devices())} "
+                "devices (need px | nx, py | ny, and for anelastic "
+                "px*py | nz and px*py | ny); pass an explicit mesh")
+    return make_shard_map_step(model, mesh, step_fn=step_fn)
 
 
 def make_shard_map_step(model, mesh: Mesh, step_fn=None):

@@ -489,7 +489,8 @@ class Simulation:
 
     def __init__(self, model, state, dt: float, stop_time: float | None = None,
                  stop_iteration: int | None = None, wall_time_limit: float | None = None,
-                 nan_check_interval: int = 100, verbose: bool = True):
+                 nan_check_interval: int = 100, verbose: bool = True,
+                 distributed: bool | None = None):
         self.model = model
         self.state = state
         self.dt = float(dt)
@@ -500,6 +501,7 @@ class Simulation:
         self.callbacks: list[Callback] = []
         self.output_writers: list = []
         self.verbose = verbose
+        self.mesh = None
         # dt is compiled in as a static value ONLY where the program shape
         # depends on it: the compressible path bakes its acoustic substep
         # count, and subcycling microphysics (Kessler/1M/2M) bake their
@@ -511,10 +513,29 @@ class Simulation:
         self._dt_static = (
             isinstance(model, CompressibleModel)
             or bool(getattr(model.microphysics, "requires_static_dt", False)))
-        if self._dt_static:
-            self._step = jax.jit(model_step_fn(model), static_argnums=(2,))
-        else:
-            self._step = jax.jit(model_step_fn(model))
+        # Multi-device: auto-wrap the step in the BLESSED production path —
+        # shard_map with explicit collectives + Pallas kernels active per
+        # shard (parallel.shard_step module docstring; GSPMD is the
+        # compatibility path: kernels fall back to jnp there).
+        # ``distributed=False`` opts out; ``distributed=True`` makes a
+        # failed decomposition an error instead of a silent fallback.
+        if distributed is not False and len(jax.devices()) > 1:
+            from .parallel.shard_step import auto_mesh, make_distributed_step
+            mesh = auto_mesh(model)
+            if mesh is None and distributed:
+                raise ValueError(
+                    f"distributed=True but no mesh fits grid "
+                    f"{model.grid.shape} on {len(jax.devices())} devices")
+            if mesh is not None:
+                self.mesh = mesh
+                sharded = make_distributed_step(model, mesh)
+                self._step = lambda m, s, dt: sharded(s, dt)
+                self._dt_static = True   # shard_map step bakes dt
+        if self.mesh is None:
+            if self._dt_static:
+                self._step = jax.jit(model_step_fn(model), static_argnums=(2,))
+            else:
+                self._step = jax.jit(model_step_fn(model))
         if nan_check_interval:
             nc = NaNChecker(nan_check_interval)
             self.add_callback(nc, nc.schedule)

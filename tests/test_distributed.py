@@ -414,6 +414,43 @@ class TestShardMapProductionStep:
                                        rtol=2e-4, atol=2e-4, err_msg=name)
 
 
+class TestBlessedDistributedEntry:
+    """Round-5 VERDICT item 3: ONE documented production multi-device
+    path — Simulation auto-wraps the step via make_distributed_step
+    (shard_map, kernels active) when >1 device is visible."""
+
+    def test_auto_mesh_prefers_1d_x(self):
+        from breeze_tpu.parallel.shard_step import auto_mesh
+        model, _ = bomex_like(nx=32, ny=16, nz=8)
+        mesh = auto_mesh(model)           # 8 devices: nx%8, ny%8, nz%8 ok
+        assert mesh is not None and mesh.devices.shape == (8,)
+        # pencil constraint violated (nz=12 not divisible by 8 -> no 1-D;
+        # 2-D candidates also need px*py | nz) -> None
+        g = bz.make_grid(size=(32, 16, 12), extent=(6400.0, 3200.0, 1600.0),
+                         dtype=jnp.float32,
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED))
+        m2 = make_model(g, potential_temperature=300.0)
+        assert auto_mesh(m2, 8) is None
+
+    def test_simulation_auto_distributes_matches_dense(self):
+        from breeze_tpu.simulation import Simulation
+        model, state = bomex_like(nx=32, ny=16, nz=8)
+        ref_sim = Simulation(model, state, dt=2.0, stop_iteration=3,
+                             verbose=False, distributed=False)
+        assert ref_sim.mesh is None
+        ref_sim.run()
+        sim = Simulation(model, state, dt=2.0, stop_iteration=3,
+                         verbose=False)
+        assert sim.mesh is not None, "auto-distribution did not engage"
+        sim.run()
+        np.testing.assert_allclose(np.asarray(sim.state.rho_theta),
+                                   np.asarray(ref_sim.state.rho_theta),
+                                   rtol=2e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(sim.state.rho_w),
+                                   np.asarray(ref_sim.state.rho_w),
+                                   rtol=2e-4, atol=1e-4)
+
+
 class TestShardedBoundedHalo:
     def test_bounded_center_pad_matches_dense(self):
         from breeze_tpu.parallel.halo import (pad_axis_sharded_bounded,
