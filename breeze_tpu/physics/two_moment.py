@@ -270,140 +270,20 @@ def two_moment_update(scheme: TwoMomentMicrophysics, model, state, dt: float):
 
     def subcycle(m, carry):
         qv, qcl, qr, ncl, nr = carry
-
-        q_mmf = MoistureMassFractions(qv, qcl + qr, jnp.zeros_like(qv))
-        T = temperature_from_theta_li(theta, q_mmf, p, c, model.p_standard)
-        qvs = saturation_specific_humidity(T, rho, c, 1.0)
-        s_pct = jnp.maximum(0.0, (qv / qvs - 1.0)) * 100.0
-
-        dq_act = 0.0
-        if scheme.activation is not None:
-            # --- ARG2000 κ-Köhler activation (reference
-            # two_moment_microphysics.jl:749-860) ----------------------
-            from .one_moment import AirProperties
-            aa = scheme.activation
-            smax, A = arg_max_supersaturation(
-                aa, AirProperties(), rho, w_c, T, p, q_mmf, ncl * rho, c)
-            frac = arg_activated_fraction(aa, smax, A)
-            n_avail = sum(mode.N for mode in aa.modes) / rho   # per-mass
-            n_star = frac * n_avail
-            s_inst = qv / qvs - 1.0
-            act = jnp.where(
-                s_inst > 0.0,
-                jnp.clip(n_star - ncl, 0.0, n_avail)
-                / max(aa.nucleation_timescale, dts),
-                0.0)
-            # Köhler activation radius r = 2A/(3S) → initial droplet mass
-            r_act = jnp.clip(2.0 * A / (3.0 * jnp.maximum(s_inst, 1e-12)),
-                             aa.nucleation_radius, aa.max_activation_radius)
-            dq_act = act * (4.0 / 3.0) * jnp.pi * r_act ** 3 * aa.water_density
-            dq_act = jnp.minimum(dq_act, jnp.maximum(qv, 0.0) / dts)
-        else:
-            # --- activation (Twomey proxy) ----------------------------
-            n_act = scheme.ccn_concentration / rho * jnp.minimum(
-                s_pct ** scheme.activation_exponent, 1.0)   # per-mass [1/kg]
-            act = jnp.maximum(0.0, n_act - ncl) / scheme.activation_timescale
-
-        # --- condensation / evaporation of cloud --------------------
-        cond = (qv - qvs) / scheme.tau_cond
-        cond = jnp.where(cond > 0, cond, jnp.maximum(cond, -qcl / dts))
-        # evaporation removes droplets proportionally
-        evap_frac = jnp.where(qcl > 1e-12, jnp.maximum(-cond, 0.0) * dts / jnp.maximum(qcl, 1e-12), 0.0)
-        dncl_evap = -ncl * jnp.minimum(evap_frac, 1.0) / dts
-
-        # shared quantities
-        rho_corr = jnp.sqrt(scheme.rho0_air / rho)   # √(ρ0/ρ) (SB2006)
-        x_cl = jnp.clip(jnp.where(ncl > 1e-3, qcl / jnp.maximum(ncl, 1e-3), 0.0),
-                        scheme.min_droplet_mass, scheme.max_droplet_mass)
-        x_r = jnp.clip(jnp.where(nr > 1e-6, qr / jnp.maximum(nr, 1e-6), 0.0),
-                       scheme.min_rain_mass, scheme.max_rain_mass)
-        # τ = 1 − qc/(qc+qr); clip away from 1 in f32-safe distance (the
-        # φau/(1−τ)² enhancement only matters when qc > 0, where τ < 1)
-        tau = jnp.clip(1.0 - qcl / jnp.maximum(qcl + qr, 1e-20), 1e-12,
-                       1.0 - 1e-5)
-
-        # --- SB2006 autoconversion (Eq. 4-6) -------------------------
-        nu = scheme.nu_cloud
-        phi_au = 400.0 * tau ** 0.7 * (1.0 - tau ** 0.7) ** 3
-        au = (scheme.kc_autoconversion / (20.0 * scheme.x_star)
-              * (nu + 2.0) * (nu + 4.0) / (nu + 1.0) ** 2
-              * qcl ** 2 * x_cl ** 2 * rho
-              * (1.0 + phi_au / (1.0 - tau) ** 2))
-        au = jnp.minimum(au, qcl / dts)
-        dnr_au = au / scheme.x_star
-        dncl_au = -2.0 * au / scheme.x_star          # SB2006: −2/x* ∂L/∂t
-
-        # --- cloud self-collection (Eq. 5: only Nc, no mass) ---------
-        dncl_sc = -(scheme.kc_autoconversion * (nu + 2.0) / (nu + 1.0)
-                    * qcl ** 2 * rho)
-
-        # --- accretion (Eq. 7-8) -------------------------------------
-        phi_ac = (tau / (tau + scheme.accretion_tau0)) ** 4
-        ac = scheme.kr_accretion * qcl * qr * rho * phi_ac * rho_corr
-        ac = jnp.minimum(ac, jnp.maximum(qcl / dts - au, 0.0))
-        dncl_ac = -ac / jnp.maximum(x_cl, scheme.min_droplet_mass)
-
-        # --- rain self-collection + breakup (Eq. 9/13) ---------------
-        rho_w = scheme.water_density
-        D_r = jnp.cbrt(6.0 * x_r / (jnp.pi * rho_w))
-        sc = scheme.k_selfcollection * nr * qr * rho * rho_corr
-        dD = D_r - scheme.D_eq
-        phi_br = jnp.where(
-            D_r < scheme.D_br_min, -1.0,
-            jnp.where(D_r <= scheme.D_eq, scheme.k_breakup * dD,
-                      2.0 * jnp.exp(scheme.kappa_breakup * dD) - 1.0))
-        dnr_scbr = phi_br * sc                        # −sc ... +breakup
-
-        # --- rain evaporation (SB2006 ventilated; the reference's
-        # rain_evaporation_2m translation) -----------------------------
-        from .one_moment import AirProperties, diffusional_growth_factor
-        air = AirProperties()
-        beta = scheme.rain_v_exponent
-        Gf = diffusional_growth_factor(air, T, c)
-        S = qv / qvs - 1.0                            # liquid supersaturation
-        t_star = jnp.cbrt(6.0 * scheme.x_star / x_r)
-        a_v0 = scheme.av_vent * _gamma_incl(-1.0, t_star) / 6.0 ** (-2.0 / 3.0)
-        b_v0 = (scheme.bv_vent * _gamma_incl(-0.5 + 1.5 * beta, t_star)
-                / 6.0 ** ((beta - 1.0) / 2.0))
-        a_v1 = scheme.av_vent * 1.0 / jnp.cbrt(6.0)           # Γ(2) = 1
-        b_v1 = (scheme.bv_vent * _gamma_fn(2.5 + 1.5 * beta)
-                / 6.0 ** ((beta + 1.0) / 2.0))
-        Re = (scheme.rain_v_coefficient * x_r ** beta * rho_corr * D_r
-              / air.nu_air)
-        schmidt = jnp.cbrt(air.nu_air / air.D_vapor) * jnp.sqrt(Re)
-        Fv0 = a_v0 + b_v0 * schmidt
-        Fv1 = a_v1 + b_v1 * schmidt
-        Nr_vol = nr * rho                             # [1/m³]
-        evaporating = (S < 0.0) & (qr > 1e-15) & (nr > 1e-6)
-        dnr_evap = jnp.where(
-            evaporating,
-            jnp.minimum(0.0, 2.0 * jnp.pi * Gf * S * Nr_vol * D_r * Fv0
-                        / x_r) / rho,                 # per-mass [1/kg/s]
-            0.0)
-        evap_r = jnp.where(
-            evaporating,
-            -jnp.minimum(0.0, 2.0 * jnp.pi * Gf * S * Nr_vol * D_r * Fv1
-                         / rho),                      # [kg/kg/s] ≥ 0
-            0.0)
-        evap_r = jnp.minimum(evap_r, qr / dts)
-
-        # --- update -------------------------------------------------
-        qv1 = jnp.maximum(qv - dts * (cond + dq_act) + dts * evap_r, 0.0)
-        qcl1 = jnp.maximum(qcl + dts * (cond + dq_act - au - ac), 0.0)
-        qr1 = jnp.maximum(qr + dts * (au + ac - evap_r), 0.0)
-        ncl1 = jnp.maximum(ncl + dts * (act + dncl_evap + dncl_au
-                                        + dncl_sc + dncl_ac), 0.0)
-        nr1 = jnp.maximum(nr + dts * (dnr_au + dnr_scbr + dnr_evap), 0.0)
-
-        # clamp orphaned numbers (no mass → no number; reference
-        # negative_moisture_correction clamps orphaned concentrations)
-        ncl1 = jnp.where(qcl1 > 1e-12, ncl1, 0.0)
-        nr1 = jnp.where(qr1 > 1e-12, nr1, 0.0)
+        qv1, qcl1, qr1, ncl1, nr1 = two_moment_process_step(
+            scheme, qv, qcl, qr, ncl, nr, theta, rho, p, w_c, dts, c,
+            model.p_standard)
 
         # --- sedimentation of rain (SB2006VelType, Rogers-type mean
         # fall speeds: mass- and number-weighted differ through the
         # exponential DSD) --------------------------------------------
-        lam_r = jnp.cbrt(jnp.pi * rho_w / x_r)
+        rho_corr = jnp.sqrt(scheme.rho0_air / rho)
+        # fall speeds from the PRE-update mean rain mass (exact numerics of
+        # the pre-refactor in-subcycle ordering)
+        x_r = jnp.clip(jnp.where(nr > 1e-6, qr / jnp.maximum(nr, 1e-6),
+                                 0.0),
+                       scheme.min_rain_mass, scheme.max_rain_mass)
+        lam_r = jnp.cbrt(jnp.pi * scheme.water_density / x_r)
         vmax = scheme.max_terminal_velocity
 
         def rogers_v(k):
@@ -434,3 +314,146 @@ def two_moment_update(scheme: TwoMomentMicrophysics, model, state, dt: float):
     tracers["rho_ncl"] = rho * ncl
     tracers["rho_nr"] = rho * nr
     return state.replace(rho_qt=rho * qv, tracers=tracers)
+
+
+def two_moment_process_step(scheme, qv, qcl, qr, ncl, nr, theta, rho, p,
+                            w_c, dts, c, p_standard):
+    """ONE forward-Euler step of every POINTWISE SB2006 process
+    (activation, condensation/evaporation, auto-conversion, accretion,
+    self-collection/breakup, ventilated rain evaporation) — everything in
+    the grid subcycle except sedimentation.  Shared verbatim by
+    :func:`two_moment_update` and the 0-D parcel coupling
+    (:mod:`breeze_tpu.parcel`), so parcel rates ARE the grid rates at
+    matched (θ, ρ, p, w) — the reference parcel materializes the same
+    scheme prognostics (``parcel_dynamics.jl:245-283``) and feeds parcel
+    w into activation (``:578-584``)."""
+    q_mmf = MoistureMassFractions(qv, qcl + qr, jnp.zeros_like(qv))
+    T = temperature_from_theta_li(theta, q_mmf, p, c, p_standard)
+    qvs = saturation_specific_humidity(T, rho, c, 1.0)
+    s_pct = jnp.maximum(0.0, (qv / qvs - 1.0)) * 100.0
+
+    dq_act = 0.0
+    if scheme.activation is not None:
+        # --- ARG2000 κ-Köhler activation (reference
+        # two_moment_microphysics.jl:749-860) ----------------------
+        from .one_moment import AirProperties
+        aa = scheme.activation
+        smax, A = arg_max_supersaturation(
+            aa, AirProperties(), rho, w_c, T, p, q_mmf, ncl * rho, c)
+        frac = arg_activated_fraction(aa, smax, A)
+        n_avail = sum(mode.N for mode in aa.modes) / rho   # per-mass
+        n_star = frac * n_avail
+        s_inst = qv / qvs - 1.0
+        act = jnp.where(
+            s_inst > 0.0,
+            jnp.clip(n_star - ncl, 0.0, n_avail)
+            / max(aa.nucleation_timescale, dts),
+            0.0)
+        # Köhler activation radius r = 2A/(3S) → initial droplet mass
+        r_act = jnp.clip(2.0 * A / (3.0 * jnp.maximum(s_inst, 1e-12)),
+                         aa.nucleation_radius, aa.max_activation_radius)
+        dq_act = act * (4.0 / 3.0) * jnp.pi * r_act ** 3 * aa.water_density
+        dq_act = jnp.minimum(dq_act, jnp.maximum(qv, 0.0) / dts)
+    else:
+        # --- activation (Twomey proxy) ----------------------------
+        n_act = scheme.ccn_concentration / rho * jnp.minimum(
+            s_pct ** scheme.activation_exponent, 1.0)   # per-mass [1/kg]
+        act = jnp.maximum(0.0, n_act - ncl) / scheme.activation_timescale
+
+    # --- condensation / evaporation of cloud --------------------
+    cond = (qv - qvs) / scheme.tau_cond
+    cond = jnp.where(cond > 0, cond, jnp.maximum(cond, -qcl / dts))
+    # evaporation removes droplets proportionally
+    evap_frac = jnp.where(qcl > 1e-12, jnp.maximum(-cond, 0.0) * dts / jnp.maximum(qcl, 1e-12), 0.0)
+    dncl_evap = -ncl * jnp.minimum(evap_frac, 1.0) / dts
+
+    # shared quantities
+    rho_corr = jnp.sqrt(scheme.rho0_air / rho)   # √(ρ0/ρ) (SB2006)
+    x_cl = jnp.clip(jnp.where(ncl > 1e-3, qcl / jnp.maximum(ncl, 1e-3), 0.0),
+                    scheme.min_droplet_mass, scheme.max_droplet_mass)
+    x_r = jnp.clip(jnp.where(nr > 1e-6, qr / jnp.maximum(nr, 1e-6), 0.0),
+                   scheme.min_rain_mass, scheme.max_rain_mass)
+    # τ = 1 − qc/(qc+qr); clip away from 1 in f32-safe distance (the
+    # φau/(1−τ)² enhancement only matters when qc > 0, where τ < 1)
+    tau = jnp.clip(1.0 - qcl / jnp.maximum(qcl + qr, 1e-20), 1e-12,
+                   1.0 - 1e-5)
+
+    # --- SB2006 autoconversion (Eq. 4-6) -------------------------
+    nu = scheme.nu_cloud
+    phi_au = 400.0 * tau ** 0.7 * (1.0 - tau ** 0.7) ** 3
+    au = (scheme.kc_autoconversion / (20.0 * scheme.x_star)
+          * (nu + 2.0) * (nu + 4.0) / (nu + 1.0) ** 2
+          * qcl ** 2 * x_cl ** 2 * rho
+          * (1.0 + phi_au / (1.0 - tau) ** 2))
+    au = jnp.minimum(au, qcl / dts)
+    dnr_au = au / scheme.x_star
+    dncl_au = -2.0 * au / scheme.x_star          # SB2006: −2/x* ∂L/∂t
+
+    # --- cloud self-collection (Eq. 5: only Nc, no mass) ---------
+    dncl_sc = -(scheme.kc_autoconversion * (nu + 2.0) / (nu + 1.0)
+                * qcl ** 2 * rho)
+
+    # --- accretion (Eq. 7-8) -------------------------------------
+    phi_ac = (tau / (tau + scheme.accretion_tau0)) ** 4
+    ac = scheme.kr_accretion * qcl * qr * rho * phi_ac * rho_corr
+    ac = jnp.minimum(ac, jnp.maximum(qcl / dts - au, 0.0))
+    dncl_ac = -ac / jnp.maximum(x_cl, scheme.min_droplet_mass)
+
+    # --- rain self-collection + breakup (Eq. 9/13) ---------------
+    rho_w = scheme.water_density
+    D_r = jnp.cbrt(6.0 * x_r / (jnp.pi * rho_w))
+    sc = scheme.k_selfcollection * nr * qr * rho * rho_corr
+    dD = D_r - scheme.D_eq
+    phi_br = jnp.where(
+        D_r < scheme.D_br_min, -1.0,
+        jnp.where(D_r <= scheme.D_eq, scheme.k_breakup * dD,
+                  2.0 * jnp.exp(scheme.kappa_breakup * dD) - 1.0))
+    dnr_scbr = phi_br * sc                        # −sc ... +breakup
+
+    # --- rain evaporation (SB2006 ventilated; the reference's
+    # rain_evaporation_2m translation) -----------------------------
+    from .one_moment import AirProperties, diffusional_growth_factor
+    air = AirProperties()
+    beta = scheme.rain_v_exponent
+    Gf = diffusional_growth_factor(air, T, c)
+    S = qv / qvs - 1.0                            # liquid supersaturation
+    t_star = jnp.cbrt(6.0 * scheme.x_star / x_r)
+    a_v0 = scheme.av_vent * _gamma_incl(-1.0, t_star) / 6.0 ** (-2.0 / 3.0)
+    b_v0 = (scheme.bv_vent * _gamma_incl(-0.5 + 1.5 * beta, t_star)
+            / 6.0 ** ((beta - 1.0) / 2.0))
+    a_v1 = scheme.av_vent * 1.0 / jnp.cbrt(6.0)           # Γ(2) = 1
+    b_v1 = (scheme.bv_vent * _gamma_fn(2.5 + 1.5 * beta)
+            / 6.0 ** ((beta + 1.0) / 2.0))
+    Re = (scheme.rain_v_coefficient * x_r ** beta * rho_corr * D_r
+          / air.nu_air)
+    schmidt = jnp.cbrt(air.nu_air / air.D_vapor) * jnp.sqrt(Re)
+    Fv0 = a_v0 + b_v0 * schmidt
+    Fv1 = a_v1 + b_v1 * schmidt
+    Nr_vol = nr * rho                             # [1/m³]
+    evaporating = (S < 0.0) & (qr > 1e-15) & (nr > 1e-6)
+    dnr_evap = jnp.where(
+        evaporating,
+        jnp.minimum(0.0, 2.0 * jnp.pi * Gf * S * Nr_vol * D_r * Fv0
+                    / x_r) / rho,                 # per-mass [1/kg/s]
+        0.0)
+    evap_r = jnp.where(
+        evaporating,
+        -jnp.minimum(0.0, 2.0 * jnp.pi * Gf * S * Nr_vol * D_r * Fv1
+                     / rho),                      # [kg/kg/s] ≥ 0
+        0.0)
+    evap_r = jnp.minimum(evap_r, qr / dts)
+
+    # --- update -------------------------------------------------
+    qv1 = jnp.maximum(qv - dts * (cond + dq_act) + dts * evap_r, 0.0)
+    qcl1 = jnp.maximum(qcl + dts * (cond + dq_act - au - ac), 0.0)
+    qr1 = jnp.maximum(qr + dts * (au + ac - evap_r), 0.0)
+    ncl1 = jnp.maximum(ncl + dts * (act + dncl_evap + dncl_au
+                                    + dncl_sc + dncl_ac), 0.0)
+    nr1 = jnp.maximum(nr + dts * (dnr_au + dnr_scbr + dnr_evap), 0.0)
+
+    # clamp orphaned numbers (no mass → no number; reference
+    # negative_moisture_correction clamps orphaned concentrations)
+    ncl1 = jnp.where(qcl1 > 1e-12, ncl1, 0.0)
+    nr1 = jnp.where(qr1 > 1e-12, nr1, 0.0)
+
+    return qv1, qcl1, qr1, ncl1, nr1

@@ -146,3 +146,139 @@ class TestKinematicDivergenceAndDensity:
                                               g.shape))
         d = rho - rho_ref
         assert d[:, 0, 16].mean() > 0.0 > d[:, 0, 0].mean()
+
+
+class TestParcelMicrophysicsCoupling:
+    """Round-5 VERDICT item 4 (reference parcel_dynamics.jl:245-283,
+    578-584): the parcel materializes any scheme's prognostics and steps
+    them with the GRID scheme's own rate functions; activation sees the
+    PARCEL's vertical velocity."""
+
+    def test_1m_warm_parcel_condenses_and_rains(self):
+        from breeze_tpu.physics.one_moment import OneMomentMicrophysics
+        sch = OneMomentMicrophysics(warm_phase=True)
+        pd = ParcelDynamics(microphysics=sch, vertical_velocity=2.0)
+        s0 = pd.initial_state(z=0.0, theta=299.0, qt=0.016)
+        assert set(s0.micro) == {"qcl", "qr"}
+        final, traj = pd.integrate(s0, 1.0, 900)
+        qcl = np.asarray(traj.micro["qcl"])
+        qr = np.asarray(traj.micro["qr"])
+        assert qcl.max() > 1e-4, "parcel should condense above the LCL"
+        assert qr[-1] > 1e-6, "autoconversion + accretion should form rain"
+        # closed moisture budget every step: qv + categories == qt
+        np.testing.assert_allclose(
+            np.asarray(traj.qv) + qcl + qr, float(s0.qt), rtol=2e-6)
+
+    def test_1m_parcel_step_matches_grid_rates(self):
+        """One parcel step == forward-Euler with the grid scheme's
+        _process_rates at the parcel's exact (qv, T, rho) — the coupling
+        feeds the scheme the same state the grid update would."""
+        from breeze_tpu.physics.one_moment import (OneMomentMicrophysics,
+                                                   _process_rates)
+        from breeze_tpu.thermo.constants import MoistureMassFractions
+        from breeze_tpu.thermo.states import temperature_from_theta_li
+        sch = OneMomentMicrophysics(warm_phase=True)
+        pd = ParcelDynamics(microphysics=sch, vertical_velocity=2.0)
+        s = pd.initial_state(z=0.0, theta=299.0, qt=0.016)
+        for _ in range(600):
+            s = pd.step(s, 1.0)
+        assert float(s.micro["qcl"]) > 1e-5
+        dt = 1.0
+        s2 = pd.step(s, dt)
+        c = pd.constants
+        # replicate the coupling's inputs
+        p_new = pd.environment_pressure(s.z + dt * 2.0)
+        qcl, qr = s.micro["qcl"], s.micro["qr"]
+        qv = jnp.maximum(s.qt - qcl - qr, 0.0)
+        rho = p_new / (c.mixture_gas_constant(
+            MoistureMassFractions(qv, qcl + qr, 0.0 * qv)) * s.T)
+        T = temperature_from_theta_li(
+            s.theta_li, MoistureMassFractions(qv, qcl + qr, 0.0 * qv),
+            p_new, c, pd.p_standard)
+        dqv, dqcl, dqci, dqr, dqs = _process_rates(
+            sch, qv, qcl, 0.0 * qv, qr, 0.0 * qv, rho, T, c,
+            c.gravitational_acceleration, min_timescale=dt)
+        np.testing.assert_allclose(float(s2.micro["qcl"]),
+                                   max(float(qcl + dt * dqcl), 0.0),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(s2.micro["qr"]),
+                                   max(float(qr + dt * dqr), 0.0), rtol=1e-6)
+
+    def test_2m_arg_activation_uses_parcel_w(self):
+        """ARG2000 activation inside the parcel: droplet number appears
+        once the parcel saturates, scales with the activated fraction of
+        the aerosol reservoir, and depends on the parcel's w (faster
+        updraft -> higher smax -> more activation) — reference
+        parcel_dynamics.jl:578-584."""
+        from breeze_tpu.physics.two_moment import (AerosolActivation,
+                                                   AerosolMode,
+                                                   TwoMomentMicrophysics)
+        aa = AerosolActivation(modes=(AerosolMode(N=200.0e6),))
+        sch = TwoMomentMicrophysics(activation=aa)
+
+        def ncl_after(w):
+            pd = ParcelDynamics(microphysics=sch, vertical_velocity=w)
+            s0 = pd.initial_state(z=0.0, theta=299.0, qt=0.016)
+            assert set(s0.micro) == {"qcl", "qr", "ncl", "nr"}
+            n_steps = int(1200 / w)     # same final height
+            final, _ = pd.integrate(s0, 1.0, n_steps)
+            return float(final.micro["ncl"]), final
+
+        ncl_slow, f_slow = ncl_after(1.0)
+        ncl_fast, f_fast = ncl_after(4.0)
+        assert ncl_slow > 0.0, "activation should have fired"
+        # all activated droplet numbers bounded by the aerosol reservoir
+        rho_approx = 1.0
+        assert ncl_fast <= 200.0e6 / 0.9  # per-mass bound (rho ~ 0.9-1.2)
+        assert ncl_fast > ncl_slow, (
+            "stronger parcel updraft must activate more aerosol "
+            f"({ncl_fast:.3e} !> {ncl_slow:.3e})")
+
+    def test_2m_parcel_step_matches_grid_process_step(self):
+        """One parcel 2M step == the grid's two_moment_process_step at the
+        parcel's exact (theta, rho, p, w) — including the parcel w fed to
+        activation."""
+        from breeze_tpu.physics.two_moment import (AerosolActivation,
+                                                   TwoMomentMicrophysics,
+                                                   two_moment_process_step)
+        from breeze_tpu.thermo.constants import MoistureMassFractions
+        sch = TwoMomentMicrophysics(activation=AerosolActivation())
+        pd = ParcelDynamics(microphysics=sch, vertical_velocity=1.5)
+        s = pd.initial_state(z=0.0, theta=299.0, qt=0.016)
+        for _ in range(700):
+            s = pd.step(s, 1.0)
+        assert float(s.micro["ncl"]) > 0.0
+        dt = 1.0
+        s2 = pd.step(s, dt)
+        c = pd.constants
+        p_new = pd.environment_pressure(s.z + dt * 1.5)
+        mu = s.micro
+        qv = jnp.maximum(s.qt - mu["qcl"] - mu["qr"], 0.0)
+        rho = p_new / (c.mixture_gas_constant(MoistureMassFractions(
+            qv, mu["qcl"] + mu["qr"], 0.0 * qv)) * s.T)
+        qv1, qcl1, qr1, ncl1, nr1 = two_moment_process_step(
+            sch, qv, mu["qcl"], mu["qr"], mu["ncl"], mu["nr"],
+            s.theta_li, rho, p_new, jnp.float32(1.5), dt, c, pd.p_standard)
+        np.testing.assert_allclose(float(s2.micro["qcl"]), float(qcl1),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(s2.micro["ncl"]), float(ncl1),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(float(s2.micro["nr"]), float(nr1),
+                                   rtol=1e-6)
+
+    def test_1m_mixed_phase_parcel_grows_ice(self):
+        """Mixed-phase 4-category parcel: a cold ascent deposits cloud
+        ice through the scheme's deposition rate."""
+        from breeze_tpu.physics.one_moment import OneMomentMicrophysics
+        sch = OneMomentMicrophysics()
+        pd = ParcelDynamics(microphysics=sch, vertical_velocity=3.0,
+                            environment_theta=260.0)
+        s0 = pd.initial_state(z=0.0, theta=260.0, qt=0.003)
+        assert set(s0.micro) == {"qcl", "qci", "qr", "qs"}
+        final, traj = pd.integrate(s0, 1.0, 800)
+        assert float(np.asarray(traj.micro["qci"]).max()) > 1e-6, \
+            "cold parcel should deposit cloud ice"
+        budget = (np.asarray(traj.qv) + np.asarray(traj.micro["qcl"])
+                  + np.asarray(traj.micro["qci"]) + np.asarray(traj.micro["qr"])
+                  + np.asarray(traj.micro["qs"]))
+        np.testing.assert_allclose(budget, float(s0.qt), rtol=2e-6)
