@@ -1410,7 +1410,6 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
         # restores the jnp substep loop.
         use_pallas_fast = (_pallas_enabled() and terrain is None
                            and not ob_relax and pacoustic.supported(model)
-                           and model.formulation == "potential_temperature"
                            and not _os.environ.get(
                                "BREEZE_TPU_DISABLE_PALLAS_ACOUSTIC"))
         # Stage-entry (ρw)ᴸ for the KDH08 full-field sponge (terrain:

@@ -393,12 +393,17 @@ def _ceil8(n):
 def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
              dtau: float, omega: float, g_acc: float, damp_coef: float,
              store_dt=jnp.float32, has_sponge: bool = False,
-             n_yblocks: int = 0, prefetch: bool = False):
+             n_yblocks: int = 0, prefetch: bool = False,
+             damp_mode: str = "thermal", has_crho: bool = False):
     # y halo accounting: centers lose 1 row/side per substep; rv (y-face)
-    # loses ONE EXTRA bottom row per substep when thermal damping is on
-    # (the correction reads D[m−1], and D inherits the centers' validity) —
-    # asymmetric halo, or face 0 of every block goes stale (caught as a
-    # block-period error pattern on device).
+    # loses ONE EXTRA bottom row per substep when divergence damping is on
+    # (thermal: the correction reads D[m−1], and D inherits the centers'
+    # validity; direct: δ[m−1] needs ru/rv one row further down — the same
+    # +1 bottom, and its ys_p top need is absorbed by the standard top
+    # creep, ly = by+2k+1 in both modes) — asymmetric halo, or face 0 of
+    # every block goes stale (caught as a block-period error pattern on
+    # device).  ``has_crho``: ρe-formulation p′ = C_L(ρe)′ + C_ρρ′
+    # coupling — one extra field window + unit-face-weight tridiag terms.
     h = n_inner + (1 if damp_coef else 0)   # bottom halo rows
     ht = n_inner                            # top halo rows
     ly = by + h + ht               # logical rows (center j·by−h .. +by+ht−1)
@@ -407,23 +412,33 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
     f32 = jnp.float32
 
     def kernel(*refs):
-        # signature (sponge column only when has_sponge):
-        #   13 field inputs, invdzc, invdzf, [sponge], pgf_ref (SMEM),
-        #   8 outputs, 13 windows, invdzc_w, invdzf_w, [sponge_w],
-        #   cp, dp, aco, bco, cco, rhs scratch, sems
-        n_in = 16 + (1 if has_sponge else 0)
+        # signature (crho/sponge only when enabled):
+        #   13 field inputs, [crho], invdzc, invdzf, [sponge],
+        #   pgf_ref (SMEM), 8 outputs, 13 windows, [crho_w], invdzc_w,
+        #   invdzf_w, [sponge_w], cp, dp, aco, bco, cco, rhs scratch, sems
+        nf = 13 + (1 if has_crho else 0)
+        n_in = nf + 3 + (1 if has_sponge else 0)
         (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm,
          cl_hbm, th_hbm, thzf_hbm,
-         gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm,
-         invdzc_hbm, invdzf_hbm) = refs[:15]
-        sponge_hbm = refs[15] if has_sponge else None
+         gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm) = refs[:13]
+        k = 13
+        crho_hbm = refs[k] if has_crho else None
+        if has_crho:
+            k += 1
+        invdzc_hbm, invdzf_hbm = refs[k], refs[k + 1]
+        k += 2
+        sponge_hbm = refs[k] if has_sponge else None
         pgf_ref = refs[n_in - 1]
         (ru_o, rv_o, rw_o, rho_o, rt_o, sru_o, srv_o, srw_o) = \
             refs[n_in:n_in + 8]
         (ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
-         gru_w, grv_w, grw_w, grho_w, grt_w, invdzc_w, invdzf_w) = \
-            refs[n_in + 8:n_in + 23]
-        k = n_in + 23
+         gru_w, grv_w, grw_w, grho_w, grt_w) = refs[n_in + 8:n_in + 21]
+        k = n_in + 21
+        crho_w = refs[k] if has_crho else None
+        if has_crho:
+            k += 1
+        invdzc_w, invdzf_w = refs[k], refs[k + 1]
+        k += 2
         sponge_w = refs[k] if has_sponge else None
         if has_sponge:
             k += 1
@@ -432,9 +447,11 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
         j = pl.program_id(0)
 
         srcs = (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
-                thzf_hbm, gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm)
+                thzf_hbm, gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm) \
+            + ((crho_hbm,) if has_crho else ())
         dsts = (ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
-                gru_w, grv_w, grw_w, grho_w, grt_w)
+                gru_w, grv_w, grw_w, grho_w, grt_w) \
+            + ((crho_w,) if has_crho else ())
 
         if prefetch:
             # Cross-block window prefetch (same double-buffer scheme as
@@ -464,20 +481,22 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                 pltpu.make_async_copy(
                     src.at[:, pl.ds(j * by, wy), :], dst.at[0],
                     sems.at[0, n]).start()
-        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[0, 13]).start()
-        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[0, 14]).start()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[0, nf]).start()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w,
+                              sems.at[0, nf + 1]).start()
         if has_sponge:
             pltpu.make_async_copy(sponge_hbm, sponge_w,
-                                  sems.at[0, 15]).start()
+                                  sems.at[0, nf + 2]).start()
         for n, (src, dst) in enumerate(zip(srcs, dsts)):
             pltpu.make_async_copy(
                 src.at[:, pl.ds(j * by, wy), :], dst.at[slot],
                 sems.at[slot, n]).wait()
-        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[0, 13]).wait()
-        pltpu.make_async_copy(invdzf_hbm, invdzf_w, sems.at[0, 14]).wait()
+        pltpu.make_async_copy(invdzc_hbm, invdzc_w, sems.at[0, nf]).wait()
+        pltpu.make_async_copy(invdzf_hbm, invdzf_w,
+                              sems.at[0, nf + 1]).wait()
         if has_sponge:
             pltpu.make_async_copy(sponge_hbm, sponge_w,
-                                  sems.at[0, 15]).wait()
+                                  sems.at[0, nf + 2]).wait()
 
         def xs(a, o):
             return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
@@ -497,6 +516,7 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
         cl = lv(cl_w)
         th = lv(th_w)
         thf = lv(thzf_w)
+        crho = lv(crho_w) if has_crho else None
         gru = lv(gru_w)
         grv = lv(grv_w)
         grw = lv(grw_w)
@@ -517,6 +537,16 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                 + od2 * inv_dzf * thf * (cl * inv_dzc + C_b * inv_dzc_b))
         c_co = (-0.5 * g_acc * od2 * inv_dzc
                 - od2 * inv_dzf * cl * thf_a * inv_dzc)
+        if has_crho:
+            # ρe formulation: p′ = C_L(ρe)′ + C_ρ ρ′ adds the same flux
+            # structure with UNIT face weight (the ρ predictor's flux is
+            # (ρw)′ itself) — C→C_ρ, χᶠ→1 term-by-term (jnp loop
+            # compressible.py C_rho block)
+            crho_b = below(crho)
+            a_co = a_co - od2 * inv_dzf * crho_b * inv_dzc_b
+            b_co = b_co + od2 * inv_dzf * (crho * inv_dzc
+                                           + crho_b * inv_dzc_b)
+            c_co = c_co - od2 * inv_dzf * crho * inv_dzc
         if has_sponge:
             # Implicit Rayleigh upper sponge: CN-weighted — the ωΔτ·r·ramp
             # part joins the diagonal, the (1−ω)Δτ part hits the RHS below
@@ -544,6 +574,8 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
 
             # ---- A: horizontal momenta -------------------------------
             pp = cl * rt_p
+            if has_crho:
+                pp = pp + crho * rho_p
             dpdx = (pp - xs(pp, -1)) * inv_dx
             dpdy = (pp - ys_m(pp)) * inv_dy
             ru_new = ru_p + dtau * (gru - pgf * dpdx)
@@ -569,6 +601,9 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
             rho_tau_zf = 0.5 * (rho_p + below(rho_p))
             Crt_tau = cl * rt_p
             Crt_star = cl * rt_star
+            if has_crho:
+                Crt_tau = Crt_tau + crho * rho_p
+                Crt_star = Crt_star + crho * rho_star
             dz_Crt_tau = (Crt_tau - below(Crt_tau)) * inv_dzf
             dz_Crt_star = (Crt_star - below(Crt_star)) * inv_dzf
             d = (rw_p + dtau * grw
@@ -607,11 +642,20 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
             thw = thf * rw_new
             rt_new = rt_star - omega * dtau * (above0(thw) - thw) * inv_dzc
 
-            # ---- E: thermal divergence damping -----------------------
-            if damp_coef:
+            # ---- E: divergence damping (strategy dispatch) -----------
+            if damp_coef and damp_mode == "thermal":
                 D = (rt_new - rt_p) / th
                 ru_new = ru_new - damp_coef * dx / dtau * (D - xs(D, -1))
                 rv_new = rv_new - damp_coef * dy / dtau * (D - ys_m(D))
+            elif damp_coef and damp_mode == "direct":
+                # KSH18 eq. 36: δ from the UPDATED perturbation momenta —
+                # no 1/Δτ (jnp loop DirectDivergenceDamping branch)
+                fx2 = th_xf * ru_new
+                fy2 = th_yf * rv_new
+                delta = ((xs(fx2, 1) - fx2) * inv_dx
+                         + (ys_p(fy2) - fy2) * inv_dy)
+                ru_new = ru_new + damp_coef * dx * (delta - xs(delta, -1)) / th_xf
+                rv_new = rv_new + damp_coef * dy * (delta - ys_m(delta)) / th_yf
 
             # bf16 carry semantics: round-trip through the storage dtype
             # between substeps, exactly as the jnp loop does
@@ -642,15 +686,17 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
 
 @functools.partial(jax.jit, static_argnames=(
     "by", "nz", "ny", "nx", "n_inner", "dx", "dy", "dtau", "omega",
-    "g_acc", "damp_coef", "store", "interpret"))
+    "g_acc", "damp_coef", "store", "interpret", "damp_mode"))
 def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
             inv_dzc_col, inv_dzf_col, pgf_flags,
             by, nz, ny, nx, n_inner, dx, dy, dtau, omega, g_acc, damp_coef,
-            store="float32", interpret=False, sponge_col=None):
+            store="float32", interpret=False, sponge_col=None,
+            damp_mode="thermal", crho=None):
     import os as _os
 
     store_dt = jnp.dtype(store)
     has_sponge = sponge_col is not None
+    has_crho = crho is not None
     h = n_inner + (1 if damp_coef else 0)
     ly_ = by + h + n_inner
     wy_ = _ceil8(ly_)
@@ -659,7 +705,8 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     # fits comfortably in v5e's 128 MB VMEM; opt out via
     # BREEZE_TPU_K3_PREFETCH=0.
     win_b = nz * wy_ * nx
-    win_single = win_b * (5 * store_dt.itemsize + 8 * 4)
+    win_single = win_b * (5 * store_dt.itemsize
+                          + (9 if crho is not None else 8) * 4)
     est = (2 * win_single                        # doubled windows
            # register-allocator spill-slot proxy: measured 66 MB at
            # n_inner=4/by=8/256²×128 ≈ 2× the single-buffer windows; the
@@ -674,13 +721,19 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     # docs/kernels.md).  BREEZE_TPU_K3_PREFETCH=1 still forces it for
     # sweeps.  Both knobs are read at TRACE time: toggling them mid-process
     # silently reuses the cached program.
+    # ... and only for the hardware-verified family: 13-window thermal/
+    # no-damp configs (the 14-window ρe + direct-damping config measured
+    # 129.6/128 MB VMEM with k=2 prefetch — the spill proxy undercounts
+    # its extra live values)
     prefetch = (pf_env == "1"
                 or (pf_env != "0" and n_inner <= 2
+                    and crho is None and damp_mode == "thermal"
                     and est < 120 * 1024 * 1024))
     kernel, ly, wy = _make_k3(by, nz, nx, n_inner, dx, dy, dtau, omega,
                               g_acc, damp_coef, store_dt=store_dt,
                               has_sponge=has_sponge,
-                              n_yblocks=ny // by, prefetch=prefetch)
+                              n_yblocks=ny // by, prefetch=prefetch,
+                              damp_mode=damp_mode, has_crho=has_crho)
     above = wy - by - h            # top halo used + alignment slack
 
     def pady(a):
@@ -699,6 +752,8 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
 
     args = [pady(x) for x in (ru, rv, rw, rho, rt, cl, th, thzf,
                               gru, grv, grw, grho, grt)]
+    if has_crho:
+        args.append(pady(crho))
     args += [inv_dzc_col, inv_dzf_col]
     if has_sponge:
         args.append(sponge_col)
@@ -710,9 +765,10 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     out_f = jax.ShapeDtypeStruct((nz, ny, nx), jnp.float32)
     outspec = pl.BlockSpec((nz, by, nx), lambda j: (0, j, 0),
                            memory_space=pltpu.VMEM)
-    wins = ([win(store_dt) for _ in range(5)] + [win() for _ in range(8)])
+    wins = ([win(store_dt) for _ in range(5)]
+            + [win() for _ in range(8 + (1 if has_crho else 0))])
     col = lambda: pltpu.VMEM((nz, 1, nx), jnp.float32)
-    n_sem = 16 if has_sponge else 15
+    n_sem = 13 + (1 if has_crho else 0) + 2 + (1 if has_sponge else 0)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -749,16 +805,23 @@ def supported(model) -> bool:
                                          ThermalDivergenceDamping)
     from ..grid import Topology
 
+    from ..dynamics.compressible import DirectDivergenceDamping
     g = model.grid
     td = model.time_discretization
     strategy = td.damping_strategy()
-    # UpperSponge (incl. the default damp_full KDH08 form) is in the K3
-    # envelope (diagonal + CN-explicit terms in-kernel; full-field term
-    # folded into G.rho_w by the driver).  The per-substep K1/K2 split
-    # path never grew the sponge plumbing — it exists for A/B measurement
-    # only — so sponge configs fall back to jnp there.
-    sponge_ok = (td.sponge is None
-                 or not _os.environ.get("BREEZE_TPU_PALLAS_ACOUSTIC_SPLIT"))
+    # UpperSponge (incl. the default damp_full KDH08 form), the ρe
+    # (static-energy) formulation and DirectDivergenceDamping are all in
+    # the K3 envelope (r5; diagonal + CN-explicit sponge terms, C_ρ
+    # coupling window, δ-from-momenta damping — each in-kernel).  The
+    # per-substep K1/K2 split path never grew that plumbing — it exists
+    # for A/B measurement only — so those configs fall back to jnp there.
+    split = bool(_os.environ.get("BREEZE_TPU_PALLAS_ACOUSTIC_SPLIT"))
+    sponge_ok = td.sponge is None or not split
+    form_ok = (model.formulation == "potential_temperature" or not split)
+    damp_ok = (isinstance(strategy,
+                          (NoDivergenceDamping, ThermalDivergenceDamping))
+               or (isinstance(strategy, DirectDivergenceDamping)
+                   and not split))
     return (model.terrain is None
             and not g.is_latlon
             and g.x_topology == Topology.PERIODIC
@@ -767,8 +830,8 @@ def supported(model) -> bool:
             and g.dtype == jnp.float32
             and td.substep_floattype in (None, "bfloat16")
             and sponge_ok
-            and isinstance(strategy,
-                           (NoDivergenceDamping, ThermalDivergenceDamping))
+            and form_ok
+            and damp_ok
             and g.nx >= 128 and g.ny >= 8 and g.nz >= 8
             and _pick(g.nz, (16, 8, 4)) is not None
             and _pick(g.ny, (8,)) is not None)
@@ -788,7 +851,8 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     """
     import os as _os
 
-    from ..dynamics.compressible import (Perturbations,
+    from ..dynamics.compressible import (DirectDivergenceDamping,
+                                         Perturbations,
                                          ThermalDivergenceDamping)
 
     g = model.grid
@@ -797,8 +861,17 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     g_acc = float(model.constants.gravitational_acceleration)
     nz, ny, nx = g.shape
     strategy = td.damping_strategy()
-    damp = (float(strategy.coefficient)
-            if isinstance(strategy, ThermalDivergenceDamping) else 0.0)
+    if isinstance(strategy, ThermalDivergenceDamping):
+        damp, damp_mode = float(strategy.coefficient), "thermal"
+    elif isinstance(strategy, DirectDivergenceDamping):
+        damp, damp_mode = float(strategy.coefficient), "direct"
+    else:
+        damp, damp_mode = 0.0, "thermal"
+    # ρe formulation: p′ = C_L(ρe)′ + C_ρρ′ — extra coupling window
+    crho = None
+    if getattr(caches, "C_rho", None) is not None:
+        crho = jnp.broadcast_to(caches.C_rho,
+                                (nz, ny, nx)).astype(jnp.float32)
     bz = _pick(nz, (16, 8, 4))
     by = _pick(ny, (8,))
     # block-sweep override (tools/ sweeps); must divide ny
@@ -853,6 +926,12 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
         # register-spill footprint enough for the cross-block window
         # prefetch to fit VMEM; override via BREEZE_TPU_K3_KMAX.
         k_max = 4 if store_dt == jnp.bfloat16 else 3
+        if crho is not None and damp_mode == "direct":
+            # ρe + DirectDivergenceDamping: the extra C_ρ window plus the
+            # direct damping's extra live values exceed VMEM at k=3
+            # (measured 129.6/128 MB on v5e) — one fewer substep per chunk
+            # fits with room to spare
+            k_max = min(k_max, 2)
         # Trace-time knob (cached programs ignore later changes); clamp to
         # [1, 4] — k<=0 would make the static while-loop below never
         # advance (trace-time hang), k>4 Mosaic-OOMs.
@@ -872,7 +951,8 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
                 by=by, nz=nz, ny=ny, nx=nx, n_inner=k,
                 dx=float(g.dx), dy=float(g.dy), dtau=dtau, omega=omega,
                 g_acc=g_acc, damp_coef=damp, store=store,
-                interpret=interpret, sponge_col=sponge_col)
+                interpret=interpret, sponge_col=sponge_col,
+                damp_mode=damp_mode, crho=crho)
             p = Perturbations(
                 rho=rho2, rho_u=ru2, rho_v=rv2, rho_w=rw2, rho_theta=rt2,
                 sum_rho_u=p.sum_rho_u + sru.astype(work_dt),
