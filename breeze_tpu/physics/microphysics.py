@@ -51,6 +51,10 @@ class SaturationAdjustment:
     # |Δθ| ~ O(αΔt·tendency) ≪ 1 K of the root — quadratic convergence
     # puts 2 trips far below the reference abstol 1e-4).  The adjustment is
     # VPU-transcendental-bound on TPU, so trips are wall time.
+    # Accuracy contract: max|T_warm − T_converged| < 1e-4 K along a stepped
+    # condensing trajectory (tests/test_microphysics_schemes.py::
+    # TestWarmStartAccuracy) — a Δt or stability change that degrades the
+    # warm chain fails that test, not silently this knob.
     warm_iterations: int = 2
 
 
