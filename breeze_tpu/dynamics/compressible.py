@@ -889,6 +889,29 @@ def _open_boundary_relax_plan(model, state_L):
     return plan
 
 
+def terrain_metric_fields(terrain):
+    """The eight terrain metric factors the acoustic fast loop consumes
+    (shared by the jnp substep loop AND the fused K3 terrain kernel so
+    both see IDENTICAL values): ``(1/J_c, 1/J_f, J_xf, J_yf, sx_c_zf,
+    sy_c_zf, sx_cf, sy_cf)``.
+
+    Shard-aware wraps: under shard_map a raw jnp.roll would roll the
+    LOCAL shard only (latent decomposition bug) — route through
+    wrap_roll so terrain metrics exchange like every other field.
+    """
+    from ..parallel.halo import wrap_roll as _wroll
+    invJ_c = 1.0 / terrain.jac_c3                   # (1|nz, ny, nx)
+    invJ_f = 1.0 / terrain.jac_cf3                  # at ζ-faces
+    sx_zf = terrain.slope_x(at_zface=True)          # (nz,·,·) at x-faces
+    sy_zf = terrain.slope_y(at_zface=True)
+    sx_c_zf = 0.5 * (sx_zf + _wroll(sx_zf, -1, 2))   # x-centers
+    sy_c_zf = 0.5 * (sy_zf + _wroll(sy_zf, -1, 1))
+    sx_cf = terrain.slope_x(at_zface=False)         # ζ-centers, x-faces
+    sy_cf = terrain.slope_y(at_zface=False)
+    return (invJ_c, invJ_f, terrain.jac_xf3, terrain.jac_yf3,
+            sx_c_zf, sy_c_zf, sx_cf, sy_cf)
+
+
 def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
                           G: SlowTendencies, pert: Perturbations,
                           dtau, n_tau: int, gate_first: bool,
@@ -944,20 +967,8 @@ def acoustic_substep_loop(model: CompressibleModel, caches: StageCaches,
     # Terrain metric factors (LinearDecay: 2-D → broadcast rows; SLEVE:
     # ζ-dependent J → full 3-D center/face variants; see docstring).
     if terrain is not None:
-        invJ_c = 1.0 / terrain.jac_c3                   # (1|nz, ny, nx)
-        invJ_f = 1.0 / terrain.jac_cf3                  # at ζ-faces
-        jac_xf3 = terrain.jac_xf3
-        jac_yf3 = terrain.jac_yf3
-        sx_zf = terrain.slope_x(at_zface=True)          # (nz,·,·) at x-faces
-        sy_zf = terrain.slope_y(at_zface=True)
-        # shard-aware wraps: under shard_map a raw jnp.roll would roll the
-        # LOCAL shard only (latent decomposition bug) — route through
-        # wrap_roll so terrain metrics exchange like every other field.
-        from ..parallel.halo import wrap_roll as _wroll
-        sx_c_zf = 0.5 * (sx_zf + _wroll(sx_zf, -1, 2))   # x-centers
-        sy_c_zf = 0.5 * (sy_zf + _wroll(sy_zf, -1, 1))
-        sx_cf = terrain.slope_x(at_zface=False)         # ζ-centers, x-faces
-        sy_cf = terrain.slope_y(at_zface=False)
+        (invJ_c, invJ_f, jac_xf3, jac_yf3, sx_c_zf, sy_c_zf,
+         sx_cf, sy_cf) = terrain_metric_fields(terrain)
     else:
         invJ_c = invJ_f = 1.0
 
@@ -1408,7 +1419,7 @@ def acoustic_rk3_step(model: CompressibleModel, state: CompressibleState,
         # envelope (v5e-verified: bitwise vs the jnp loop, 112 -> 205M
         # pts/s compressible bf16); BREEZE_TPU_DISABLE_PALLAS_ACOUSTIC=1
         # restores the jnp substep loop.
-        use_pallas_fast = (_pallas_enabled() and terrain is None
+        use_pallas_fast = (_pallas_enabled()
                            and not ob_relax and pacoustic.supported(model)
                            and not _os.environ.get(
                                "BREEZE_TPU_DISABLE_PALLAS_ACOUSTIC"))

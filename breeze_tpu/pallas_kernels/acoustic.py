@@ -234,7 +234,11 @@ def _make_k2(by: int, nz: int, nx: int, dx: float, dy: float,
         def xs(a, o):
             return pltpu.roll(a, (-o) % nx, 2) if o % nx else a
 
-        below = lambda a: jnp.concatenate([a[:1], a[:-1]], axis=0)
+        # z-shift helpers; ζ-INVARIANT factors (z-extent 1, e.g. the
+        # LinearDecay Jacobians) pass through below() unchanged — their
+        # shifted value IS the value
+        below = lambda a: (a if a.shape[0] == 1
+                           else jnp.concatenate([a[:1], a[:-1]], axis=0))
         above0 = lambda a: jnp.concatenate(
             [a[1:], jnp.zeros_like(a[:1])], axis=0)
 
@@ -394,7 +398,8 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
              dtau: float, omega: float, g_acc: float, damp_coef: float,
              store_dt=jnp.float32, has_sponge: bool = False,
              n_yblocks: int = 0, prefetch: bool = False,
-             damp_mode: str = "thermal", has_crho: bool = False):
+             damp_mode: str = "thermal", has_crho: bool = False,
+             has_terrain: bool = False):
     # y halo accounting: centers lose 1 row/side per substep; rv (y-face)
     # loses ONE EXTRA bottom row per substep when divergence damping is on
     # (thermal: the correction reads D[m−1], and D inherits the centers'
@@ -404,6 +409,13 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
     # every block goes stale (caught as a block-period error pattern on
     # device).  ``has_crho``: ρe-formulation p′ = C_L(ρe)′ + C_ρρ′
     # coupling — one extra field window + unit-face-weight tridiag terms.
+    # ``has_terrain``: σ-coordinate fast system — 8 metric windows
+    # (1/J_c, 1/J_f, J_xf, J_yf, sx_c_zf, sy_c_zf, sx_cf, sy_cf), the
+    # slope-corrected PGF, Jacobian-weighted divergences, the contravariant
+    # ρw̃′ = ρw′ − S′ split with the kinematic-bottom Dirichlet row, and
+    # invJ factors through the CN column solve — mirroring the jnp loop's
+    # terrain branches term-by-term (dynamics/compressible.py); no extra
+    # halo rows (the S′ stencils creep exactly like the center updates).
     h = n_inner + (1 if damp_coef else 0)   # bottom halo rows
     ht = n_inner                            # top halo rows
     ly = by + h + ht               # logical rows (center j·by−h .. +by+ht−1)
@@ -416,7 +428,8 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
         #   13 field inputs, [crho], invdzc, invdzf, [sponge],
         #   pgf_ref (SMEM), 8 outputs, 13 windows, [crho_w], invdzc_w,
         #   invdzf_w, [sponge_w], cp, dp, aco, bco, cco, rhs scratch, sems
-        nf = 13 + (1 if has_crho else 0)
+        n_terr = 8 if has_terrain else 0
+        nf = 13 + (1 if has_crho else 0) + n_terr
         n_in = nf + 3 + (1 if has_sponge else 0)
         (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm,
          cl_hbm, th_hbm, thzf_hbm,
@@ -425,6 +438,8 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
         crho_hbm = refs[k] if has_crho else None
         if has_crho:
             k += 1
+        terr_hbm = refs[k:k + n_terr]
+        k += n_terr
         invdzc_hbm, invdzf_hbm = refs[k], refs[k + 1]
         k += 2
         sponge_hbm = refs[k] if has_sponge else None
@@ -437,6 +452,8 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
         crho_w = refs[k] if has_crho else None
         if has_crho:
             k += 1
+        terr_w = refs[k:k + n_terr]
+        k += n_terr
         invdzc_w, invdzf_w = refs[k], refs[k + 1]
         k += 2
         sponge_w = refs[k] if has_sponge else None
@@ -448,10 +465,10 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
 
         srcs = (ru_hbm, rv_hbm, rw_hbm, rho_hbm, rt_hbm, cl_hbm, th_hbm,
                 thzf_hbm, gru_hbm, grv_hbm, grw_hbm, grho_hbm, grt_hbm) \
-            + ((crho_hbm,) if has_crho else ())
+            + ((crho_hbm,) if has_crho else ()) + tuple(terr_hbm)
         dsts = (ru_w, rv_w, rw_w, rho_w, rt_w, cl_w, th_w, thzf_w,
                 gru_w, grv_w, grw_w, grho_w, grt_w) \
-            + ((crho_w,) if has_crho else ())
+            + ((crho_w,) if has_crho else ()) + tuple(terr_w)
 
         if prefetch:
             # Cross-block window prefetch (same double-buffer scheme as
@@ -508,15 +525,24 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
             return jnp.concatenate([a[:, 1:, :], a[:, -1:, :]], axis=1)
         #                               creeping halo rows by construction)
 
-        below = lambda a: jnp.concatenate([a[:1], a[:-1]], axis=0)
+        # z-shift helpers; ζ-INVARIANT factors (z-extent 1, e.g. the
+        # LinearDecay Jacobians) pass through below() unchanged — their
+        # shifted value IS the value
+        below = lambda a: (a if a.shape[0] == 1
+                           else jnp.concatenate([a[:1], a[:-1]], axis=0))
         above0 = lambda a: jnp.concatenate(
             [a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+        above_dup = lambda a: jnp.concatenate([a[1:], a[-1:]], axis=0)
 
         lv = lambda r: r[slot][:, :ly, :]
         cl = lv(cl_w)
         th = lv(th_w)
         thf = lv(thzf_w)
         crho = lv(crho_w) if has_crho else None
+        if has_terrain:
+            (ij_c, ij_f, jxf, jyf, sxz, syz, sxc, syc) = [
+                lv(w) for w in terr_w]
         gru = lv(gru_w)
         grv = lv(grv_w)
         grw = lv(grw_w)
@@ -531,12 +557,29 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
         inv_dzc_b = jnp.concatenate([inv_dzc[:1], inv_dzc[:-1]], axis=0)
         C_b = below(cl)
         thf_a = jnp.concatenate([thf[1:], thf[-1:]], axis=0)
-        a_co = (0.5 * g_acc * od2 * inv_dzc_b
-                - od2 * inv_dzf * C_b * below(thf) * inv_dzc_b)
-        b_co = (1.0 - 0.5 * g_acc * od2 * (inv_dzc_b - inv_dzc)
-                + od2 * inv_dzf * thf * (cl * inv_dzc + C_b * inv_dzc_b))
-        c_co = (-0.5 * g_acc * od2 * inv_dzc
-                - od2 * inv_dzf * cl * thf_a * inv_dzc)
+        if has_terrain:
+            # invJ factors through gravity (ρ-update center rows) and the
+            # C·θ flux couplings (face 1/J × center 1/J) — jnp loop
+            # coefficient build, term-by-term
+            ijc_b = below(ij_c)
+            a_co = (0.5 * g_acc * od2 * inv_dzc_b * ijc_b
+                    - od2 * inv_dzf * C_b * below(thf) * inv_dzc_b
+                    * ij_f * ijc_b)
+            b_co = (1.0
+                    - 0.5 * g_acc * od2 * (inv_dzc_b * ijc_b
+                                           - inv_dzc * ij_c)
+                    + od2 * inv_dzf * thf * (cl * inv_dzc * ij_c
+                                             + C_b * inv_dzc_b * ijc_b)
+                    * ij_f)
+            c_co = (-0.5 * g_acc * od2 * inv_dzc * ij_c
+                    - od2 * inv_dzf * cl * thf_a * inv_dzc * ij_f * ij_c)
+        else:
+            a_co = (0.5 * g_acc * od2 * inv_dzc_b
+                    - od2 * inv_dzf * C_b * below(thf) * inv_dzc_b)
+            b_co = (1.0 - 0.5 * g_acc * od2 * (inv_dzc_b - inv_dzc)
+                    + od2 * inv_dzf * thf * (cl * inv_dzc + C_b * inv_dzc_b))
+            c_co = (-0.5 * g_acc * od2 * inv_dzc
+                    - od2 * inv_dzf * cl * thf_a * inv_dzc)
         if has_crho:
             # ρe formulation: p′ = C_L(ρe)′ + C_ρ ρ′ adds the same flux
             # structure with UNIT face weight (the ρ predictor's flux is
@@ -578,23 +621,66 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                 pp = pp + crho * rho_p
             dpdx = (pp - xs(pp, -1)) * inv_dx
             dpdy = (pp - ys_m(pp)) * inv_dy
+            if has_terrain:
+                # slope-corrected perturbation PGF:
+                # (∂x p′)_z = ∂x p′|_ζ − sx·(1/J)∂ζ p′
+                dpz_f = (pp - below(pp)) * inv_dzf * ij_f
+                dpz_c = 0.5 * (dpz_f + above_dup(dpz_f))
+                dpdx = dpdx - sxc * 0.5 * (dpz_c + xs(dpz_c, -1))
+                dpdy = dpdy - syc * 0.5 * (dpz_c + ys_m(dpz_c))
             ru_new = ru_p + dtau * (gru - pgf * dpdx)
             rv_new = rv_p + dtau * (grv - pgf * dpdy)
 
             # ---- B: predictors ---------------------------------------
-            div_h = ((xs(ru_new, 1) - ru_new) * inv_dx
-                     + (ys_p(rv_new) - rv_new) * inv_dy)
-            fx = th_xf * ru_new
-            fy = th_yf * rv_new
-            div_ht = ((xs(fx, 1) - fx) * inv_dx
-                      + (ys_p(fy) - fy) * inv_dy)
-            dzdiv = (above0(rw_p) - rw_p) * inv_dzc
-            thw_p = thf * rw_p
-            dzdiv_t = (above0(thw_p) - thw_p) * inv_dzc
-            rho_star = (rho_p + dtau * (grho - div_h)
-                        - dtau * (1.0 - omega) * dzdiv)
-            rt_star = (rt_p + dtau * (grt - div_ht)
-                       - dtau * (1.0 - omega) * dzdiv_t)
+            if has_terrain:
+                jru = jxf * ru_new
+                jrv = jyf * rv_new
+                div_h = ((xs(jru, 1) - jru) * inv_dx
+                         + (ys_p(jrv) - jrv) * inv_dy) * ij_c
+                fx = th_xf * jru
+                fy = th_yf * jrv
+                div_ht = ((xs(fx, 1) - fx) * inv_dx
+                          + (ys_p(fy) - fy) * inv_dy) * ij_c
+
+                # contravariant split ρw̃′ = ρw′ − S′: S from 4-point
+                # x/z- and y/z-averaged momenta times the z-face slopes
+                def slope_part(ru_, rv_):
+                    rub = below(ru_)
+                    rvb = below(rv_)
+                    ru_czf = 0.25 * (ru_ + xs(ru_, 1) + rub + xs(rub, 1))
+                    rv_czf = 0.25 * (rv_ + ys_p(rv_) + rvb + ys_p(rvb))
+                    return sxz * ru_czf + syz * rv_czf
+
+                S_old = slope_part(ru_p, rv_p)
+                S_new = slope_part(ru_new, rv_new)
+                rwt_old = rw_p - S_old
+                dz_w = (above0(rwt_old) - rwt_old) * inv_dzc
+                dz_S = (above0(S_new) - S_new) * inv_dzc
+                rho_star = (rho_p + dtau * (grho - div_h)
+                            - dtau * ij_c * ((1.0 - omega) * dz_w
+                                             - omega * dz_S))
+                thw_p = thf * rwt_old
+                thS = thf * S_new
+                rt_star = (rt_p + dtau * (grt - div_ht)
+                           - dtau * ij_c * (
+                               (1.0 - omega) * (above0(thw_p) - thw_p)
+                               * inv_dzc
+                               - omega * (above0(thS) - thS) * inv_dzc))
+            else:
+                S_new = None
+                div_h = ((xs(ru_new, 1) - ru_new) * inv_dx
+                         + (ys_p(rv_new) - rv_new) * inv_dy)
+                fx = th_xf * ru_new
+                fy = th_yf * rv_new
+                div_ht = ((xs(fx, 1) - fx) * inv_dx
+                          + (ys_p(fy) - fy) * inv_dy)
+                dzdiv = (above0(rw_p) - rw_p) * inv_dzc
+                thw_p = thf * rw_p
+                dzdiv_t = (above0(thw_p) - thw_p) * inv_dzc
+                rho_star = (rho_p + dtau * (grho - div_h)
+                            - dtau * (1.0 - omega) * dzdiv)
+                rt_star = (rt_p + dtau * (grt - div_ht)
+                           - dtau * (1.0 - omega) * dzdiv_t)
 
             # ---- C: CN column solve ----------------------------------
             rho_star_zf = 0.5 * (rho_star + below(rho_star))
@@ -606,18 +692,25 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
                 Crt_star = Crt_star + crho * rho_star
             dz_Crt_tau = (Crt_tau - below(Crt_tau)) * inv_dzf
             dz_Crt_star = (Crt_star - below(Crt_star)) * inv_dzf
+            dzC = ((1.0 - omega) * dz_Crt_tau + omega * dz_Crt_star)
+            if has_terrain:
+                dzC = dzC * ij_f
             d = (rw_p + dtau * grw
                  - g_acc * dtau * ((1.0 - omega) * rho_tau_zf
                                    + omega * rho_star_zf)
-                 - dtau * ((1.0 - omega) * dz_Crt_tau
-                           + omega * dz_Crt_star))
+                 - dtau * dzC)
             if has_sponge:
                 # explicit CN half on the carried (ρw)′; the KDH08
                 # full-field term is folded into grw by the driver
                 d = d - ((1.0 - omega) * dtau) * sponge * rw_p
             rhs_s[:] = d
             cp_s[0] = jnp.zeros((ly, nx), f32)
-            dp_s[0] = jnp.zeros((ly, nx), f32)
+            if has_terrain:
+                # kinematic bottom: ρw̃′(0) = 0 ⇒ (ρw)′(0) = S′_new(0)
+                # (Dirichlet row a=c=0, b=1)
+                dp_s[0] = S_new[0]
+            else:
+                dp_s[0] = jnp.zeros((ly, nx), f32)
 
             def fwd(k, _):
                 a_k = aco_s[k]
@@ -637,10 +730,12 @@ def _make_k3(by: int, nz: int, nx: int, n_inner: int, dx: float, dy: float,
             rw_new = dp_s[:]
 
             # ---- D: recovery -----------------------------------------
-            rho_new = rho_star - omega * dtau * (above0(rw_new)
-                                                 - rw_new) * inv_dzc
+            ijr = ij_c if has_terrain else 1.0
+            rho_new = rho_star - omega * dtau * ijr * (above0(rw_new)
+                                                       - rw_new) * inv_dzc
             thw = thf * rw_new
-            rt_new = rt_star - omega * dtau * (above0(thw) - thw) * inv_dzc
+            rt_new = (rt_star
+                      - omega * dtau * ijr * (above0(thw) - thw) * inv_dzc)
 
             # ---- E: divergence damping (strategy dispatch) -----------
             if damp_coef and damp_mode == "thermal":
@@ -691,12 +786,14 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
             inv_dzc_col, inv_dzf_col, pgf_flags,
             by, nz, ny, nx, n_inner, dx, dy, dtau, omega, g_acc, damp_coef,
             store="float32", interpret=False, sponge_col=None,
-            damp_mode="thermal", crho=None):
+            damp_mode="thermal", crho=None, terrain_fields=None):
     import os as _os
 
     store_dt = jnp.dtype(store)
     has_sponge = sponge_col is not None
     has_crho = crho is not None
+    has_terrain = terrain_fields is not None
+    n_terr = 8 if has_terrain else 0
     h = n_inner + (1 if damp_coef else 0)
     ly_ = by + h + n_inner
     wy_ = _ceil8(ly_)
@@ -706,7 +803,7 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     # BREEZE_TPU_K3_PREFETCH=0.
     win_b = nz * wy_ * nx
     win_single = win_b * (5 * store_dt.itemsize
-                          + (9 if crho is not None else 8) * 4)
+                          + (8 + (1 if has_crho else 0) + n_terr) * 4)
     est = (2 * win_single                        # doubled windows
            # register-allocator spill-slot proxy: measured 66 MB at
            # n_inner=4/by=8/256²×128 ≈ 2× the single-buffer windows; the
@@ -727,13 +824,15 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     # its extra live values)
     prefetch = (pf_env == "1"
                 or (pf_env != "0" and n_inner <= 2
-                    and crho is None and damp_mode == "thermal"
+                    and crho is None and not has_terrain
+                    and damp_mode == "thermal"
                     and est < 120 * 1024 * 1024))
     kernel, ly, wy = _make_k3(by, nz, nx, n_inner, dx, dy, dtau, omega,
                               g_acc, damp_coef, store_dt=store_dt,
                               has_sponge=has_sponge,
                               n_yblocks=ny // by, prefetch=prefetch,
-                              damp_mode=damp_mode, has_crho=has_crho)
+                              damp_mode=damp_mode, has_crho=has_crho,
+                              has_terrain=has_terrain)
     above = wy - by - h            # top halo used + alignment slack
 
     def pady(a):
@@ -754,6 +853,8 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
                               gru, grv, grw, grho, grt)]
     if has_crho:
         args.append(pady(crho))
+    if has_terrain:
+        args += [pady(t) for t in terrain_fields]
     args += [inv_dzc_col, inv_dzf_col]
     if has_sponge:
         args.append(sponge_col)
@@ -766,9 +867,12 @@ def _run_k3(ru, rv, rw, rho, rt, cl, th, thzf, gru, grv, grw, grho, grt,
     outspec = pl.BlockSpec((nz, by, nx), lambda j: (0, j, 0),
                            memory_space=pltpu.VMEM)
     wins = ([win(store_dt) for _ in range(5)]
-            + [win() for _ in range(8 + (1 if has_crho else 0))])
+            + [win() for _ in range(8 + (1 if has_crho else 0))]
+            + [pltpu.VMEM((nslots, t.shape[0], wy, nx), jnp.float32)
+               for t in (terrain_fields or ())])
     col = lambda: pltpu.VMEM((nz, 1, nx), jnp.float32)
-    n_sem = 13 + (1 if has_crho else 0) + 2 + (1 if has_sponge else 0)
+    n_sem = (13 + (1 if has_crho else 0) + n_terr + 2
+             + (1 if has_sponge else 0))
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -822,7 +926,11 @@ def supported(model) -> bool:
                           (NoDivergenceDamping, ThermalDivergenceDamping))
                or (isinstance(strategy, DirectDivergenceDamping)
                    and not split))
-    return (model.terrain is None
+    # terrain (σ-coordinates): in the K3 envelope since r5 (8 metric
+    # windows + slope PGF + contravariant split in-kernel); the K1/K2
+    # split path never grew the plumbing
+    terr_ok = model.terrain is None or not split
+    return (terr_ok
             and not g.is_latlon
             and g.x_topology == Topology.PERIODIC
             and g.y_topology == Topology.PERIODIC
@@ -872,6 +980,24 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
     if getattr(caches, "C_rho", None) is not None:
         crho = jnp.broadcast_to(caches.C_rho,
                                 (nz, ny, nx)).astype(jnp.float32)
+    # terrain: the 8 metric factors, broadcast to full fields (SAME values
+    # as the jnp loop via the shared helper)
+    terrain_fields = None
+    if model.terrain is not None:
+        from ..dynamics.compressible import terrain_metric_fields
+
+        def _norm(t):
+            # keep the natural z-extent: LinearDecay Jacobians are
+            # ζ-independent (leading dim 1) — their VMEM windows shrink
+            # by nz× (the full-z broadcast Mosaic-OOMed at 133.9/128 MB)
+            t = jnp.asarray(t, jnp.float32)
+            if t.ndim == 2:
+                t = t[None]
+            zdim = t.shape[0]
+            return jnp.broadcast_to(t, (zdim, ny, nx))
+
+        terrain_fields = tuple(_norm(t)
+                               for t in terrain_metric_fields(model.terrain))
     bz = _pick(nz, (16, 8, 4))
     by = _pick(ny, (8,))
     # block-sweep override (tools/ sweeps); must divide ny
@@ -932,6 +1058,10 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
             # (measured 129.6/128 MB on v5e) — one fewer substep per chunk
             # fits with room to spare
             k_max = min(k_max, 2)
+        if terrain_fields is not None:
+            # 21 windows + the S′/slope live values: k=2 fits VMEM with
+            # margin (sweep via BREEZE_TPU_K3_KMAX)
+            k_max = min(k_max, 2)
         # Trace-time knob (cached programs ignore later changes); clamp to
         # [1, 4] — k<=0 would make the static while-loop below never
         # advance (trace-time hang), k>4 Mosaic-OOMs.
@@ -952,7 +1082,8 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
                 dx=float(g.dx), dy=float(g.dy), dtau=dtau, omega=omega,
                 g_acc=g_acc, damp_coef=damp, store=store,
                 interpret=interpret, sponge_col=sponge_col,
-                damp_mode=damp_mode, crho=crho)
+                damp_mode=damp_mode, crho=crho,
+                terrain_fields=terrain_fields)
             p = Perturbations(
                 rho=rho2, rho_u=ru2, rho_v=rv2, rho_w=rw2, rho_theta=rt2,
                 sum_rho_u=p.sum_rho_u + sru.astype(work_dt),

@@ -165,7 +165,9 @@ def auto_mesh(model, n_devices: int | None = None) -> Mesh | None:
     ``None`` when no decomposition satisfies the divisibility constraints
     (callers then run single-device/replicated).
 
-    Constraints checked per candidate: ``px | nx``, ``py | ny``, and — for
+    Constraints checked per candidate: ``px | nx``, ``py | ny``, local
+    shard extents no smaller than the stencil halo (the ppermute exchange
+    pulls ``halo`` cells from the ADJACENT neighbor only), and — for
     anelastic models (pencil-FFT Poisson transposes) — ``px·py | nz`` and
     ``px·py | ny``.
     """
@@ -174,17 +176,20 @@ def auto_mesh(model, n_devices: int | None = None) -> Mesh | None:
     if n <= 1:
         return None
     has_poisson = hasattr(model, "solver")
+    min_local = max(g.halo, 4)
 
     def pencil_ok(p):
         return not has_poisson or (g.nz % p == 0 and g.ny % p == 0)
 
-    if g.nx % n == 0 and pencil_ok(n):
+    if g.nx % n == 0 and g.nx // n >= min_local and pencil_ok(n):
         return make_x_mesh(n)
     # 2-D: largest px | gcd-style scan
     for px in range(n - 1, 0, -1):
-        if n % px or g.nx % px:
+        if n % px or g.nx % px or g.nx // px < min_local:
             continue
         py = n // px
+        if py > 1 and g.ny // py < min_local:
+            continue
         if g.ny % py == 0 and pencil_ok(n):
             return make_xy_mesh(px, py)
     return None

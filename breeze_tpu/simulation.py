@@ -517,9 +517,15 @@ class Simulation:
         # shard_map with explicit collectives + Pallas kernels active per
         # shard (parallel.shard_step module docstring; GSPMD is the
         # compatibility path: kernels fall back to jnp there).
-        # ``distributed=False`` opts out; ``distributed=True`` makes a
-        # failed decomposition an error instead of a silent fallback.
-        if distributed is not False and len(jax.devices()) > 1:
+        # ``distributed=False`` opts out; ``distributed=True`` forces it
+        # (and makes a failed decomposition an error instead of a silent
+        # fallback).  AUTO engages only on real accelerator backends:
+        # virtual CPU device meshes (tests) gain nothing and the XLA:CPU
+        # in-process collectives can hit rendezvous timeouts under
+        # compile skew — tests opt in explicitly.
+        auto_ok = (distributed
+                   or jax.default_backend() in ("tpu", "axon", "gpu"))
+        if distributed is not False and auto_ok and len(jax.devices()) > 1:
             from .parallel.shard_step import auto_mesh, make_distributed_step
             mesh = auto_mesh(model)
             if mesh is None and distributed:

@@ -440,7 +440,7 @@ class TestBlessedDistributedEntry:
         assert ref_sim.mesh is None
         ref_sim.run()
         sim = Simulation(model, state, dt=2.0, stop_iteration=3,
-                         verbose=False)
+                         verbose=False, distributed=True)
         assert sim.mesh is not None, "auto-distribution did not engage"
         sim.run()
         np.testing.assert_allclose(np.asarray(sim.state.rho_theta),

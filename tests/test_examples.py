@@ -11,13 +11,10 @@ EXAMPLES = [
     "dry_thermal_bubble.py",
     "cloudy_thermal_bubble.py",
     "acoustic_wave.py",
-    "inertia_gravity_wave.py",
     "bomex.py",
     "splitting_supercell.py",
-    "baroclinic_wave.py",
     "two_dimension_mountain_wave.py",
     "tropical_cyclone.py",
-    "rico.py",
     "cloudy_kelvin_helmholtz.py",
     "neutral_boundary_layer.py",
     "prescribed_sst.py",
@@ -25,16 +22,26 @@ EXAMPLES = [
     "single_column_radiation.py",
     "kinematic_driver.py",
     "rising_parcels.py",
-    "stationary_parcel.py",
     "boussinesq_bomex.py",
     "tropical_cyclone_world.py",
+]
+
+# The 4 slowest --quick runs (150-200 s each on this host — multi-minute
+# compiles, not physics) move to the nightly tier; their code paths stay
+# covered in the default suite by faster siblings (acoustic_wave /
+# tropical_cyclone_world for the wave + sphere paths, rising_parcels for
+# parcels, 1M unit tests for rico's scheme) — round-5 VERDICT item 9.
+SLOW_EXAMPLES = [
+    "baroclinic_wave.py",
+    "inertia_gravity_wave.py",
+    "rico.py",
+    "stationary_parcel.py",
 ]
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-@pytest.mark.parametrize("example", EXAMPLES)
-def test_example_quick(example):
+def _run_quick(example):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PALLAS_AXON_POOL_IPS"] = ""
@@ -45,6 +52,17 @@ def test_example_quick(example):
     assert result.returncode == 0, (
         f"{example} failed:\nSTDOUT:\n{result.stdout[-2000:]}\n"
         f"STDERR:\n{result.stderr[-2000:]}")
+
+
+@pytest.mark.parametrize("example", EXAMPLES)
+def test_example_quick(example):
+    _run_quick(example)
+
+
+@pytest.mark.nightly
+@pytest.mark.parametrize("example", SLOW_EXAMPLES)
+def test_example_quick_slow(example):
+    _run_quick(example)
 
 
 # Physics-assertion tier: flagship examples run a longer --check

@@ -133,7 +133,8 @@ class TestFusedAcousticSubstep:
     against the jnp loop, interpret mode."""
 
     def setup(self, damping_coefficient=0.1, substeps=4, ny=8,
-              damping=None, formulation="potential_temperature"):
+              damping=None, formulation="potential_temperature",
+              terrain=False):
         from breeze_tpu.dynamics.compressible import (
             SplitExplicitTimeDiscretization, compressible_diagnose,
             compressible_initial_state, make_compressible_model,
@@ -145,9 +146,18 @@ class TestFusedAcousticSubstep:
         td = SplitExplicitTimeDiscretization(
             substeps=substeps, damping_coefficient=damping_coefficient,
             damping=damping)
+        terr = None
+        if terrain:
+            from breeze_tpu.dynamics.terrain import make_terrain
+            terr = make_terrain(
+                g, bz.ThermodynamicConstants(),
+                lambda x, y, _Ly=100.0 * ny: 120.0
+                / (1.0 + ((x - 6400.0) / 1500.0) ** 2)
+                * (1.0 + 0.3 * jnp.sin(2 * jnp.pi * y / _Ly)))
         model = make_compressible_model(g, advection=bz.Centered(2),
                                         time_discretization=td,
-                                        formulation=formulation)
+                                        formulation=formulation,
+                                        terrain=terr)
         state = compressible_initial_state(
             model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
                 -((x - 6400.0) ** 2 / 1500.0 ** 2
@@ -222,7 +232,7 @@ class TestFusedAcousticSubstep:
         assert supported(model)
         pert = self._pert(g)
         ref = acoustic_substep_loop(model, caches, G, pert, 0.5, n_tau,
-                                    gate_first=True)
+                                    gate_first=True, terrain=model.terrain)
         got = acoustic_substep_loop_pallas(model, caches, G, pert, 0.5,
                                            n_tau, gate_first=True,
                                            interpret=True)
@@ -253,6 +263,16 @@ class TestFusedAcousticSubstep:
         self._compare_cfg(formulation="static_energy",
                           damping=DirectDivergenceDamping(0.15),
                           damping_coefficient=0.0, n_tau=4)
+
+    def test_terrain_matches_jnp(self):
+        """K3 with σ-coordinate terrain (slope PGF + Jacobian-weighted
+        divergences + contravariant ρw̃′ split + kinematic bottom) vs the
+        jnp fast loop — round-5 terrain-K3 (the measured 1.66× terrain
+        fast-loop penalty justified building it)."""
+        self._compare_cfg(terrain=True)
+
+    def test_terrain_no_damping_matches_jnp(self):
+        self._compare_cfg(terrain=True, damping_coefficient=0.0, n_tau=2)
 
     def test_prefetch_rotation_multi_yblock(self):
         """ny=16 with by=8 → 2 y-block grid instances and, at a k<=2 chunk,

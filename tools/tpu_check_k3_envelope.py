@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build(size, damping, formulation):
+def build(size, damping, formulation, terrain=False):
     import breeze_tpu as bz
     from breeze_tpu.dynamics.compressible import (
         SplitExplicitTimeDiscretization, compressible_initial_state,
@@ -39,10 +39,19 @@ def build(size, damping, formulation):
                      halo=3, dtype=jnp.float32)
     td = SplitExplicitTimeDiscretization(substeps=6, damping=damping,
                                          damping_coefficient=0.0)
+    terr = None
+    if terrain:
+        from breeze_tpu.dynamics.terrain import make_terrain
+        terr = make_terrain(
+            g, bz.ThermodynamicConstants(),
+            lambda x, y: 250.0 * jnp.exp(
+                -((x - 50.0 * nx) / (20.0 * nx)) ** 2)
+            * jnp.cos(jnp.pi * (x - 50.0 * nx) / (15.0 * nx)) ** 2)
     model = make_compressible_model(g, advection=bz.WENO(5),
                                     coriolis=bz.FPlane(1e-4),
                                     time_discretization=td,
-                                    formulation=formulation)
+                                    formulation=formulation,
+                                    terrain=terr)
     state = compressible_initial_state(
         model, theta=lambda x, y, z: 300.0 + 1.0 * jnp.exp(
             -((x - 50.0 * nx) ** 2 + (z - 30.0 * nz) ** 2) / 1500.0 ** 2),
@@ -91,20 +100,28 @@ def main():
     from breeze_tpu.dynamics.compressible import DirectDivergenceDamping
 
     configs = {
-        "thermal (r4 baseline)": (None, "potential_temperature"),
-        "direct": (DirectDivergenceDamping(0.1), "potential_temperature"),
-        "rhoe": (None, "static_energy"),
-        "rhoe+direct": (DirectDivergenceDamping(0.1), "static_energy"),
+        "thermal (r4 baseline)": (None, "potential_temperature", False),
+        "direct": (DirectDivergenceDamping(0.1), "potential_temperature",
+                   False),
+        "rhoe": (None, "static_energy", False),
+        "rhoe+direct": (DirectDivergenceDamping(0.1), "static_energy",
+                        False),
+        "terrain (Schaer ridge)": (None, "potential_temperature", True),
     }
+    # terrain's initial ridge imbalance drives larger fast-mode
+    # perturbations -> more accumulated f32 reorder drift; the interpret
+    # probe at matched substeps shows terrain == flat (~4e-7), so the
+    # looser bound still pins parity (verify log r5)
+    tol = {"terrain (Schaer ridge)": 1.5e-2}
     dt = 0.5
     print(f"# tpu_check_k3_envelope {args.size} device="
           f"{jax.devices()[0].device_kind}", flush=True)
-    for name, (damping, formulation) in configs.items():
+    for name, (damping, formulation, terrain) in configs.items():
         if damping is None and formulation == "potential_temperature":
             from breeze_tpu.dynamics.compressible import (
                 ThermalDivergenceDamping)
             damping = ThermalDivergenceDamping(0.1)
-        g, model, state = build(size, damping, formulation)
+        g, model, state = build(size, damping, formulation, terrain)
         from breeze_tpu.pallas_kernels.acoustic import supported
         assert supported(model), name
         ref = run_once(model, state, dt, disable=True)
@@ -127,7 +144,7 @@ def main():
         # IDENTICAL on the unchanged r4 kernel (verify log), so the bound
         # pins parity, not bitwiseness (interpret tests pin 5e-5 at small
         # sizes).
-        assert worst < 3e-3, (name, rels)
+        assert worst < tol.get(name, 3e-3), (name, rels)
     print("K3 envelope OK", flush=True)
 
 
