@@ -928,8 +928,16 @@ def supported(model) -> bool:
                    and not split))
     # terrain (σ-coordinates): in the K3 envelope since r5 (8 metric
     # windows + slope PGF + contravariant split in-kernel); the K1/K2
-    # split path never grew the plumbing
-    terr_ok = model.terrain is None or not split
+    # split path never grew the plumbing.  SLEVE-type terrain carries
+    # ζ-DEPENDENT Jacobians (full-z metric windows): 21 full windows
+    # exceed VMEM (the full-z broadcast measured 133.9/128 MB at k=2) —
+    # SLEVE stays on the jnp fast loop; LinearDecay's ζ-invariant
+    # Jacobians ride z-extent-1 windows and fit.
+    terr = model.terrain
+    terr_ok = (terr is None
+               or (not split
+                   and getattr(terr, "jac_c3", None) is not None
+                   and terr.jac_c3.shape[0] == 1))
     return (terr_ok
             and not g.is_latlon
             and g.x_topology == Topology.PERIODIC
