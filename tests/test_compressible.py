@@ -559,6 +559,7 @@ class TestSubstepperVariants:
         assert mild < 0.75 * base, (base, mild)
         assert strong < 0.05 * base, (base, strong)
 
+    @pytest.mark.nightly
     def test_direct_damping_stable_gravity_wave(self):
         from breeze_tpu.dynamics.compressible import DirectDivergenceDamping
 

@@ -91,6 +91,7 @@ def test_grad_matches_finite_difference(label, make_loss, scheme):
             assert rel < 2e-3, (label, eps, (kc, jc, ic), ad[kc, jc, ic], fd)
 
 
+@pytest.mark.nightly
 def test_grad_through_kessler():
     """Gradient flows through the DCMIP2016 Kessler operator-split update
     (autoconversion/accretion/rain fall with data-dependent selects) —

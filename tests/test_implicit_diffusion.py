@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import breeze_tpu as bz
 from breeze_tpu.dynamics.tridiagonal import thomas_solve
@@ -55,6 +56,7 @@ class TestImplicitDiffusion:
         # diffusion must decay the shear layer
         assert float(jnp.abs(state.rho_u).max()) < 3.5
 
+    @pytest.mark.nightly
     def test_implicit_matches_explicit_at_small_dt(self):
         g, model_i, state_i = self.model_state(vertically_implicit=True)
         _, model_e, state_e = self.model_state(vertically_implicit=False)

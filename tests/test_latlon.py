@@ -3,6 +3,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import breeze_tpu as bz
 from breeze_tpu import advection as adv
@@ -87,6 +88,7 @@ class TestSphericalDynamics:
         assert float(jnp.abs(aux.w).max()) < 1e-9
         assert float(jnp.abs(aux.u).max()) < 1e-9
 
+    @pytest.mark.nightly
     def test_baroclinic_channel_stable(self):
         """Baroclinic-wave-like setup: zonal jet in thermal-wind-ish balance
         perturbs and integrates stably (capability: examples/baroclinic_wave.jl)."""

@@ -8,6 +8,7 @@ tridiagonal solve (``breeze_tpu/dynamics/vertical_implicit.py``).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import breeze_tpu as bz
 from breeze_tpu import model as M
@@ -95,6 +96,7 @@ class TestAivaStep:
         np.testing.assert_allclose(np.asarray(sa.rho_theta),
                                    np.asarray(sp.rho_theta), atol=1e-10)
 
+    @pytest.mark.nightly
     def test_stable_at_5x_vertical_cfl(self):
         """VERDICT round-1 item 4 acceptance: stable at 5× the explicit
         vertical CFL on a stretched grid; the explicit twin blows up."""
@@ -129,6 +131,7 @@ class TestAivaStep:
         m1 = float(jnp.sum(state.rho_theta * dz))
         assert abs(m1 - m0) / abs(m0) < 1e-12
 
+    @pytest.mark.nightly
     def test_converges_to_explicit_at_small_dt(self):
         """Shrinking dt deactivates the split → AIVA ≈ explicit solution."""
         g, model_a = _make(
