@@ -64,6 +64,9 @@ def _parse_args():
                    default="clausius_clapeyron",
                    help="saturation vapor pressure closure (flatau = the "
                         "reference's fast polynomial fit)")
+    p.add_argument("--terrain", action="store_true",
+                   help="compressible over a Schaer-type ridge (the r5 "
+                        "terrain acoustic kernel)")
     p.add_argument("--substep-floattype", default=None,
                    help="compressible acoustic working-field dtype (e.g. bfloat16)")
     args = p.parse_args()
@@ -176,9 +179,16 @@ def _build_and_run(args) -> int:
             SplitExplicitTimeDiscretization, acoustic_rk3_step,
             compressible_initial_state, make_compressible_model)
 
+        terr = None
+        if getattr(args, "terrain", False):
+            from breeze_tpu.dynamics.terrain import make_terrain
+            terr = make_terrain(
+                grid, constants,
+                lambda x, y: 250.0 * jnp.exp(-((x - 6400.0) / 5000.0) ** 2)
+                * jnp.cos(jnp.pi * (x - 6400.0) / 4000.0) ** 2)
         model = make_compressible_model(
             grid, advection=bz.WENO(5), coriolis=bz.FPlane(1e-4),
-            microphysics=microphysics, constants=constants,
+            microphysics=microphysics, constants=constants, terrain=terr,
             time_discretization=SplitExplicitTimeDiscretization(
                 acoustic_cfl=0.5, substep_floattype=args.substep_floattype))
 
@@ -266,6 +276,8 @@ def _run_bench(args, grid, model, state, chunk, nx, ny, nz) -> int:
     }
     if getattr(args, "pallas_fallback", False):
         result["config"]["pallas_fallback"] = True
+    if getattr(args, "terrain", False):
+        result["config"]["terrain"] = "schaer_ridge"
     print(json.dumps(result))
     return 0
 
