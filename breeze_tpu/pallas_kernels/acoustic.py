@@ -928,16 +928,12 @@ def supported(model) -> bool:
                    and not split))
     # terrain (σ-coordinates): in the K3 envelope since r5 (8 metric
     # windows + slope PGF + contravariant split in-kernel); the K1/K2
-    # split path never grew the plumbing.  SLEVE-type terrain carries
-    # ζ-DEPENDENT Jacobians (full-z metric windows): 21 full windows
-    # exceed VMEM (the full-z broadcast measured 133.9/128 MB at k=2) —
-    # SLEVE stays on the jnp fast loop; LinearDecay's ζ-invariant
-    # Jacobians ride z-extent-1 windows and fit.
-    terr = model.terrain
-    terr_ok = (terr is None
-               or (not split
-                   and getattr(terr, "jac_c3", None) is not None
-                   and terr.jac_c3.shape[0] == 1))
+    # split path never grew the plumbing.  LinearDecay's ζ-invariant
+    # Jacobians ride z-extent-1 windows (k=2); SLEVE's ζ-DEPENDENT
+    # Jacobians need full-z windows, which fit at k=1 (hardware-verified:
+    # 25.0 vs jnp 41.1 ms per 6 substeps at 256²×128; k=2 full-z measured
+    # 133.9/128 MB VMEM — the driver drops k_max accordingly).
+    terr_ok = model.terrain is None or not split
     return (terr_ok
             and not g.is_latlon
             and g.x_topology == Topology.PERIODIC
@@ -1067,9 +1063,12 @@ def acoustic_substep_loop_pallas(model, caches, G, pert, dtau, n_tau: int,
             # fits with room to spare
             k_max = min(k_max, 2)
         if terrain_fields is not None:
-            # 21 windows + the S′/slope live values: k=2 fits VMEM with
-            # margin (sweep via BREEZE_TPU_K3_KMAX)
-            k_max = min(k_max, 2)
+            # 21 windows + the S′/slope live values: k=2 fits VMEM for
+            # ζ-invariant (z-extent-1) Jacobians; SLEVE's full-z metric
+            # windows OOM at k=2 (133.9/128 MB) but fit at k=1 — both
+            # hardware-verified (sweep via BREEZE_TPU_K3_KMAX)
+            full_z = any(t.shape[0] > 1 for t in terrain_fields)
+            k_max = min(k_max, 1 if full_z else 2)
         # Trace-time knob (cached programs ignore later changes); clamp to
         # [1, 4] — k<=0 would make the static while-loop below never
         # advance (trace-time hang), k>4 Mosaic-OOMs.

@@ -149,11 +149,14 @@ class TestFusedAcousticSubstep:
         terr = None
         if terrain:
             from breeze_tpu.dynamics.terrain import make_terrain
+            sleve_kw = ({"large_scale_height": 800.0,
+                         "small_scale_height": 400.0}
+                        if terrain == "sleve" else {})
             terr = make_terrain(
                 g, bz.ThermodynamicConstants(),
                 lambda x, y, _Ly=100.0 * ny: 120.0
                 / (1.0 + ((x - 6400.0) / 1500.0) ** 2)
-                * (1.0 + 0.3 * jnp.sin(2 * jnp.pi * y / _Ly)))
+                * (1.0 + 0.3 * jnp.sin(2 * jnp.pi * y / _Ly)), **sleve_kw)
         model = make_compressible_model(g, advection=bz.Centered(2),
                                         time_discretization=td,
                                         formulation=formulation,
@@ -273,6 +276,11 @@ class TestFusedAcousticSubstep:
 
     def test_terrain_no_damping_matches_jnp(self):
         self._compare_cfg(terrain=True, damping_coefficient=0.0, n_tau=2)
+
+    def test_terrain_sleve_matches_jnp(self):
+        """SLEVE (TwoLevelDecay) terrain: ζ-DEPENDENT Jacobians ride
+        full-z metric windows (k=1 chunks on hardware)."""
+        self._compare_cfg(terrain="sleve")
 
     def test_prefetch_rotation_multi_yblock(self):
         """ny=16 with by=8 → 2 y-block grid instances and, at a k<=2 chunk,
